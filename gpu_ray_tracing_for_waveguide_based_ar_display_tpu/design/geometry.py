@@ -75,6 +75,13 @@ class DesignGeometry:
     lambda_fc: float
     phi_fc: float
 
+    # Band-slicing metadata (rotation angle + band extents in the rotated frame);
+    # lets engines replace per-strip polygon tests with one region test + 1-D binning
+    fc_slice: dict
+    oc_slice: dict
+    cloud_hull: np.ndarray               # (H, 2) folding-region hull (union of FC strips)
+    oc_rect: np.ndarray                  # (4, 2) out-coupler rectangle (union of OC strips)
+
     # k-space sweep samples, (L, design_sweep_n**2) each
     k_air: Tuple[np.ndarray, np.ndarray]
     k_after_ic: Tuple[np.ndarray, np.ndarray]
@@ -213,7 +220,7 @@ def _fov_quads(d: WaveguideDesign, fov_x, fov_y, k0, g_ic, g_fc) -> np.ndarray:
 
 def _slice_polygon(
     verts: np.ndarray, angle: float, num_slices: int, half_width: float
-) -> List[np.ndarray]:
+) -> Tuple[List[np.ndarray], dict]:
     """Rotate a convex polygon, cut it into horizontal bands, rotate back.
 
     Mirrors the band-slicing of couplers_coor.py:408-452 (FC) and :557-600 (OC): the
@@ -242,7 +249,9 @@ def _slice_polygon(
         if len(clipped) == 0:
             continue
         strips.append(clipped @ inv.T)
-    return strips
+    info = {"angle": angle, "top": float(top), "bottom": float(bottom),
+            "width": float(width)}
+    return strips, info
 
 
 def _tir_retardation(n_g: float, theta: np.ndarray) -> np.ndarray:
@@ -320,7 +329,9 @@ def generate_geometry(
     )
 
     # --- FC strips: slice the cloud hull perpendicular to the IC grating direction
-    fc_strips = _slice_polygon(cloud_hull, np.pi / 2 + d.phi_ic, d.num_fc, d.glass_x)
+    fc_strips, fc_slice = _slice_polygon(
+        cloud_hull, np.pi / 2 + d.phi_ic, d.num_fc, d.glass_x
+    )
 
     # --- OC strips: slice the out-coupler rectangle along the OC grating direction
     x_oc = np.tan(d.fov_x / 2) * abs(d.eye_relief) * 2 + d.eyebox_size[0]
@@ -333,7 +344,9 @@ def generate_geometry(
             [d.eyebox_center[0] + x_oc / 2, d.eyebox_center[1] - y_oc / 2],
         ]
     )
-    oc_strips = _slice_polygon(oc_rect, 3 * np.pi / 2 + d.phi_oc, d.num_oc, d.glass_x)
+    oc_strips, oc_slice = _slice_polygon(
+        oc_rect, 3 * np.pi / 2 + d.phi_oc, d.num_oc, d.glass_x
+    )
 
     # --- per-FoV eyebox footprint rectangles for the full trace grid
     gx = np.linspace(-d.fov_x / 2, d.fov_x / 2, num_fov_x)
@@ -422,6 +435,10 @@ def generate_geometry(
         th_out_oc=th_out_oc,
         phi_out_oc=phi_out_oc,
         th_out_oc_glow=th_out_oc_glow,
+        fc_slice=fc_slice,
+        oc_slice=oc_slice,
+        cloud_hull=cloud_hull,
+        oc_rect=oc_rect,
         lambda_fc=float(lambda_fc),
         phi_fc=float(phi_fc),
         k_air=k_air,

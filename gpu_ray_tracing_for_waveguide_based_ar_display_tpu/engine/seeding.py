@@ -1,0 +1,90 @@
+"""Ray seeding: pupil sampling and SoA batch construction.
+
+Mirrors the reference driver's layout (gpu_ray_tracing_pro_fullColor.py:59-115): for
+every (FoV_x, FoV_y, wavelength) cell, ``rays_per_fov`` rays start at sample points
+inside the in-coupler pupil, the first half pure TE and the second half pure TM, with
+the *same* sample points shared across all cells (and both polarizations) when
+``shared_pupil_samples`` is set — the reference reuses one 2500-point set everywhere.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import numpy as np
+
+from ..config import TraceConfig
+from ..design.convex import point_in_polygon
+from ..design.geometry import DesignGeometry
+from ..ops import rng as rng_ops
+
+
+def sample_points_in_polygon(
+    poly: np.ndarray, num: int, rng: np.random.Generator
+) -> np.ndarray:
+    """Rejection-sample ``num`` points uniformly inside a polygon (host-side).
+
+    Same approach as the reference host helper ``generate_points_in_polygon``
+    (GPU_ray_tracing_functions.py:12-23): uniform bbox proposals, 2x oversampling.
+    """
+    lo = poly.min(axis=0)
+    hi = poly.max(axis=0)
+    out = np.empty((0, 2))
+    while len(out) < num:
+        cand = rng.uniform(lo, hi, size=(2 * (num - len(out)) + 16, 2))
+        keep = point_in_polygon(cand[:, 0], cand[:, 1], poly)
+        out = np.concatenate([out, cand[keep]], axis=0)
+    return out[:num]
+
+
+def build_ray_batch(
+    geom: DesignGeometry,
+    cfg: TraceConfig,
+    cell_ids: Optional[np.ndarray] = None,
+    rays_per_cell: Optional[int] = None,
+    iteration: int = 0,
+) -> dict:
+    """Host-side SoA arrays for one trace batch.
+
+    ``cell_ids``: flat cell indices (l*M + m)*N + n to seed; defaults to all cells.
+    Returns numpy arrays: x, y, te, tm (complex), cid, idx, rng.
+    """
+    L, M, N = geom.th_out_ic.shape
+    if cell_ids is None:
+        cell_ids = np.arange(L * M * N)
+    rpc = rays_per_cell if rays_per_cell is not None else cfg.rays_per_fov
+    half = rpc // 2
+    n_cells = len(cell_ids)
+    total = n_cells * rpc
+
+    host_rng = np.random.default_rng(cfg.seed + 7919 * iteration)
+    if cfg.shared_pupil_samples:
+        pts = sample_points_in_polygon(geom.ic, half, host_rng)
+        x = np.tile(np.concatenate([pts[:, 0], pts[:, 0]]), n_cells)
+        y = np.tile(np.concatenate([pts[:, 1], pts[:, 1]]), n_cells)
+    else:
+        pts = sample_points_in_polygon(geom.ic, half * n_cells, host_rng)
+        xs = pts[:, 0].reshape(n_cells, half)
+        ys = pts[:, 1].reshape(n_cells, half)
+        x = np.concatenate([xs, xs], axis=1).reshape(-1)
+        y = np.concatenate([ys, ys], axis=1).reshape(-1)
+
+    te = np.zeros(total, dtype=np.complex64)
+    tm = np.zeros(total, dtype=np.complex64)
+    pol_pattern = np.arange(rpc) < half  # True = TE
+    pol = np.tile(pol_pattern, n_cells)
+    te[pol] = 1.0
+    tm[~pol] = 1.0
+
+    cid = np.repeat(cell_ids.astype(np.int32), rpc)
+    idx = (np.arange(total, dtype=np.uint32)
+           + np.uint32(iteration) * np.uint32(total))
+    if cfg.rng_mode == "parity":
+        # the reference seeds once and lets states persist across iterations; parity
+        # batches therefore reuse idx-based seeding only at iteration 0
+        rng_state = rng_ops.seed_parity(np.arange(total, dtype=np.uint32))
+    else:
+        rng_state = rng_ops.seed_fast(idx, cfg.seed)
+
+    return {"x": x, "y": y, "te": te, "tm": tm, "cid": cid, "idx": idx,
+            "rng": rng_state}

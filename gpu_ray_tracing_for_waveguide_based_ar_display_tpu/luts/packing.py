@@ -1,0 +1,166 @@
+"""Packing raw LUTs + geometry into flat per-cell interaction tables.
+
+The tracer's unit of work is a *cell* = (wavelength, FoV_x index, FoV_y index); a ray's
+cell never changes during its trace, so every LUT quantity it can ever touch is known
+up front.  This module precomputes, per cell, a uniform "interaction record" for each
+site kind so the hot loop is pure gathers + complex 2x2 matvecs with no trig:
+
+- Jones matrices as complex64 2x2 (channel quadruples from :mod:`.schema`),
+- branch efficiency scales (the cos(theta_out) numerators of the reference's
+  ``efficiency = |J psi|^2 cos_out / cos_in`` roulette, including the n_g factors of
+  the entry/exit sites, GPU_ray_tracing_functions.py:868-869,1131),
+- TIR phase retardation as unit phasors e^{i delta} (the reference adds the angle to
+  ``delta_phase``; in complex polarization state that is a multiply on the TM leg),
+- per-direction TIR hop vectors.
+
+Branch layout is uniform across states: branch A keeps/returns to the site's "first"
+direction, branch B goes to the alternate direction, branch C (out-couplers only)
+out-couples.  States sharing a site kind differ only in which Jones matrix applies, so
+J tables carry a state-bit axis while scales/targets do not.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from ..design.geometry import DesignGeometry
+from . import schema
+from .schema import RcwaLuts
+
+# direction indices into lut_gap pairs / lut_TIR channels
+DIR_IC = 0    # post-IC, pre-fold ("dir-1")
+DIR_FC = 1    # post-fold
+DIR_IC2 = 2   # second IC order ("dir-2")
+DIR_OC = 3    # post-OC reversal
+
+
+@dataclasses.dataclass
+class CellTables:
+    """Flat per-cell tables; C = L*M*N cells, cid = (l*M + m)*N + n.
+
+    Jones arrays are complex64 with a leading state-bit axis where the two states of a
+    phase group read different channels; scales/cosines are float32.
+    """
+
+    L: int
+    M: int
+    N: int
+
+    # init site (first IC interaction from air)
+    init_jones: np.ndarray      # (2, C, 2, 2) branch {A, B}
+    init_scale: np.ndarray      # (2, C) cos_out * n_g
+    init_cos0: np.ndarray       # (C,) cos of air-side incidence angle
+
+    # over-IC re-diffraction site, states {0, 1}
+    ic_jones: np.ndarray        # (2, 2, C, 2, 2)  [branch, state_bit, cid]
+    ic_scale: np.ndarray        # (2, C) cos target per branch {A->ic dir, B->ic2 dir}
+
+    # folding-coupler site, states {2, 3}; S_fc strips
+    fc_jones: np.ndarray        # (2, S_fc, 2, C, 2, 2)
+    fc_scale: np.ndarray        # (2, S_fc, C)
+
+    # out-coupler site, states {4, 5}; S_oc strips
+    oc_jones: np.ndarray        # (3, S_oc, 2, C, 2, 2)
+    oc_scale: np.ndarray        # (2, S_oc, C); branch C scale is oc_scale_out
+    oc_scale_out: np.ndarray    # (C,) cos(air)/n_g
+
+    # per-cell constants
+    gaps: np.ndarray            # (C, 4, 2) hop vector per direction
+    tir_phasor: np.ndarray      # (C, 4) complex64 e^{i delta_TIR}
+    hop2_phasor: np.ndarray     # (C, 4) complex64 e^{2 i delta_TIR}
+
+    @property
+    def num_cells(self) -> int:
+        return self.L * self.M * self.N
+
+
+def _jones_from(lut: np.ndarray, quad) -> np.ndarray:
+    """Gather a (..., 2, 2) complex64 Jones stack from channel quadruple (a,b,c,d)."""
+    a, b, c, d = quad
+    j = np.stack(
+        [np.stack([lut[..., a], lut[..., b]], axis=-1),
+         np.stack([lut[..., c], lut[..., d]], axis=-1)],
+        axis=-2,
+    )
+    return np.ascontiguousarray(j.astype(np.complex64))
+
+
+def build_cell_tables(geom: DesignGeometry, luts: RcwaLuts) -> CellTables:
+    L, M, N = geom.th_out_ic.shape
+    C = L * M * N
+    f32 = np.float32
+
+    def flat(x):
+        """(L, M, N, ...) -> (C, ...)"""
+        return np.ascontiguousarray(x.reshape((C,) + x.shape[3:]))
+
+    def flat_s(x):
+        """(S, L, M, N, ...) -> (S, C, ...)"""
+        return np.ascontiguousarray(x.reshape((x.shape[0], C) + x.shape[4:]))
+
+    cos = lambda ch0: np.cos(ch0.real).astype(f32)
+    n_g = geom.design.n_glass
+
+    cos_ic = cos(luts.ic2[..., 0])     # (L, M, N)
+    cos_ic2 = cos(luts.ic3[..., 0])
+    cos_air = cos(luts.ic1[..., 0])
+    cos_fc1 = cos(luts.fc1[..., 0])    # (S, L, M, N)
+    cos_fc2 = cos(luts.fc2[..., 0])
+    cos_oc1 = cos(luts.oc1[..., 0])
+    cos_oc2 = cos(luts.oc2[..., 0])
+
+    init_jones = np.stack(
+        [flat(_jones_from(luts.ic1, schema.JONES_IC1_TO_IC2)),
+         flat(_jones_from(luts.ic1, schema.JONES_IC1_TO_IC3))]
+    )
+    init_scale = np.stack([flat(cos_ic * n_g), flat(cos_ic2 * n_g)]).astype(f32)
+    init_cos0 = flat(cos_air)
+
+    ic_jones = np.stack(
+        [np.stack([flat(_jones_from(luts.ic2, schema.JONES_IC2_TO_IC2)),
+                   flat(_jones_from(luts.ic3, schema.JONES_IC3_TO_IC2))]),
+         np.stack([flat(_jones_from(luts.ic2, schema.JONES_IC2_TO_IC3)),
+                   flat(_jones_from(luts.ic3, schema.JONES_IC3_TO_IC3))])]
+    )  # (branch, bit, C, 2, 2)
+    ic_scale = np.stack([flat(cos_ic), flat(cos_ic2)]).astype(f32)
+
+    fc_jones = np.stack(
+        [np.stack([flat_s(_jones_from(luts.fc1, schema.JONES_FC1_STAY)),
+                   flat_s(_jones_from(luts.fc2, schema.JONES_FC2_UNFOLD))], axis=1),
+         np.stack([flat_s(_jones_from(luts.fc1, schema.JONES_FC1_FOLD)),
+                   flat_s(_jones_from(luts.fc2, schema.JONES_FC2_STAY))], axis=1)]
+    )  # (branch, S, bit, C, 2, 2)
+    fc_scale = np.stack([flat_s(cos_fc1), flat_s(cos_fc2)]).astype(f32)
+
+    oc_jones = np.stack(
+        [np.stack([flat_s(_jones_from(luts.oc1, schema.JONES_OC1_STAY)),
+                   flat_s(_jones_from(luts.oc2, schema.JONES_OC2_UNREVERSE))], axis=1),
+         np.stack([flat_s(_jones_from(luts.oc1, schema.JONES_OC1_REVERSE)),
+                   flat_s(_jones_from(luts.oc2, schema.JONES_OC2_STAY))], axis=1),
+         np.stack([flat_s(_jones_from(luts.oc1, schema.JONES_OC1_OUT)),
+                   flat_s(_jones_from(luts.oc2, schema.JONES_OC2_OUT))], axis=1)]
+    )  # (branch, S, bit, C, 2, 2)
+    oc_scale = np.stack([flat_s(cos_oc1), flat_s(cos_oc2)]).astype(f32)
+    oc_scale_out = flat((cos_air / n_g).astype(f32))
+
+    gaps = flat(
+        np.stack(
+            [geom.lut_gap[..., 0:2], geom.lut_gap[..., 2:4],
+             geom.lut_gap[..., 4:6], geom.lut_gap[..., 6:8]],
+            axis=-2,
+        ).astype(f32)
+    )
+    tir = geom.lut_tir  # (L, M, N, 4) already ordered (ic, fc, ic2, oc)
+    tir_phasor = flat(np.exp(1j * tir).astype(np.complex64))
+    hop2_phasor = flat(np.exp(2j * tir).astype(np.complex64))
+
+    return CellTables(
+        L=L, M=M, N=N,
+        init_jones=init_jones, init_scale=init_scale, init_cos0=init_cos0,
+        ic_jones=ic_jones, ic_scale=ic_scale,
+        fc_jones=fc_jones, fc_scale=fc_scale,
+        oc_jones=oc_jones, oc_scale=oc_scale, oc_scale_out=oc_scale_out,
+        gaps=gaps, tir_phasor=tir_phasor, hop2_phasor=hop2_phasor,
+    )

@@ -1,0 +1,52 @@
+"""Counter-style per-ray RNG (xorshift32) as jnp uint32 vector ops.
+
+The reference uses one xorshift32 state per CUDA thread with a zero-state reseed
+(GPU_ray_tracing_functions.py:25-34) and multiplicative golden-ratio seeding
+(gpu_ray_tracing_pro_fullColor.py:158).  Both are reproduced bit-exactly for parity
+mode; 'fast' mode seeds through a splitmix32-style hash so nearby ray indices get
+decorrelated streams (the reference's linear seeding makes stream *prefixes*
+correlated across adjacent rays; harmless for its workload but worth fixing).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+_GOLDEN = np.uint32(0x9E3779B9)
+_RESEED = np.uint32(0x6D2B79F5)
+
+
+def xorshift32_step(s: jnp.ndarray) -> jnp.ndarray:
+    """One xorshift32 update on a uint32 vector."""
+    s = s ^ (s << 13)
+    s = s ^ (s >> 17)
+    s = s ^ (s << 5)
+    return s
+
+
+def draw_uniform(state: jnp.ndarray, ray_idx: jnp.ndarray, advance: jnp.ndarray):
+    """Draw U[0,1) float32 per ray; advance the state only where ``advance``.
+
+    Mirrors the reference semantics: zero states reseed from the ray index before the
+    draw; non-advancing rays keep their state (and their draw is meaningless).
+    """
+    s = jnp.where(state == 0, _RESEED ^ (ray_idx.astype(jnp.uint32) + 1), state)
+    s_new = xorshift32_step(s)
+    u = s_new.astype(jnp.float32) * jnp.float32(1.0 / 4294967296.0)
+    return u, jnp.where(advance, s_new, state)
+
+
+def seed_parity(ray_idx: np.ndarray) -> np.ndarray:
+    """Reference seeding: 0x9E3779B9 * (idx + 1) mod 2^32."""
+    return (_GOLDEN * (ray_idx.astype(np.uint32) + np.uint32(1))).astype(np.uint32)
+
+
+def seed_fast(ray_idx: np.ndarray, seed: int) -> np.ndarray:
+    """Splitmix32-style hash of (global seed, ray index)."""
+    x = ray_idx.astype(np.uint64) + np.uint64(seed) * np.uint64(0x9E3779B97F4A7C15)
+    x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    x = x ^ (x >> np.uint64(31))
+    out = (x & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+    return np.where(out == 0, np.uint32(1), out)

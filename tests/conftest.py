@@ -1,15 +1,21 @@
 """Test configuration: force an 8-device virtual CPU platform for JAX.
 
-Multi-chip sharding tests run on a virtual CPU mesh
-(``--xla_force_host_platform_device_count=8``) so they need no TPU hardware; this must
-be set before jax initializes, hence here in conftest.
+The container's sitecustomize registers the axon TPU plugin at interpreter start and
+exports ``JAX_PLATFORMS=axon``; tests must run on the host CPU (with 8 virtual devices
+for the multi-chip sharding tests), so both the env vars *and* the live jax config are
+overridden here before any backend is resolved.
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["PALLAS_AXON_POOL_IPS"] = ""
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")

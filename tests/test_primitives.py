@@ -1,0 +1,94 @@
+"""Unit tests of engine primitives against the numpy oracle implementations."""
+
+import math
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp
+
+from gpu_ray_tracing_for_waveguide_based_ar_display_tpu.engine import oracle
+from gpu_ray_tracing_for_waveguide_based_ar_display_tpu.ops import rng as rng_ops
+
+
+def test_xorshift32_matches_oracle():
+    states = np.array([1, 2, 12345, 0x9E3779B9, 0xFFFFFFFF], dtype=np.uint32)
+    expected = np.array([oracle.xorshift32(int(s)) for s in states], dtype=np.uint32)
+    got = np.asarray(rng_ops.xorshift32_step(jnp.asarray(states)))
+    assert np.array_equal(got, expected)
+
+
+def test_draw_uniform_matches_oracle_sequence():
+    n = 64
+    idx = np.arange(n, dtype=np.uint32)
+    state = rng_ops.seed_parity(idx)
+    jstate = jnp.asarray(state)
+    ostate = state.astype(np.int64).copy()
+    for _ in range(5):
+        u_j, jstate = rng_ops.draw_uniform(
+            jstate, jnp.asarray(idx), jnp.ones(n, bool)
+        )
+        u_o = np.empty(n)
+        for i in range(n):
+            u_o[i], ostate[i] = oracle.uniform_from_state(int(ostate[i]), i)
+        np.testing.assert_allclose(np.asarray(u_j), u_o.astype(np.float32), rtol=1e-6)
+    assert np.array_equal(np.asarray(jstate), ostate.astype(np.uint32))
+
+
+def test_draw_uniform_zero_state_reseeds():
+    idx = np.array([3], dtype=np.uint32)
+    u_j, s_j = rng_ops.draw_uniform(
+        jnp.zeros(1, jnp.uint32), jnp.asarray(idx), jnp.ones(1, bool)
+    )
+    u_o, s_o = oracle.uniform_from_state(0, 3)
+    assert abs(float(u_j[0]) - u_o) < 1e-6
+    assert int(s_j[0]) == s_o
+
+
+def test_draw_uniform_masked_does_not_advance():
+    idx = np.arange(4, dtype=np.uint32)
+    state = rng_ops.seed_parity(idx)
+    mask = jnp.asarray([True, False, True, False])
+    _, new_state = rng_ops.draw_uniform(jnp.asarray(state), jnp.asarray(idx), mask)
+    new_state = np.asarray(new_state)
+    assert np.array_equal(new_state[[1, 3]], state[[1, 3]])
+    assert not np.array_equal(new_state[[0, 2]], state[[0, 2]])
+
+
+def test_complex_state_equivalent_to_e_field_cal():
+    """The complex 2-vector polarization form must match the reference's
+    (|te|, |tm|, delta) form up to a global phase, for random Jones matrices."""
+    rng = np.random.default_rng(0)
+    for _ in range(200):
+        ete, etm = rng.uniform(0, 1, 2)
+        delta = rng.uniform(-np.pi, np.pi)
+        j = rng.normal(size=(2, 2)) + 1j * rng.normal(size=(2, 2))
+        # oracle form
+        oa, ob, od = oracle.e_field_cal(ete, etm, delta, j[0, 0], j[0, 1], j[1, 0], j[1, 1])
+        # complex-state form
+        te_c = ete + 0j
+        tm_c = etm * np.exp(1j * delta)
+        te_o = j[0, 0] * te_c + j[0, 1] * tm_c
+        tm_o = j[1, 0] * te_c + j[1, 1] * tm_c
+        assert abs(abs(te_o) - oa) < 1e-12
+        assert abs(abs(tm_o) - ob) < 1e-12
+        if abs(te_o) > 1e-12 and abs(tm_o) > 1e-12:
+            rel = np.angle(tm_o) - np.angle(te_o)
+            rel = (rel + np.pi) % (2 * np.pi) - np.pi
+            assert abs(rel - od) < 1e-9
+
+
+def test_tir_phase_add_is_phasor_multiply():
+    """delta += tir in (abs, delta) form == tm *= e^{i tir} in complex form."""
+    rng = np.random.default_rng(1)
+    ete, etm = 0.6, 0.8
+    delta = 0.3
+    tir = rng.uniform(-np.pi, np.pi)
+    # abs/delta route
+    d2 = oracle._wrap_pi(delta + tir)
+    # complex route
+    tm_c = etm * np.exp(1j * delta) * np.exp(1j * tir)
+    rel = np.angle(tm_c) - 0.0
+    rel = (rel + np.pi) % (2 * np.pi) - np.pi
+    assert abs(rel - d2) < 1e-12
