@@ -1,0 +1,158 @@
+"""End-to-end simulation pipeline: design -> LUTs -> trace -> histogram -> metrics.
+
+The TPU-native counterpart of the reference driver
+(/root/reference/gpu_ray_tracing_pro_fullColor.py): builds the design geometry and
+packed tables once, then traces the Monte-Carlo workload in cell-chunked batches
+(bounded device memory; each chunk's while_loop exits as soon as its own rays drain,
+so mixed-lifetime cells do not serialize against the global slowest ray), and reduces
+the accumulated eyebox histogram to the headline metrics.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Optional
+
+import jax
+import numpy as np
+
+from ..config import EvalConfig, TraceConfig, WaveguideDesign
+from ..design.geometry import DesignGeometry, generate_geometry
+from ..eval import EvalResult, efficiencies, evaluate
+from ..luts.io import load_or_synthesize
+from ..luts.packing import build_cell_tables
+from ..luts.schema import RcwaLuts
+from . import seeding, trace_jnp
+from .trace_geometry import build_trace_geometry
+
+
+@dataclasses.dataclass
+class SimulationResult:
+    histogram: np.ndarray        # (L, FoVy, FoVx, eb_y, eb_x) raw deposit counts
+    efficiencies: dict           # {"R","G","B"} system efficiency
+    metrics: Optional[EvalResult]
+    rays_traced: int
+    total_bounces: int
+    trace_seconds: float
+
+    @property
+    def bounces_per_second(self) -> float:
+        return self.total_bounces / self.trace_seconds if self.trace_seconds else 0.0
+
+    @property
+    def rays_per_second(self) -> float:
+        return self.rays_traced / self.trace_seconds if self.trace_seconds else 0.0
+
+
+class Simulator:
+    """Holds compiled state for one design + LUT set + trace configuration."""
+
+    def __init__(
+        self,
+        design: WaveguideDesign = WaveguideDesign(),
+        cfg: TraceConfig = TraceConfig(),
+        luts: Optional[RcwaLuts] = None,
+        luts_dir: Optional[str] = None,
+        geom: Optional[DesignGeometry] = None,
+        geometry_simplify_tol: float = 0.0,
+    ):
+        self.design = design
+        self.cfg = cfg
+        self.geom = geom if geom is not None else generate_geometry(
+            design, cfg.num_fov_x, cfg.num_fov_y
+        )
+        self.luts = luts if luts is not None else load_or_synthesize(
+            self.geom, directory=luts_dir, seed=cfg.seed + 1234
+        )
+        self.tables = build_cell_tables(self.geom, self.luts)
+        self.tgeom = build_trace_geometry(self.geom, simplify_tol=geometry_simplify_tol)
+        self.trace_fn = trace_jnp.make_trace_fn(self.tables, self.tgeom, cfg)
+        self.L, self.M, self.N = self.geom.th_out_ic.shape
+        ny, nx = cfg.eyebox_bins
+        self._hist_shape = (self.L, self.N, self.M, ny, nx)
+
+    # ------------------------------------------------------------------
+    def trace_batch(self, cell_ids: np.ndarray, rays_per_cell: int, iteration: int):
+        """Trace one batch; returns (histogram jnp array, bounce count, ray count)."""
+        batch = seeding.build_ray_batch(
+            self.geom, self.cfg, cell_ids=cell_ids,
+            rays_per_cell=rays_per_cell, iteration=iteration,
+        )
+        rays = trace_jnp.make_ray_state(
+            batch["x"], batch["y"], batch["te"], batch["tm"],
+            batch["cid"], batch["idx"], batch["rng"],
+        )
+        rays_f, bounces = self.trace_fn(rays)
+        ny, nx = self.cfg.eyebox_bins
+        hist = trace_jnp.deposits_to_histogram(
+            rays_f["dep"], rays_f["cid"], self.L, self.M, self.N, ny, nx
+        )
+        return hist, bounces, len(batch["x"])
+
+    def run(
+        self,
+        rays_per_fov: Optional[int] = None,
+        num_iter: Optional[int] = None,
+        cells_per_batch: int = 2048,
+        evaluate_metrics: bool = True,
+        eval_cfg: EvalConfig = EvalConfig(),
+        verbose: bool = False,
+    ) -> SimulationResult:
+        rpf = rays_per_fov if rays_per_fov is not None else self.cfg.rays_per_fov
+        iters = num_iter if num_iter is not None else self.cfg.num_iter
+        all_cells = np.arange(self.L * self.M * self.N)
+
+        hist_acc = None
+        total_bounces = 0
+        total_rays = 0
+        t0 = time.perf_counter()
+        for it in range(iters):
+            for start in range(0, len(all_cells), cells_per_batch):
+                chunk = all_cells[start : start + cells_per_batch]
+                hist, bounces, n = self.trace_batch(chunk, rpf, it)
+                hist_acc = hist if hist_acc is None else hist_acc + hist
+                total_bounces += int(bounces)
+                total_rays += n
+                if verbose:
+                    print(
+                        f"iter {it} cells {start}-{start + len(chunk)}: "
+                        f"{int(bounces):,} bounces"
+                    )
+        histogram = np.asarray(jax.block_until_ready(hist_acc))
+        trace_seconds = time.perf_counter() - t0
+
+        eff = efficiencies(histogram, rpf, iters)
+        met = None
+        if evaluate_metrics:
+            met = evaluate(histogram / rpf / iters, eval_cfg)
+        return SimulationResult(
+            histogram=histogram,
+            efficiencies=eff,
+            metrics=met,
+            rays_traced=total_rays,
+            total_bounces=total_bounces,
+            trace_seconds=trace_seconds,
+        )
+
+
+def format_report(result: SimulationResult) -> str:
+    """Human-readable metric report mirroring the reference's printout
+    (gpu_ray_tracing_pro_fullColor.py:205-210)."""
+    lines = [
+        f"Rays traced          : {result.rays_traced:,}",
+        f"Total ray bounces    : {result.total_bounces:,}",
+        f"Trace wall-clock     : {result.trace_seconds:.2f} s",
+        f"Throughput           : {result.rays_per_second:,.0f} rays/s, "
+        f"{result.bounces_per_second:,.0f} bounces/s",
+        f"Efficiency (Red)     : {result.efficiencies['R'] * 100:8.3f} %",
+        f"Efficiency (Green)   : {result.efficiencies['G'] * 100:8.3f} %",
+        f"Efficiency (Blue)    : {result.efficiencies['B'] * 100:8.3f} %",
+    ]
+    if result.metrics is not None:
+        lines += [
+            f"Color dispersion     : {result.metrics.delta_e:8.2f}",
+            f"FoV uniformity       : {result.metrics.u_fov * 100:8.2f} %",
+            f"Eyebox uniformity    : {result.metrics.u_eyebox * 100:8.2f} %",
+        ]
+    return "\n".join(lines)

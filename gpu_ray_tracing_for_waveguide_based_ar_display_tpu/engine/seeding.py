@@ -77,14 +77,25 @@ def build_ray_batch(
     tm[~pol] = 1.0
 
     cid = np.repeat(cell_ids.astype(np.int32), rpc)
-    idx = (np.arange(total, dtype=np.uint32)
-           + np.uint32(iteration) * np.uint32(total))
+    # globally stable ray index: independent of how cells are chunked into batches,
+    # so results are bitwise invariant under re-batching.  Parity mode reproduces the
+    # reference's global ordering (cells ordered (m, n, lambda),
+    # gpu_ray_tracing_pro_fullColor.py:82-96).
+    within = np.tile(np.arange(rpc, dtype=np.uint64), n_cells)
+    total_cells = L * M * N
     if cfg.rng_mode == "parity":
-        # the reference seeds once and lets states persist across iterations; parity
-        # batches therefore reuse idx-based seeding only at iteration 0
-        rng_state = rng_ops.seed_parity(np.arange(total, dtype=np.uint32))
+        l = cell_ids // (M * N)
+        mn = cell_ids % (M * N)
+        ref_cell = (mn * L + l).astype(np.uint64)  # (m*N + n)*L + l
+        idx = (np.repeat(ref_cell, rpc) * np.uint64(rpc) + within).astype(np.uint32)
+        rng_state = rng_ops.seed_parity(idx)
     else:
-        rng_state = rng_ops.seed_fast(idx, cfg.seed)
+        idx64 = (
+            np.repeat(cell_ids.astype(np.uint64), rpc) * np.uint64(rpc) + within
+            + np.uint64(iteration) * np.uint64(total_cells) * np.uint64(rpc)
+        )
+        idx = (idx64 & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+        rng_state = rng_ops.seed_fast(idx64, cfg.seed)
 
     return {"x": x, "y": y, "te": te, "tm": tm, "cid": cid, "idx": idx,
             "rng": rng_state}

@@ -119,7 +119,7 @@ def make_ray_state(x, y, te, tm, cid, ray_idx, rng_state,
 
 
 def make_trace_fn(tables: CellTables, tgeom: TraceGeometry, cfg: TraceConfig,
-                  precision: str = "f32"):
+                  precision: str = "f32", jit: bool = True):
     """Build a jitted ``trace(rays) -> (rays_final, bounces)`` for fixed tables.
 
     Tables and geometry are closed over as constants (they are moderate-size device
@@ -354,8 +354,7 @@ def make_trace_fn(tables: CellTables, tgeom: TraceGeometry, cfg: TraceConfig,
         )
         return out, n_alive
 
-    @jax.jit
-    def trace(rays: dict):
+    def trace_core(rays: dict):
         rays = init_step(rays)
 
         def cond(carry):
@@ -364,15 +363,19 @@ def make_trace_fn(tables: CellTables, tgeom: TraceGeometry, cfg: TraceConfig,
 
         def body(carry):
             rays, bounces, it = carry
+            # int32 accumulator: overflows past ~2.1e9 bounces per *batch*; the
+            # pipeline chunks batches far below that and accumulates host-side
             rays, n_alive = bounce_step(rays)
-            return rays, bounces + n_alive.astype(jnp.int64), it + 1
+            return rays, bounces + n_alive, it + 1
 
         rays, bounces, _ = jax.lax.while_loop(
-            cond, body, (rays, jnp.int64(0), jnp.int32(0))
+            cond, body, (rays, jnp.int32(0), jnp.int32(0))
         )
         return rays, bounces
 
-    return trace
+    if jit:
+        return jax.jit(trace_core)
+    return trace_core
 
 
 def deposits_to_histogram(

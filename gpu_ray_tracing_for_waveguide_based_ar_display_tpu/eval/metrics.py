@@ -1,0 +1,147 @@
+"""Display-metric evaluation of the eyebox radiance histogram.
+
+Port of ``evaluation`` (/root/reference/AR_system_evaluation_functions.py:45-163):
+pupil-masked eye-position sampling of the eyebox, pure-white drive through the display
+primary matrix, per-eye-position reconstruction, and the four headline metrics
+(CIE-2000 color dispersion vs D65, FoV uniformity, eyebox uniformity, plus the
+simulated eye-view image stack).  Everything is numpy float64; this is a
+once-per-run post-processing pass, not a hot path.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import numpy as np
+
+from ..config import EvalConfig
+from . import color
+
+# Display primary response matrix (sensor RGB <- per-wavelength intensity) and its
+# XYZ counterpart; numeric constants from AR_system_evaluation_functions.py:47-57.
+DISPLAY_M = np.array(
+    [
+        [1.67430115, -0.76582385, -0.06172232],
+        [-0.12551154, 1.47840695, -0.04124377],
+        [-0.01826868, -0.13098157, 1.61444037],
+    ]
+)
+DISPLAY_M_XYZ = np.array(
+    [
+        [6.424000e-01, 1.891400e-01, 2.511000e-01],
+        [2.650000e-01, 8.849624e-01, 7.390000e-02],
+        [4.999999e-05, 3.693564e-02, 1.528100e+00],
+    ]
+)
+
+
+@dataclasses.dataclass
+class EvalResult:
+    delta_e: float           # mean CIE-2000 color dispersion vs pure white
+    u_fov: float             # field-of-view luminance uniformity, 0-1
+    u_eyebox: float          # eyebox luminance uniformity, 0-1
+    output_image: np.ndarray  # (FoVy, FoVx, 3, n_epy, n_epx) simulated eye views
+    eye_luminance: np.ndarray  # (n_epy, n_epx) mean luminance per eye position
+
+
+def pupil_mask(size: int) -> np.ndarray:
+    """Circular pupil aperture mask over ``size x size`` bins (:68-74)."""
+    radius = size / 2.0
+    yy, xx = np.ogrid[:size, :size]
+    center = radius - 0.5
+    dist = np.sqrt((xx - center) ** 2 + (yy - center) ** 2)
+    return (dist <= radius).astype(np.float64)
+
+
+def eye_perceived(matrix_eb: np.ndarray, cfg: EvalConfig) -> np.ndarray:
+    """Pupil-integrated radiance at sampled eye positions.
+
+    Returns (L, FoVy, FoVx, n_epy, n_epx).  The reference samples eye positions on a
+    stride instead of a full convolution (:91-109); with the pupil mask separable into
+    row segments this is computed as strided masked window sums.
+    """
+    mask = pupil_mask(cfg.pupil_mask_bins)
+    msize = mask.shape[0]
+    n_l, n_fy, n_fx, n_eby, n_ebx = matrix_eb.shape
+    y0s = np.arange(0, n_eby - msize + 1, cfg.eye_step_y)
+    x0s = np.arange(0, n_ebx - msize + 1, cfg.eye_step_x)
+    out = np.zeros((n_l, n_fy, n_fx, len(y0s), len(x0s)), dtype=matrix_eb.dtype)
+    for iy, y0 in enumerate(y0s):
+        for ix, x0 in enumerate(x0s):
+            patch = matrix_eb[..., y0 : y0 + msize, x0 : x0 + msize]
+            out[..., iy, ix] = np.einsum("...yx,yx->...", patch, mask)
+    return out
+
+
+def evaluate(matrix_eb: np.ndarray, cfg: EvalConfig = EvalConfig()) -> EvalResult:
+    """Compute the four display metrics from a (L, FoVy, FoVx, eb_y, eb_x) histogram.
+
+    ``matrix_eb`` should be normalized to per-ray units exactly as the reference
+    driver does (histogram / rays_per_fov / num_iter,
+    gpu_ray_tracing_pro_fullColor.py:197).
+    """
+    perceive = eye_perceived(matrix_eb, cfg)
+    n_l, n_fy, n_fx, n_epy, n_epx = perceive.shape
+
+    # pure-white sRGB drive mapped to per-wavelength intensities (:113-118)
+    white_linear = color.linearize_srgb(np.ones(3))
+    drive = np.linalg.solve(DISPLAY_M, white_linear)  # (3,) per-display-primary
+
+    # waveguide response: histogram wavelength order is (B, G, R); flip to (R, G, B)
+    # exactly like the reference's np.flip(..., axis=2) (:121)
+    response = np.flip(np.transpose(perceive, (1, 2, 0, 3, 4)), axis=2)
+    adjusted = drive[None, None, :, None, None] * response  # (fy, fx, 3, epy, epx)
+
+    lab_white = color.xyz_to_lab(color.D65_XYZ_100)
+
+    output_image = np.empty_like(adjusted)
+    delta_e_sum = 0.0
+    u_fov_sum = 0.0
+    u_eb = np.zeros((n_epy, n_epx))
+    for i in range(n_epy):
+        for j in range(n_epx):
+            pix = adjusted[:, :, :, i, j]  # (fy, fx, 3)
+            rgb_linear = np.clip(pix @ DISPLAY_M.T, 0.0, 1.0)
+            srgb = color.apply_srgb_gamma(rgb_linear)
+            output_image[:, :, :, i, j] = color.normalize_brightness(srgb)
+
+            xyz = pix @ DISPLAY_M_XYZ.T
+            y_chan = xyz[..., 1]
+            y_safe = np.maximum(y_chan, 1e-10)
+            xyz_norm = xyz / y_safe[..., None] * 100.0
+            lab = color.xyz_to_lab(xyz_norm)
+            lab[y_chan == 0] = 0.0
+            de = color.delta_e_2000(lab, lab_white)
+            delta_e_sum += float(np.mean(de))
+            if np.any(y_chan == 0):
+                u_eb[i, j] = 0.0
+            else:
+                u_fov_sum += float(np.min(y_chan) / np.max(y_chan))
+                u_eb[i, j] = float(np.mean(y_chan))
+
+    delta_e = delta_e_sum / (n_epy * n_epx)
+    u_fov = u_fov_sum / (n_epy * n_epx)
+    u_eyebox = 0.0 if u_eb.max() == 0 else float(u_eb.min() / u_eb.max())
+    return EvalResult(
+        delta_e=delta_e,
+        u_fov=u_fov,
+        u_eyebox=u_eyebox,
+        output_image=output_image,
+        eye_luminance=u_eb,
+    )
+
+
+def efficiencies(matrix_eb: np.ndarray, rays_per_fov: int, num_iter: int) -> dict:
+    """Per-color system efficiency (gpu_ray_tracing_pro_fullColor.py:186-192).
+
+    The x3 undoes the 1/3 wavelength split of the launched rays; wavelength index
+    order is (B, G, R).
+    """
+    num_rays = rays_per_fov * matrix_eb.shape[1] * matrix_eb.shape[2] * matrix_eb.shape[0]
+    per_fov = matrix_eb.sum(axis=(-2, -1)) / num_rays / num_iter
+    return {
+        "R": float(per_fov[2].sum() * 3),
+        "G": float(per_fov[1].sum() * 3),
+        "B": float(per_fov[0].sum() * 3),
+    }

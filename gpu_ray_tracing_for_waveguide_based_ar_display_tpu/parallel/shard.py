@@ -1,0 +1,106 @@
+"""Multi-chip sharding of the Monte-Carlo trace over a ``jax.sharding.Mesh``.
+
+The reference is single-GPU (no NCCL/MPI anywhere, SURVEY.md section 2.6); the
+TPU-native scaling story is pure data parallelism over the ray axis:
+
+- ray batches shard across every mesh axis (rays are independent; tables and
+  geometry replicate),
+- each device accumulates a local eyebox histogram from its rays' terminal
+  deposits (atomic-free by construction),
+- one ``psum`` over ICI merges histograms and bounce counters at batch end.
+
+Works identically on a virtual CPU mesh (``--xla_force_host_platform_device_count``)
+and real multi-chip TPU slices.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from ..config import TraceConfig
+from ..luts.packing import CellTables
+from ..engine import trace_jnp
+from ..engine.trace_geometry import TraceGeometry
+
+
+def make_mesh(devices: Optional[Sequence] = None,
+              axis_names: Tuple[str, ...] = ("rays",),
+              shape: Optional[Tuple[int, ...]] = None) -> Mesh:
+    """A mesh over all (or given) devices; defaults to 1-D over the ray axis."""
+    devices = list(devices) if devices is not None else jax.devices()
+    if shape is None:
+        shape = (len(devices),) + (1,) * (len(axis_names) - 1)
+    arr = np.array(devices).reshape(shape)
+    return Mesh(arr, axis_names)
+
+
+def pad_rays_to(rays: dict, multiple: int) -> dict:
+    """Pad a host-side SoA batch so its length divides the mesh size.
+
+    Padding rays carry zero field amplitude, so their first-interaction roulette
+    probability is exactly 0 and they terminate at init without depositing.
+    """
+    n = len(rays["x"])
+    target = ((n + multiple - 1) // multiple) * multiple
+    if target == n:
+        return rays
+    pad = target - n
+    out = {}
+    for k, v in rays.items():
+        pv = np.zeros((pad,) + v.shape[1:], dtype=v.dtype)
+        out[k] = np.concatenate([v, pv], axis=0)
+    return out
+
+
+def make_sharded_trace_fn(
+    tables: CellTables,
+    tgeom: TraceGeometry,
+    cfg: TraceConfig,
+    mesh: Mesh,
+):
+    """Build ``trace(rays) -> (histogram, bounces)`` sharded over ``mesh``.
+
+    ``rays`` is the SoA pytree from :func:`..engine.trace_jnp.make_ray_state`; its
+    length must divide the mesh device count (see :func:`pad_rays_to`).  The
+    returned histogram is replicated (already psum-merged over ICI); bounce counts
+    are summed globally.
+    """
+    core = trace_jnp.make_trace_fn(tables, tgeom, cfg, jit=False)
+    ny, nx = cfg.eyebox_bins
+    L, M, N = tables.L, tables.M, tables.N
+    axes = mesh.axis_names
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(axes),),
+        out_specs=(P(), P()),
+        check_rep=False,
+    )
+    def _sharded(rays):
+        rays_f, bounces = core(rays)
+        hist = trace_jnp.deposits_to_histogram(
+            rays_f["dep"], rays_f["cid"], L, M, N, ny, nx
+        )
+        hist = jax.lax.psum(hist, axis_name=axes)
+        bounces = jax.lax.psum(bounces, axis_name=axes)
+        return hist, bounces
+
+    @jax.jit
+    def trace(rays):
+        return _sharded(rays)
+
+    return trace
+
+
+def shard_ray_batch(rays: dict, mesh: Mesh) -> dict:
+    """Device-put a host SoA batch with the ray axis sharded over the whole mesh."""
+    sharding = NamedSharding(mesh, P(mesh.axis_names))
+    return {k: jax.device_put(jnp.asarray(v), sharding) for k, v in rays.items()}

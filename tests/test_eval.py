@@ -1,0 +1,118 @@
+"""Tests of the colorimetry and metrics layer."""
+
+import numpy as np
+import pytest
+
+from gpu_ray_tracing_for_waveguide_based_ar_display_tpu.config import EvalConfig
+from gpu_ray_tracing_for_waveguide_based_ar_display_tpu.eval import color, metrics
+
+
+def test_srgb_roundtrip():
+    x = np.linspace(0, 1, 101)
+    np.testing.assert_allclose(
+        color.apply_srgb_gamma(color.linearize_srgb(x)), x, atol=1e-12
+    )
+
+
+def test_ciede2000_reference_pairs():
+    """Published CIEDE2000 verification pairs (Sharma, Wu & Dalal 2005)."""
+    cases = [
+        ((50.0000, 2.6772, -79.7751), (50.0000, 0.0000, -82.7485), 2.0425),
+        ((50.0000, 3.1571, -77.2803), (50.0000, 0.0000, -82.7485), 2.8615),
+        ((50.0000, 2.8361, -74.0200), (50.0000, 0.0000, -82.7485), 3.4412),
+        ((50.0000, -1.3802, -84.2814), (50.0000, 0.0000, -82.7485), 1.0000),
+        ((50.0000, -1.1848, -84.8006), (50.0000, 0.0000, -82.7485), 1.0000),
+    ]
+    for lab1, lab2, expected in cases:
+        got = float(color.delta_e_2000(np.array(lab1), np.array(lab2)))
+        assert abs(got - expected) < 1e-4, (lab1, lab2, got, expected)
+        # symmetry
+        rev = float(color.delta_e_2000(np.array(lab2), np.array(lab1)))
+        assert abs(rev - expected) < 1e-4
+
+
+def test_ciede2000_zero():
+    lab = np.array([53.1, 10.2, -4.4])
+    assert float(color.delta_e_2000(lab, lab)) == 0.0
+
+
+def test_xyz_to_lab_whitepoint():
+    lab = color.xyz_to_lab(color.D65_WHITE_Y1)
+    np.testing.assert_allclose(lab, [100.0, 0.0, 0.0], atol=1e-9)
+
+
+def test_normalize_brightness_matches_cv2_hsv_route():
+    cv2 = pytest.importorskip("cv2")
+    rng = np.random.default_rng(0)
+    img = rng.uniform(0, 0.7, size=(16, 16, 3)).astype(np.float32)
+    # the reference's HSV round-trip (AR_system_evaluation_functions.py:18-43)
+    hsv = cv2.cvtColor(img, cv2.COLOR_RGB2HSV)
+    h, s, v = cv2.split(hsv)
+    v = v / np.max(v)
+    ref = cv2.cvtColor(cv2.merge([h, s, v]), cv2.COLOR_HSV2RGB)
+    got = color.normalize_brightness(img)
+    np.testing.assert_allclose(got, ref, atol=2e-5)
+
+
+def test_pupil_mask_area():
+    mask = metrics.pupil_mask(30)
+    # ~pi r^2 with r = 15 bins
+    assert abs(mask.sum() - np.pi * 15**2) / (np.pi * 15**2) < 0.02
+
+
+def test_eye_perceived_flat_field():
+    cfg = EvalConfig()
+    eb = np.ones((3, 4, 5, 80, 120))
+    out = metrics.eye_perceived(eb, cfg)
+    assert out.shape == (3, 4, 5, 7, 8)
+    np.testing.assert_allclose(out, metrics.pupil_mask(30).sum())
+
+
+def _display_white_floor() -> float:
+    """The reference display's intrinsic delta-E floor: its primaries' white point is
+    close to, but not exactly, D65, so even a perfect (spectrally flat) waveguide
+    reports a small nonzero color dispersion."""
+    drive = np.linalg.solve(metrics.DISPLAY_M, color.linearize_srgb(np.ones(3)))
+    xyz = metrics.DISPLAY_M_XYZ @ drive
+    lab = color.xyz_to_lab(xyz / xyz[1] * 100.0)
+    return float(color.delta_e_2000(lab, color.xyz_to_lab(color.D65_XYZ_100)))
+
+
+def test_evaluate_perfect_white_display():
+    """A spectrally flat, spatially uniform eyebox gives perfect uniformities and a
+    color dispersion equal to the display's intrinsic white-point floor."""
+    cfg = EvalConfig()
+    eb = np.full((3, 6, 8, 80, 120), 0.001)
+    res = metrics.evaluate(eb, cfg)
+    assert abs(res.delta_e - _display_white_floor()) < 1e-9
+    assert abs(res.u_fov - 1.0) < 1e-9
+    assert abs(res.u_eyebox - 1.0) < 1e-9
+    assert res.output_image.shape == (6, 8, 3, 7, 8)
+    # pure white drive through a perfect system reconstructs pure white
+    np.testing.assert_allclose(res.output_image[..., 0, 0], 1.0, atol=1e-6)
+
+
+def test_evaluate_colored_system_has_dispersion():
+    cfg = EvalConfig()
+    eb = np.full((3, 6, 8, 80, 120), 0.001)
+    eb[0] *= 0.2   # blue suppressed
+    res = metrics.evaluate(eb, cfg)
+    assert res.delta_e > _display_white_floor() + 1.0
+    assert abs(res.u_fov - 1.0) < 1e-9
+
+
+def test_evaluate_nonuniform_eyebox():
+    cfg = EvalConfig()
+    eb = np.full((3, 6, 8, 80, 120), 0.001)
+    eb[..., :, :60] *= 0.5   # left half dimmer
+    res = metrics.evaluate(eb, cfg)
+    assert res.u_eyebox < 0.8
+
+
+def test_efficiencies():
+    eb = np.zeros((3, 2, 2, 8, 8))
+    eb[1] = 1.0  # every green ray of every cell deposits once per iter
+    rays_per_fov, num_iter = 64 * 3, 2  # 64 bins * 3 wavelengths worth
+    eff = metrics.efficiencies(eb * num_iter * 3, rays_per_fov, num_iter)
+    assert eff["R"] == 0.0 and eff["B"] == 0.0
+    assert abs(eff["G"] - 1.0) < 1e-9

@@ -1,0 +1,69 @@
+"""End-to-end pipeline tests at small scale."""
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+
+from gpu_ray_tracing_for_waveguide_based_ar_display_tpu.config import (
+    TraceConfig,
+    WaveguideDesign,
+)
+from gpu_ray_tracing_for_waveguide_based_ar_display_tpu.engine.pipeline import (
+    Simulator,
+    format_report,
+)
+
+
+@pytest.fixture(scope="module")
+def sim():
+    cfg = TraceConfig(num_fov_x=6, num_fov_y=4, rays_per_fov=80, num_iter=2,
+                      max_bounces=400, seed=3)
+    return Simulator(cfg=cfg)
+
+
+def test_full_run(sim):
+    res = sim.run(cells_per_batch=40, verbose=False)
+    L, M, N = 3, 6, 4
+    assert res.histogram.shape == (L, N, M, 80, 120)
+    assert res.rays_traced == 80 * L * M * N * 2
+    assert res.total_bounces > 0
+    # physical efficiency range
+    for c in "RGB":
+        assert 0.0 < res.efficiencies[c] < 0.2
+    # metrics computed and sane
+    assert res.metrics is not None
+    assert 0.0 <= res.metrics.u_fov <= 1.0
+    assert 0.0 <= res.metrics.u_eyebox <= 1.0
+    assert res.metrics.delta_e >= 0.0
+    report = format_report(res)
+    assert "Efficiency (Green)" in report
+
+
+def test_batching_invariance(sim):
+    """Chunked tracing must give identical histograms regardless of batch size."""
+    r1 = sim.run(rays_per_fov=40, num_iter=1, cells_per_batch=8,
+                 evaluate_metrics=False)
+    r2 = sim.run(rays_per_fov=40, num_iter=1, cells_per_batch=72,
+                 evaluate_metrics=False)
+    np.testing.assert_array_equal(r1.histogram, r2.histogram)
+    assert r1.total_bounces == r2.total_bounces
+
+
+def test_iterations_accumulate(sim):
+    r1 = sim.run(rays_per_fov=40, num_iter=1, evaluate_metrics=False)
+    r2 = sim.run(rays_per_fov=40, num_iter=2, evaluate_metrics=False)
+    assert r2.rays_traced == 2 * r1.rays_traced
+    # iteration 0 of both runs is identical; iteration 1 adds fresh samples
+    assert r2.histogram.sum() > r1.histogram.sum()
+
+
+def test_design_sweep_changes_results():
+    cfg = TraceConfig(num_fov_x=4, num_fov_y=3, rays_per_fov=60, num_iter=1,
+                      max_bounces=300)
+    base = Simulator(cfg=cfg).run(evaluate_metrics=False)
+    thick = Simulator(
+        design=WaveguideDesign(thickness=1.0), cfg=cfg
+    ).run(evaluate_metrics=False)
+    # thicker substrate -> longer hops -> different pupil replication density
+    assert base.histogram.sum() != thick.histogram.sum()

@@ -1,0 +1,95 @@
+"""Multi-device sharding tests on the 8-device virtual CPU mesh."""
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+
+from gpu_ray_tracing_for_waveguide_based_ar_display_tpu.config import TraceConfig
+from gpu_ray_tracing_for_waveguide_based_ar_display_tpu.design import generate_geometry
+from gpu_ray_tracing_for_waveguide_based_ar_display_tpu.engine import (
+    seeding,
+    trace_jnp,
+)
+from gpu_ray_tracing_for_waveguide_based_ar_display_tpu.engine.trace_geometry import (
+    build_trace_geometry,
+)
+from gpu_ray_tracing_for_waveguide_based_ar_display_tpu.luts import make_synthetic_luts
+from gpu_ray_tracing_for_waveguide_based_ar_display_tpu.luts.packing import (
+    build_cell_tables,
+)
+from gpu_ray_tracing_for_waveguide_based_ar_display_tpu.parallel import shard
+
+M, N = 4, 3
+
+
+@pytest.fixture(scope="module")
+def setup():
+    geom = generate_geometry(num_fov_x=M, num_fov_y=N)
+    luts = make_synthetic_luts(geom)
+    tables = build_cell_tables(geom, luts)
+    tgeom = build_trace_geometry(geom)
+    cfg = TraceConfig(num_fov_x=M, num_fov_y=N, rays_per_fov=64, max_bounces=300,
+                      rng_mode="fast", seed=11)
+    batch = seeding.build_ray_batch(geom, cfg)
+    return geom, tables, tgeom, cfg, batch
+
+
+def test_eight_devices_available():
+    assert len(jax.devices()) == 8
+
+
+def test_sharded_matches_single_device(setup):
+    geom, tables, tgeom, cfg, batch = setup
+    # single-device reference
+    rays = trace_jnp.make_ray_state(
+        batch["x"], batch["y"], batch["te"], batch["tm"],
+        batch["cid"], batch["idx"], batch["rng"],
+    )
+    trace1 = trace_jnp.make_trace_fn(tables, tgeom, cfg)
+    rays_f, bounces1 = trace1(rays)
+    ny, nx = cfg.eyebox_bins
+    hist1 = np.asarray(
+        trace_jnp.deposits_to_histogram(rays_f["dep"], rays_f["cid"], 3, M, N, ny, nx)
+    )
+
+    # 8-way sharded
+    mesh = shard.make_mesh()
+    padded = shard.pad_rays_to(batch, mesh.size)
+    rays8 = trace_jnp.make_ray_state(
+        padded["x"], padded["y"], padded["te"], padded["tm"],
+        padded["cid"], padded["idx"], padded["rng"],
+    )
+    rays8 = shard.shard_ray_batch(rays8, mesh)
+    trace8 = shard.make_sharded_trace_fn(tables, tgeom, cfg, mesh)
+    hist8, bounces8 = trace8(rays8)
+    hist8 = np.asarray(hist8)
+
+    np.testing.assert_array_equal(hist1, hist8)
+    # padding rays die at init without bouncing, so totals match exactly
+    assert int(bounces1) == int(bounces8)
+
+
+def test_2d_mesh(setup):
+    geom, tables, tgeom, cfg, batch = setup
+    mesh = shard.make_mesh(axis_names=("dp", "rays"), shape=(2, 4))
+    padded = shard.pad_rays_to(batch, mesh.size)
+    rays = trace_jnp.make_ray_state(
+        padded["x"], padded["y"], padded["te"], padded["tm"],
+        padded["cid"], padded["idx"], padded["rng"],
+    )
+    rays = shard.shard_ray_batch(rays, mesh)
+    trace = shard.make_sharded_trace_fn(tables, tgeom, cfg, mesh)
+    hist, bounces = trace(rays)
+    assert int(bounces) > 0
+    assert np.asarray(hist).sum() > 0
+
+
+def test_pad_rays_noop_and_pad(setup):
+    *_, batch = setup
+    n = len(batch["x"])
+    same = shard.pad_rays_to(batch, 1)
+    assert len(same["x"]) == n
+    padded = shard.pad_rays_to(batch, 7)
+    assert len(padded["x"]) % 7 == 0
+    assert np.all(np.abs(padded["te"][n:]) == 0)
