@@ -1,0 +1,142 @@
+"""Command-line interface.
+
+The reference has no CLI (parameters are edited in-source, README.md:94-98); this
+provides the same workflows as commands::
+
+    python -m gpu_ray_tracing_for_waveguide_based_ar_display_tpu simulate [...]
+    python -m gpu_ray_tracing_for_waveguide_based_ar_display_tpu plot-design [...]
+    python -m gpu_ray_tracing_for_waveguide_based_ar_display_tpu sweep [...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import sys
+
+import numpy as np
+
+from .config import TraceConfig
+from .models import presets
+
+
+def _add_common(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--design", default="paper_default",
+                   choices=sorted(presets.PRESETS), help="design preset")
+    p.add_argument("--fov-x", type=int, default=100, help="FoV grid columns")
+    p.add_argument("--fov-y", type=int, default=75, help="FoV grid rows")
+    p.add_argument("--luts-dir", default=None,
+                   help="directory with lut_*_fullColor.npy (synthetic if absent)")
+    p.add_argument("--seed", type=int, default=0)
+
+
+def cmd_simulate(args) -> int:
+    from .engine.pipeline import Simulator, format_report
+    from .eval.image import save_eyebox_center_view
+
+    cfg = TraceConfig(
+        num_fov_x=args.fov_x, num_fov_y=args.fov_y,
+        rays_per_fov=args.rays_per_fov, num_iter=args.num_iter,
+        max_bounces=args.max_bounces, seed=args.seed,
+    )
+    sim = Simulator(design=presets.get(args.design), cfg=cfg,
+                    luts_dir=args.luts_dir,
+                    geometry_simplify_tol=args.simplify_tol)
+    res = sim.run(cells_per_batch=args.cells_per_batch, verbose=args.verbose)
+    print(format_report(res))
+    if args.image and res.metrics is not None:
+        save_eyebox_center_view(args.image, res.metrics.output_image)
+        print(f"Eyebox center view written to {args.image}")
+    if args.json:
+        out = {
+            "efficiencies": res.efficiencies,
+            "delta_e": res.metrics.delta_e if res.metrics else None,
+            "u_fov": res.metrics.u_fov if res.metrics else None,
+            "u_eyebox": res.metrics.u_eyebox if res.metrics else None,
+            "rays_traced": res.rays_traced,
+            "total_bounces": res.total_bounces,
+            "trace_seconds": res.trace_seconds,
+        }
+        with open(args.json, "w") as f:
+            json.dump(out, f, indent=2)
+    return 0
+
+
+def cmd_plot_design(args) -> int:
+    from .design.geometry import generate_geometry
+    from .design.plotting import plot_design
+
+    geom = generate_geometry(presets.get(args.design), args.fov_x, args.fov_y)
+    paths = plot_design(geom, prefix=args.prefix)
+    for p in paths:
+        print(f"wrote {p}")
+    return 0
+
+
+def cmd_sweep(args) -> int:
+    from .sweep import run_design_sweep
+    from .config import WaveguideDesign
+    import math
+
+    base = presets.get(args.design)
+    periods = np.linspace(args.period_min, args.period_max, args.num_designs)
+    designs = [
+        dataclasses.replace(base, lambda_ic=float(p), lambda_oc=float(p))
+        for p in periods
+    ]
+    cfg = TraceConfig(
+        num_fov_x=args.fov_x, num_fov_y=args.fov_y,
+        rays_per_fov=args.rays_per_fov, max_bounces=args.max_bounces,
+        seed=args.seed,
+    )
+    res = run_design_sweep(designs, cfg)
+    for d, eff in zip(res.designs, res.efficiencies):
+        print(f"period {d.lambda_ic:7.2f} nm -> efficiency B/G/R = "
+              f"{eff[0]*100:6.3f}% {eff[1]*100:6.3f}% {eff[2]*100:6.3f}%")
+    best = int(np.argmax(res.efficiencies.mean(axis=1)))
+    print(f"best mean efficiency: design {best} "
+          f"(period {res.designs[best].lambda_ic:.2f} nm)")
+    return 0
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(
+        prog="gpu_ray_tracing_for_waveguide_based_ar_display_tpu",
+        description="TPU-native waveguide AR display ray tracer",
+    )
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    p = sub.add_parser("simulate", help="full-color Monte-Carlo simulation + metrics")
+    _add_common(p)
+    p.add_argument("--rays-per-fov", type=int, default=5000)
+    p.add_argument("--num-iter", type=int, default=4)
+    p.add_argument("--max-bounces", type=int, default=100_000)
+    p.add_argument("--cells-per-batch", type=int, default=2048)
+    p.add_argument("--simplify-tol", type=float, default=0.0)
+    p.add_argument("--image", default="Eyebox Center View.png",
+                   help="output PNG path ('' to skip)")
+    p.add_argument("--json", default=None, help="write metrics JSON here")
+    p.add_argument("--verbose", action="store_true")
+    p.set_defaults(fn=cmd_simulate)
+
+    p = sub.add_parser("plot-design", help="k-space / layout / angular-response plots")
+    _add_common(p)
+    p.add_argument("--prefix", default="design", help="output file prefix")
+    p.set_defaults(fn=cmd_plot_design)
+
+    p = sub.add_parser("sweep", help="batched coupler-period design sweep")
+    _add_common(p)
+    p.add_argument("--num-designs", type=int, default=8)
+    p.add_argument("--period-min", type=float, default=370.0)
+    p.add_argument("--period-max", type=float, default=405.0)
+    p.add_argument("--rays-per-fov", type=int, default=256)
+    p.add_argument("--max-bounces", type=int, default=2048)
+    p.set_defaults(fn=cmd_sweep)
+
+    args = parser.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -259,7 +259,9 @@ def _tir_retardation(n_g: float, theta: np.ndarray) -> np.ndarray:
 
     Standard Fresnel TIR phase shifts (couplers_coor.py:689-693 form).
     """
-    s = np.sqrt(n_g**2 * np.sin(theta) ** 2 - 1.0)
+    # below-critical directions (possible in aggressive design sweeps) would NaN;
+    # clamp to 0 so they carry zero retardation instead of poisoning the trace
+    s = np.sqrt(np.maximum(n_g**2 * np.sin(theta) ** 2 - 1.0, 0.0))
     delta_s = 2.0 * np.arctan(s / (n_g * np.cos(theta)))
     delta_p = 2.0 * np.arctan(n_g * s / np.cos(theta))
     return delta_s - delta_p

@@ -19,12 +19,15 @@ Design vs. the reference CUDA kernel (GPU_ray_tracing_functions.py:833-1247):
   table gathers, 2-3 matvecs, one roulette draw, masked update;
 - histogram deposits are recorded per ray (each ray deposits at most once, on its
   terminal bounce) and scattered after the trace -- no atomics anywhere.
+
+Tables/geometry can be closed over as constants (:func:`make_trace_fn`) or passed as
+pytree arguments (:func:`make_trace_fn_dynamic`), the latter enabling ``vmap`` over a
+design axis for batched design sweeps.
 """
 
 from __future__ import annotations
 
 import dataclasses
-import functools
 from typing import Tuple
 
 import jax
@@ -40,13 +43,18 @@ DEAD = jnp.int32(6)
 _EDGE_TOL = 1e-6  # float32-scale stand-in for the reference's 1e-12 on-edge tolerance
 
 
-def _as_jnp(tables: CellTables, fdt=jnp.float32, cdt=jnp.complex64) -> dict:
+def _as_jnp(tables: CellTables, fdt=jnp.float32, cdt=None) -> dict:
+    """Device tables.  Complex arrays are stored as trailing-axis (re, im) float
+    pairs: the engine works in split real arithmetic (friendlier to the TPU backend
+    and to the VPU than complex dtypes, which XLA would decompose anyway)."""
     t = {}
     for f in dataclasses.fields(tables):
         v = getattr(tables, f.name)
         if isinstance(v, np.ndarray):
             if np.iscomplexobj(v):
-                t[f.name] = jnp.asarray(v, dtype=cdt)
+                t[f.name] = jnp.asarray(
+                    np.stack([v.real, v.imag], axis=-1), dtype=fdt
+                )
             elif v.dtype.kind == "f":
                 t[f.name] = jnp.asarray(v, dtype=fdt)
             else:
@@ -83,30 +91,41 @@ def _hp_inside(hp: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
     return jnp.all(d <= _EDGE_TOL, axis=1)
 
 
-def _jones_apply(j: jnp.ndarray, te: jnp.ndarray, tm: jnp.ndarray):
-    """(R, 2, 2) complex matvec on the per-ray polarization 2-vector."""
-    return (
-        j[:, 0, 0] * te + j[:, 0, 1] * tm,
-        j[:, 1, 0] * te + j[:, 1, 1] * tm,
-    )
+def _jones_apply(j: jnp.ndarray, ter, tei, tmr, tmi):
+    """Split-real complex 2x2 matvec; ``j`` is (R, 2, 2, 2) with (re, im) last."""
+    jr, ji = j[..., 0], j[..., 1]
+    out_ter = jr[:, 0, 0] * ter - ji[:, 0, 0] * tei + jr[:, 0, 1] * tmr - ji[:, 0, 1] * tmi
+    out_tei = jr[:, 0, 0] * tei + ji[:, 0, 0] * ter + jr[:, 0, 1] * tmi + ji[:, 0, 1] * tmr
+    out_tmr = jr[:, 1, 0] * ter - ji[:, 1, 0] * tei + jr[:, 1, 1] * tmr - ji[:, 1, 1] * tmi
+    out_tmi = jr[:, 1, 0] * tei + ji[:, 1, 0] * ter + jr[:, 1, 1] * tmi + ji[:, 1, 1] * tmr
+    return out_ter, out_tei, out_tmr, out_tmi
 
 
-def _power(te, tm):
-    return (te.real * te.real + te.imag * te.imag
-            + tm.real * tm.real + tm.imag * tm.imag)
+def _phase_mul(ph, re, im):
+    """Multiply (re, im) by a unit phasor given as (R, 2)."""
+    pr, pi = ph[..., 0], ph[..., 1]
+    return pr * re - pi * im, pr * im + pi * re
+
+
+def _power(ter, tei, tmr, tmi):
+    return ter * ter + tei * tei + tmr * tmr + tmi * tmi
 
 
 def make_ray_state(x, y, te, tm, cid, ray_idx, rng_state,
                    precision: str = "f32") -> dict:
-    """Initial SoA pytree.  te/tm are the complex polarization amplitudes."""
+    """Initial SoA pytree.  te/tm are the complex polarization amplitudes
+    (stored internally as split re/im float arrays)."""
     r = len(x)
-    f32, c64 = ((jnp.float64, jnp.complex128) if precision == "f64"
-                else (jnp.float32, jnp.complex64))
+    f32 = jnp.float64 if precision == "f64" else jnp.float32
+    te = np.asarray(te, np.complex128)
+    tm = np.asarray(tm, np.complex128)
     return {
         "x": jnp.asarray(x, f32),
         "y": jnp.asarray(y, f32),
-        "te": jnp.asarray(te, c64),
-        "tm": jnp.asarray(tm, c64),
+        "ter": jnp.asarray(te.real, f32),
+        "tei": jnp.asarray(te.imag, f32),
+        "tmr": jnp.asarray(tm.real, f32),
+        "tmi": jnp.asarray(tm.imag, f32),
         "cos_th": jnp.ones(r, f32),
         "gap_x": jnp.zeros(r, f32),
         "gap_y": jnp.zeros(r, f32),
@@ -118,65 +137,55 @@ def make_ray_state(x, y, te, tm, cid, ray_idx, rng_state,
     }
 
 
-def make_trace_fn(tables: CellTables, tgeom: TraceGeometry, cfg: TraceConfig,
-                  precision: str = "f32", jit: bool = True):
-    """Build a jitted ``trace(rays) -> (rays_final, bounces)`` for fixed tables.
+def make_trace_fn_dynamic(
+    cfg: TraceConfig, num_fc: int, num_oc: int, n_cells_mn: int
+):
+    """Build ``trace(rays, T, G) -> (rays_final, bounces)`` with tables/geometry as
+    pytree *arguments* (dicts from :func:`_as_jnp` / :func:`_geom_jnp`).
 
-    Tables and geometry are closed over as constants (they are moderate-size device
-    arrays); the returned function is shape-polymorphic only in the ray count through
-    retracing.  ``precision='f64'`` (requires jax x64) exists for oracle-parity
-    debugging; production tracing is float32.
+    One compilation serves any design of the same strip counts and FoV grid; vmap
+    over a leading design axis of (rays, T, G) for batched sweeps.
     """
-    if precision == "f64":
-        fdt, cdt = jnp.float64, jnp.complex128
-    else:
-        fdt, cdt = jnp.float32, jnp.complex64
-    T = _as_jnp(tables, fdt, cdt)
-    G = _geom_jnp(tgeom, fdt)
     ny, nx = cfg.eyebox_bins
-    n_cells_mn = tables.M * tables.N
-    num_fc = tgeom.num_fc
-    num_oc = tgeom.num_oc
     use_circle_ic = cfg.ic_test == "circle"
 
-    def in_ic(x, y):
+    def in_ic(G, x, y):
         if use_circle_ic:
             dx = x - G["ic_center"][0]
             dy = y - G["ic_center"][1]
             return dx * dx + dy * dy <= G["ic_radius"] * G["ic_radius"]
         return _hp_inside(G["ic_hp"], x, y)
 
-    def mn_of(cid):
-        return jnp.remainder(cid, n_cells_mn)
-
-    def init_step(rays: dict) -> dict:
+    def init_step(rays: dict, T: dict, G: dict) -> dict:
         """First IC interaction from air (kernel :860-904)."""
         cid = rays["cid"]
-        te, tm = rays["te"], rays["tm"]
+        pol = (rays["ter"], rays["tei"], rays["tmr"], rays["tmi"])
         j_a = T["init_jones"][0][cid]
         j_b = T["init_jones"][1][cid]
-        te_a, tm_a = _jones_apply(j_a, te, tm)
-        te_b, tm_b = _jones_apply(j_b, te, tm)
+        pol_a = _jones_apply(j_a, *pol)
+        pol_b = _jones_apply(j_b, *pol)
         cos0 = T["init_cos0"][cid]
-        eff_a = _power(te_a, tm_a) * T["init_scale"][0][cid] / cos0
-        eff_b = _power(te_b, tm_b) * T["init_scale"][1][cid] / cos0
+        eff_a = _power(*pol_a) * T["init_scale"][0][cid] / cos0
+        eff_b = _power(*pol_b) * T["init_scale"][1][cid] / cos0
         u, rng = rng_ops.draw_uniform(
             rays["rng"], rays["idx"], jnp.ones_like(rays["rng"], dtype=bool)
         )
         a = u <= eff_a
         b = (~a) & (u <= eff_a + eff_b)
 
-        te_n, tm_n = jnp.where(a, te_a, te_b), jnp.where(a, tm_a, tm_b)
-        inv = jax.lax.rsqrt(jnp.maximum(_power(te_n, tm_n), 1e-30))
+        ter_n, tei_n, tmr_n, tmi_n = (
+            jnp.where(a, pa, pb) for pa, pb in zip(pol_a, pol_b)
+        )
+        inv = jax.lax.rsqrt(jnp.maximum(_power(ter_n, tei_n, tmr_n, tmi_n), 1e-30))
         dirs = jnp.where(a, DIR_IC, DIR_IC2)
         ph = T["tir_phasor"][cid, dirs]
-        te_n = te_n * inv
-        tm_n = tm_n * inv * ph
+        ter_n, tei_n = ter_n * inv, tei_n * inv
+        tmr_n, tmi_n = _phase_mul(ph, tmr_n * inv, tmi_n * inv)
         gx = T["gaps"][cid, dirs, 0]
         gy = T["gaps"][cid, dirs, 1]
         x = rays["x"] + gx
         y = rays["y"] + gy
-        ic_in = in_ic(x, y)
+        ic_in = in_ic(G, x, y)
         state = jnp.where(
             a,
             jnp.where(ic_in, 0, 2),
@@ -188,8 +197,10 @@ def make_trace_fn(tables: CellTables, tgeom: TraceGeometry, cfg: TraceConfig,
         out.update(
             x=jnp.where(live, x, rays["x"]),
             y=jnp.where(live, y, rays["y"]),
-            te=jnp.where(live, te_n, te),
-            tm=jnp.where(live, tm_n, tm),
+            ter=jnp.where(live, ter_n, rays["ter"]),
+            tei=jnp.where(live, tei_n, rays["tei"]),
+            tmr=jnp.where(live, tmr_n, rays["tmr"]),
+            tmi=jnp.where(live, tmi_n, rays["tmi"]),
             cos_th=jnp.where(live, cos_th, rays["cos_th"]),
             gap_x=jnp.where(live, gx, 0.0),
             gap_y=jnp.where(live, gy, 0.0),
@@ -198,7 +209,7 @@ def make_trace_fn(tables: CellTables, tgeom: TraceGeometry, cfg: TraceConfig,
         )
         return out
 
-    def bounce_step(rays: dict) -> Tuple[dict, jnp.ndarray]:
+    def bounce_step(rays: dict, T: dict, G: dict) -> Tuple[dict, jnp.ndarray]:
         """One bounce for the whole batch; returns (rays', alive_count_before)."""
         x, y = rays["x"], rays["y"]
         state = rays["state"]
@@ -240,7 +251,7 @@ def make_trace_fn(tables: CellTables, tgeom: TraceGeometry, cfg: TraceConfig,
         interact = grp_ic | hit_fc | hit_oc
 
         # --- gather interaction records (unconditional, masked later)
-        te, tm = rays["te"], rays["tm"]
+        pol = (rays["ter"], rays["tei"], rays["tmr"], rays["tmi"])
 
         def site(jtab, stab, strip=None):
             if strip is None:
@@ -260,20 +271,20 @@ def make_trace_fn(tables: CellTables, tgeom: TraceGeometry, cfg: TraceConfig,
         j_oc_c = T["oc_jones"][2][oc_strip, bit, cid]
         s_oc_c = T["oc_scale_out"][cid]
 
-        gfc = grp_fc[:, None, None]
-        goc = grp_oc[:, None, None]
+        gfc = grp_fc[:, None, None, None]
+        goc = grp_oc[:, None, None, None]
         j_a = jnp.where(goc, j_oc_a, jnp.where(gfc, j_fc_a, j_ic_a))
         j_b = jnp.where(goc, j_oc_b, jnp.where(gfc, j_fc_b, j_ic_b))
         s_a = jnp.where(grp_oc, s_oc_a, jnp.where(grp_fc, s_fc_a, s_ic_a))
         s_b = jnp.where(grp_oc, s_oc_b, jnp.where(grp_fc, s_fc_b, s_ic_b))
 
-        te_a, tm_a = _jones_apply(j_a, te, tm)
-        te_b, tm_b = _jones_apply(j_b, te, tm)
-        te_c, tm_c = _jones_apply(j_oc_c, te, tm)
+        pol_a = _jones_apply(j_a, *pol)
+        pol_b = _jones_apply(j_b, *pol)
+        pol_c = _jones_apply(j_oc_c, *pol)
         inv_cos = 1.0 / rays["cos_th"]
-        eff_a = _power(te_a, tm_a) * s_a * inv_cos
-        eff_b = _power(te_b, tm_b) * s_b * inv_cos
-        eff_c = _power(te_c, tm_c) * s_oc_c * inv_cos
+        eff_a = _power(*pol_a) * s_a * inv_cos
+        eff_b = _power(*pol_b) * s_b * inv_cos
+        eff_c = _power(*pol_c) * s_oc_c * inv_cos
 
         u, rng = rng_ops.draw_uniform(rays["rng"], rays["idx"], interact)
         br_a = interact & (u <= eff_a) & (eff_a > 0)
@@ -286,12 +297,13 @@ def make_trace_fn(tables: CellTables, tgeom: TraceGeometry, cfg: TraceConfig,
         dir_a = jnp.where(grp_oc, DIR_FC, DIR_IC)
         dir_b = jnp.where(grp_ic, DIR_IC2, jnp.where(grp_fc, DIR_FC, DIR_OC))
         dirs = jnp.where(br_a, dir_a, dir_b)
-        te_n = jnp.where(br_a, te_a, te_b)
-        tm_n = jnp.where(br_a, tm_a, tm_b)
-        inv = jax.lax.rsqrt(jnp.maximum(_power(te_n, tm_n), 1e-30))
+        ter_n, tei_n, tmr_n, tmi_n = (
+            jnp.where(br_a, pa, pb) for pa, pb in zip(pol_a, pol_b)
+        )
+        inv = jax.lax.rsqrt(jnp.maximum(_power(ter_n, tei_n, tmr_n, tmi_n), 1e-30))
         ph = T["tir_phasor"][cid, dirs]
-        te_n = te_n * inv
-        tm_n = tm_n * inv * ph
+        ter_n, tei_n = ter_n * inv, tei_n * inv
+        tmr_n, tmi_n = _phase_mul(ph, tmr_n * inv, tmi_n * inv)
         cos_n = jnp.where(br_a, s_a, s_b)
         gx_n = T["gaps"][cid, dirs, 0]
         gy_n = T["gaps"][cid, dirs, 1]
@@ -300,13 +312,13 @@ def make_trace_fn(tables: CellTables, tgeom: TraceGeometry, cfg: TraceConfig,
         st_b = jnp.where(grp_oc, 5, jnp.where(grp_fc, 3, -1))
         x_acc = x + gx_n
         y_acc = y + gy_n
-        ic_in = in_ic(x_acc, y_acc)
+        ic_in = in_ic(G, x_acc, y_acc)
         st_a = jnp.where(grp_ic, jnp.where(ic_in, 0, 2), st_a)
         st_b = jnp.where(grp_ic, jnp.where(ic_in, 1, DEAD), st_b)
         st_acc = jnp.where(br_a, st_a, st_b).astype(jnp.int32)
 
         # --- out-couple (C): deposit into per-FoV eyebox rect, then terminate
-        mn = mn_of(cid)
+        mn = jnp.remainder(cid, n_cells_mn)
         er = G["eyebox_range"][mn]
         in_quad = (
             (x >= er[:, 0] - _EDGE_TOL) & (x <= er[:, 1] + _EDGE_TOL)
@@ -341,21 +353,25 @@ def make_trace_fn(tables: CellTables, tgeom: TraceGeometry, cfg: TraceConfig,
         ).astype(jnp.int32)
         new_x = jnp.where(accept, x_acc, jnp.where(hop, x + rays["gap_x"], x))
         new_y = jnp.where(accept, y_acc, jnp.where(hop, y + rays["gap_y"], y))
-        new_te = jnp.where(accept, te_n, te)
-        new_tm = jnp.where(accept, tm_n, jnp.where(hop, tm * hph, tm))
+        hop_tmr, hop_tmi = _phase_mul(hph, rays["tmr"], rays["tmi"])
+        new_ter = jnp.where(accept, ter_n, rays["ter"])
+        new_tei = jnp.where(accept, tei_n, rays["tei"])
+        new_tmr = jnp.where(accept, tmr_n, jnp.where(hop, hop_tmr, rays["tmr"]))
+        new_tmi = jnp.where(accept, tmi_n, jnp.where(hop, hop_tmi, rays["tmi"]))
         new_cos = jnp.where(accept, cos_n, rays["cos_th"])
         new_gx = jnp.where(accept, gx_n, rays["gap_x"])
         new_gy = jnp.where(accept, gy_n, rays["gap_y"])
 
         out = dict(rays)
         out.update(
-            x=new_x, y=new_y, te=new_te, tm=new_tm, cos_th=new_cos,
-            gap_x=new_gx, gap_y=new_gy, state=new_state, rng=rng, dep=dep,
+            x=new_x, y=new_y, ter=new_ter, tei=new_tei, tmr=new_tmr, tmi=new_tmi,
+            cos_th=new_cos, gap_x=new_gx, gap_y=new_gy, state=new_state, rng=rng,
+            dep=dep,
         )
         return out, n_alive
 
-    def trace_core(rays: dict):
-        rays = init_step(rays)
+    def trace_core(rays: dict, T: dict, G: dict):
+        rays = init_step(rays, T, G)
 
         def cond(carry):
             rays, bounces, it = carry
@@ -365,7 +381,7 @@ def make_trace_fn(tables: CellTables, tgeom: TraceGeometry, cfg: TraceConfig,
             rays, bounces, it = carry
             # int32 accumulator: overflows past ~2.1e9 bounces per *batch*; the
             # pipeline chunks batches far below that and accumulates host-side
-            rays, n_alive = bounce_step(rays)
+            rays, n_alive = bounce_step(rays, T, G)
             return rays, bounces + n_alive, it + 1
 
         rays, bounces, _ = jax.lax.while_loop(
@@ -373,9 +389,29 @@ def make_trace_fn(tables: CellTables, tgeom: TraceGeometry, cfg: TraceConfig,
         )
         return rays, bounces
 
-    if jit:
-        return jax.jit(trace_core)
     return trace_core
+
+
+def make_trace_fn(tables: CellTables, tgeom: TraceGeometry, cfg: TraceConfig,
+                  precision: str = "f32", jit: bool = True):
+    """Build ``trace(rays) -> (rays_final, bounces)`` with tables closed over.
+
+    ``precision='f64'`` (requires jax x64) exists for oracle-parity debugging;
+    production tracing is float32.
+    """
+    if precision == "f64":
+        fdt, cdt = jnp.float64, jnp.complex128
+    else:
+        fdt, cdt = jnp.float32, jnp.complex64
+    T = _as_jnp(tables, fdt, cdt)
+    G = _geom_jnp(tgeom, fdt)
+    core = make_trace_fn_dynamic(cfg, tgeom.num_fc, tgeom.num_oc,
+                                 tables.M * tables.N)
+
+    def trace(rays):
+        return core(rays, T, G)
+
+    return jax.jit(trace) if jit else trace
 
 
 def deposits_to_histogram(

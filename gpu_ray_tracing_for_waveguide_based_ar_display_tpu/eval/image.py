@@ -1,0 +1,33 @@
+"""Eye-view image export.
+
+Mirrors the reference driver's PNG output (gpu_ray_tracing_pro_fullColor.py:199-203):
+the simulated view at eye position (0, last-x), vertically flipped, 8-bit.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def eye_view_uint8(output_image: np.ndarray, eye_y: int = 0,
+                   eye_x: int = -1) -> np.ndarray:
+    """(FoVy, FoVx, 3) uint8 view for one eye position from the evaluation stack."""
+    view = output_image[:, :, :, eye_y, eye_x]
+    view = np.flipud(np.clip(view, 0.0, 1.0))
+    return (view * 255.0).astype(np.uint8)
+
+
+def save_png(path: str, rgb_uint8: np.ndarray) -> None:
+    """Write an RGB uint8 image; prefers cv2 (parity), falls back to PIL."""
+    try:
+        import cv2
+
+        cv2.imwrite(path, cv2.cvtColor(rgb_uint8, cv2.COLOR_RGB2BGR))
+    except ImportError:
+        from PIL import Image
+
+        Image.fromarray(rgb_uint8).save(path)
+
+
+def save_eyebox_center_view(path: str, output_image: np.ndarray) -> None:
+    save_png(path, eye_view_uint8(output_image))

@@ -1,0 +1,136 @@
+"""Batched design-space sweeps: one compiled trace, vmapped over a design axis.
+
+A capability the reference does not have (its driver hard-codes one design).  Each
+candidate design's geometry/LUT tables are built host-side (cheap, seconds), padded
+to common array shapes, stacked along a leading design axis, and traced by a single
+``jax.vmap``-ed program -- so evaluating 64 coupler variants costs one compile and
+one device dispatch, with rays, tables, and geometry batched together.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import TraceConfig, WaveguideDesign
+from ..design.geometry import generate_geometry
+from ..engine import seeding, trace_jnp
+from ..engine.trace_geometry import TraceGeometry, build_trace_geometry
+from ..luts.packing import build_cell_tables
+from ..luts.synthetic import make_synthetic_luts
+
+
+def _pad_hp(hp: np.ndarray, target: int) -> np.ndarray:
+    """Pad a half-plane array with always-satisfied rows (0, 0, 1)."""
+    pad = target - len(hp)
+    if pad <= 0:
+        return hp
+    filler = np.tile(np.array([[0.0, 0.0, 1.0]]), (pad, 1))
+    return np.concatenate([hp, filler], axis=0)
+
+
+def _stack_geoms(tgeoms: Sequence[TraceGeometry]) -> dict:
+    """Stack TraceGeometry objects into one dict pytree with a design axis."""
+    e_max = {
+        "ic_hp": max(len(g.ic_hp) for g in tgeoms),
+        "r1_hp": max(len(g.r1_hp) for g in tgeoms),
+        "r2_hp": max(len(g.r2_hp) for g in tgeoms),
+        "hull_hp": max(len(g.hull_hp) for g in tgeoms),
+    }
+    out = {}
+    for g in tgeoms:
+        G = trace_jnp._geom_jnp(
+            dataclasses.replace(
+                g,
+                ic_hp=_pad_hp(g.ic_hp, e_max["ic_hp"]),
+                r1_hp=_pad_hp(g.r1_hp, e_max["r1_hp"]),
+                r2_hp=_pad_hp(g.r2_hp, e_max["r2_hp"]),
+                hull_hp=_pad_hp(g.hull_hp, e_max["hull_hp"]),
+            )
+        )
+        for k, v in G.items():
+            out.setdefault(k, []).append(v)
+    return {k: jnp.stack(v) for k, v in out.items()}
+
+
+@dataclasses.dataclass
+class SweepResult:
+    designs: List[WaveguideDesign]
+    histograms: np.ndarray       # (D, L, N, M, ny, nx)
+    efficiencies: np.ndarray     # (D, L) per-design per-wavelength efficiency
+    bounces: np.ndarray          # (D,)
+
+
+def run_design_sweep(
+    designs: Sequence[WaveguideDesign],
+    cfg: TraceConfig = TraceConfig(num_fov_x=16, num_fov_y=12, rays_per_fov=256,
+                                   max_bounces=2048),
+    lut_seed: int = 1234,
+) -> SweepResult:
+    """Trace every design with identical workloads; returns per-design results.
+
+    All designs must share strip counts (num_fc/num_oc) -- they always do unless the
+    sweep varies those counts themselves, in which case group by count first.
+    """
+    tgeoms, tables_list, batches = [], [], []
+    for d in designs:
+        geom = generate_geometry(d, cfg.num_fov_x, cfg.num_fov_y)
+        luts = make_synthetic_luts(geom, seed=lut_seed)
+        tables_list.append(build_cell_tables(geom, luts))
+        tgeoms.append(build_trace_geometry(geom, simplify_tol=1e-3))
+        b = seeding.build_ray_batch(geom, cfg)
+        batches.append(b)
+
+    num_fc = tgeoms[0].num_fc
+    num_oc = tgeoms[0].num_oc
+    if any(g.num_fc != num_fc or g.num_oc != num_oc for g in tgeoms):
+        raise ValueError("designs in one sweep batch must share strip counts")
+
+    T = {}
+    for tab in tables_list:
+        for k, v in trace_jnp._as_jnp(tab).items():
+            if isinstance(v, jnp.ndarray):
+                T.setdefault(k, []).append(v)
+    T = {k: jnp.stack(v) for k, v in T.items()}
+    G = _stack_geoms(tgeoms)
+    rays = jax.tree.map(
+        lambda *xs: jnp.stack(xs),
+        *[
+            trace_jnp.make_ray_state(
+                b["x"], b["y"], b["te"], b["tm"], b["cid"], b["idx"], b["rng"]
+            )
+            for b in batches
+        ],
+    )
+
+    core = trace_jnp.make_trace_fn_dynamic(
+        cfg, num_fc, num_oc, cfg.num_fov_x * cfg.num_fov_y
+    )
+    ny, nx = cfg.eyebox_bins
+    L, M, N = 3, cfg.num_fov_x, cfg.num_fov_y
+
+    @jax.jit
+    def sweep(rays, T, G):
+        def one(rays, T, G):
+            rays_f, bounces = core(rays, T, G)
+            hist = trace_jnp.deposits_to_histogram(
+                rays_f["dep"], rays_f["cid"], L, M, N, ny, nx
+            )
+            return hist, bounces
+
+        return jax.vmap(one)(rays, T, G)
+
+    hists, bounces = jax.block_until_ready(sweep(rays, T, G))
+    hists = np.asarray(hists)
+    num_rays_per_design = hists.shape[1] * M * N * cfg.rays_per_fov  # L*M*N*rpf
+    eff = hists.sum(axis=(2, 3, 4, 5)) / num_rays_per_design * 3
+    return SweepResult(
+        designs=list(designs),
+        histograms=hists,
+        efficiencies=eff,
+        bounces=np.asarray(bounces),
+    )

@@ -1,0 +1,62 @@
+"""Checkpoint/resume for long Monte-Carlo accumulation runs.
+
+The reference has no checkpointing (SURVEY.md section 5.4); since the eyebox
+histogram is additive across batches, resumable state is just (histogram,
+iterations-completed, config fingerprint).  Stored as a single ``.npz``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import hashlib
+import json
+import os
+from typing import Optional, Tuple
+
+import numpy as np
+
+from ..config import TraceConfig, WaveguideDesign
+
+
+def _fingerprint(design: WaveguideDesign, cfg: TraceConfig) -> str:
+    payload = json.dumps(
+        [dataclasses.asdict(design), dataclasses.asdict(cfg)], sort_keys=True
+    )
+    return hashlib.sha256(payload.encode()).hexdigest()[:16]
+
+
+def save_checkpoint(
+    path: str,
+    histogram: np.ndarray,
+    iterations_done: int,
+    design: WaveguideDesign,
+    cfg: TraceConfig,
+    total_bounces: int = 0,
+) -> None:
+    tmp = path + ".tmp"
+    np.savez_compressed(
+        tmp if tmp.endswith(".npz") else tmp + ".npz",
+        histogram=histogram,
+        iterations_done=np.int64(iterations_done),
+        total_bounces=np.int64(total_bounces),
+        fingerprint=np.bytes_(_fingerprint(design, cfg).encode()),
+    )
+    src = tmp if tmp.endswith(".npz") else tmp + ".npz"
+    os.replace(src, path)
+
+
+def load_checkpoint(
+    path: str, design: WaveguideDesign, cfg: TraceConfig
+) -> Optional[Tuple[np.ndarray, int, int]]:
+    """Returns (histogram, iterations_done, total_bounces) or None on mismatch."""
+    if not os.path.exists(path):
+        return None
+    with np.load(path) as data:
+        fp = bytes(data["fingerprint"]).decode()
+        if fp != _fingerprint(design, cfg):
+            return None
+        return (
+            data["histogram"],
+            int(data["iterations_done"]),
+            int(data["total_bounces"]),
+        )

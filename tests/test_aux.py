@@ -1,0 +1,125 @@
+"""Tests for auxiliary subsystems: sweep, presets, checkpoint, plotting, CLI, image."""
+
+import os
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+
+from gpu_ray_tracing_for_waveguide_based_ar_display_tpu.config import (
+    TraceConfig,
+    WaveguideDesign,
+)
+from gpu_ray_tracing_for_waveguide_based_ar_display_tpu.models import presets
+from gpu_ray_tracing_for_waveguide_based_ar_display_tpu.utils import (
+    load_checkpoint,
+    save_checkpoint,
+)
+
+
+def test_presets():
+    for name in presets.PRESETS:
+        d = presets.get(name)
+        assert isinstance(d, WaveguideDesign)
+    with pytest.raises(KeyError):
+        presets.get("nope")
+
+
+def test_design_sweep_batched():
+    import dataclasses
+
+    from gpu_ray_tracing_for_waveguide_based_ar_display_tpu.sweep import (
+        run_design_sweep,
+    )
+
+    base = WaveguideDesign()
+    designs = [
+        dataclasses.replace(base, lambda_ic=p, lambda_oc=p)
+        for p in (380.0, 388.0, 396.0)
+    ]
+    cfg = TraceConfig(num_fov_x=4, num_fov_y=3, rays_per_fov=64, max_bounces=256,
+                      seed=5)
+    res = run_design_sweep(designs, cfg)
+    assert res.histograms.shape[0] == 3
+    assert res.efficiencies.shape == (3, 3)
+    assert np.all(res.bounces > 0)
+    # different periods give different transport
+    assert not np.allclose(res.efficiencies[0], res.efficiencies[2])
+    # the 388 nm column must reproduce a solo (unvmapped) run of the same design
+    solo = run_design_sweep([designs[1]], cfg)
+    np.testing.assert_array_equal(res.histograms[1], solo.histograms[0])
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    path = str(tmp_path / "ckpt.npz")
+    design = WaveguideDesign()
+    cfg = TraceConfig(num_fov_x=4, num_fov_y=3)
+    hist = np.random.default_rng(0).random((3, 3, 4, 8, 8)).astype(np.float32)
+    save_checkpoint(path, hist, 3, design, cfg, total_bounces=12345)
+    out = load_checkpoint(path, design, cfg)
+    assert out is not None
+    h, iters, bounces = out
+    np.testing.assert_array_equal(h, hist)
+    assert iters == 3 and bounces == 12345
+    # config mismatch invalidates
+    assert load_checkpoint(path, design, TraceConfig(num_fov_x=5, num_fov_y=3)) is None
+    assert load_checkpoint(str(tmp_path / "missing.npz"), design, cfg) is None
+
+
+def test_plotting(tmp_path):
+    pytest.importorskip("matplotlib")
+    from gpu_ray_tracing_for_waveguide_based_ar_display_tpu.design import (
+        generate_geometry,
+    )
+    from gpu_ray_tracing_for_waveguide_based_ar_display_tpu.design.plotting import (
+        plot_design,
+    )
+
+    geom = generate_geometry(num_fov_x=6, num_fov_y=4)
+    paths = plot_design(geom, prefix=str(tmp_path / "d"))
+    assert len(paths) == 3
+    for p in paths:
+        assert os.path.exists(p)
+        assert os.path.getsize(p) > 10_000
+
+
+def test_eye_view_image(tmp_path):
+    from gpu_ray_tracing_for_waveguide_based_ar_display_tpu.eval.image import (
+        eye_view_uint8,
+        save_eyebox_center_view,
+    )
+
+    img = np.random.default_rng(0).random((5, 7, 3, 2, 3))
+    u8 = eye_view_uint8(img)
+    assert u8.shape == (5, 7, 3) and u8.dtype == np.uint8
+    path = str(tmp_path / "view.png")
+    save_eyebox_center_view(path, img)
+    assert os.path.getsize(path) > 100
+
+
+def test_cli_simulate_small(tmp_path, capsys):
+    from gpu_ray_tracing_for_waveguide_based_ar_display_tpu.cli import main
+
+    img = str(tmp_path / "eye.png")
+    js = str(tmp_path / "m.json")
+    rc = main([
+        "simulate", "--fov-x", "4", "--fov-y", "3", "--rays-per-fov", "40",
+        "--num-iter", "1", "--max-bounces", "200", "--image", img, "--json", js,
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "Efficiency (Green)" in out
+    assert os.path.exists(img)
+    assert os.path.exists(js)
+
+
+def test_cli_sweep_small(capsys):
+    from gpu_ray_tracing_for_waveguide_based_ar_display_tpu.cli import main
+
+    rc = main([
+        "sweep", "--fov-x", "4", "--fov-y", "3", "--num-designs", "2",
+        "--rays-per-fov", "32", "--max-bounces", "128",
+    ])
+    assert rc == 0
+    assert "best mean efficiency" in capsys.readouterr().out
