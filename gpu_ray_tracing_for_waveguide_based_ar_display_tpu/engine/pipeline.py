@@ -23,7 +23,7 @@ from ..eval import EvalResult, efficiencies, evaluate
 from ..luts.io import load_or_synthesize
 from ..luts.packing import build_cell_tables
 from ..luts.schema import RcwaLuts
-from . import seeding, trace_jnp
+from . import seeding, trace_jnp, trace_pallas
 from .trace_geometry import build_trace_geometry
 
 
@@ -56,7 +56,12 @@ class Simulator:
         luts_dir: Optional[str] = None,
         geom: Optional[DesignGeometry] = None,
         geometry_simplify_tol: float = 0.0,
+        engine: str = "jnp",
+        interpret: bool = False,
     ):
+        if engine not in ("jnp", "pallas"):
+            raise ValueError(f"unknown engine {engine!r}")
+        self.engine = engine
         self.design = design
         self.cfg = cfg
         self.geom = geom if geom is not None else generate_geometry(
@@ -66,11 +71,22 @@ class Simulator:
             self.geom, directory=luts_dir, seed=cfg.seed + 1234
         )
         self.tables = build_cell_tables(self.geom, self.luts)
+        if engine == "pallas" and geometry_simplify_tol == 0.0:
+            # the kernel holds regions as <= MAX_EDGES scalar half-planes
+            geometry_simplify_tol = 0.05
         self.tgeom = build_trace_geometry(self.geom, simplify_tol=geometry_simplify_tol)
-        self.trace_fn = trace_jnp.make_trace_fn(self.tables, self.tgeom, cfg)
         self.L, self.M, self.N = self.geom.th_out_ic.shape
         ny, nx = cfg.eyebox_bins
         self._hist_shape = (self.L, self.N, self.M, ny, nx)
+        if engine == "jnp":
+            self.trace_fn = trace_jnp.make_trace_fn(self.tables, self.tgeom, cfg)
+        else:
+            self._cp = trace_pallas.build_kernel_cell_params(
+                self.tables, self.geom.eyebox_range
+            )
+            self._gr = trace_pallas.build_kernel_geom(self.tgeom)[None, :]
+            self._rt_cache = {}
+            self._interpret = interpret
 
     # ------------------------------------------------------------------
     def trace_batch(self, cell_ids: np.ndarray, rays_per_cell: int, iteration: int):
@@ -79,16 +95,36 @@ class Simulator:
             self.geom, self.cfg, cell_ids=cell_ids,
             rays_per_cell=rays_per_cell, iteration=iteration,
         )
-        rays = trace_jnp.make_ray_state(
-            batch["x"], batch["y"], batch["te"], batch["tm"],
-            batch["cid"], batch["idx"], batch["rng"],
-        )
-        rays_f, bounces = self.trace_fn(rays)
         ny, nx = self.cfg.eyebox_bins
-        hist = trace_jnp.deposits_to_histogram(
-            rays_f["dep"], rays_f["cid"], self.L, self.M, self.N, ny, nx
+        if self.engine == "jnp":
+            rays = trace_jnp.make_ray_state(
+                batch["x"], batch["y"], batch["te"], batch["tm"],
+                batch["cid"], batch["idx"], batch["rng"],
+            )
+            rays_f, bounces = self.trace_fn(rays)
+            hist = trace_jnp.deposits_to_histogram(
+                rays_f["dep"], rays_f["cid"], self.L, self.M, self.N, ny, nx
+            )
+            return hist, bounces, len(batch["x"])
+
+        rt = -(-rays_per_cell // trace_pallas.LANES)
+        if rt not in self._rt_cache:
+            self._rt_cache[rt] = trace_pallas.make_pallas_trace_fn(
+                self.cfg, self.tgeom.num_fc, self.tgeom.num_oc, rt,
+                interpret=self._interpret,
+            )
+        rays_in, rng_in = trace_pallas.pack_ray_blocks(
+            batch, len(cell_ids), rays_per_cell, rt
         )
-        return hist, bounces, len(batch["x"])
+        dep, nb = self._rt_cache[rt](
+            self._cp[cell_ids], self._gr, rays_in, rng_in
+        )
+        hist = trace_pallas.deposits_to_histogram_cells(
+            dep, cell_ids, self.L, self.M, self.N, ny, nx
+        )
+        import jax.numpy as jnp
+
+        return hist, jnp.sum(nb), len(batch["x"])
 
     def run(
         self,

@@ -1,0 +1,323 @@
+"""Deterministic-splitting (wavefront) tracer: all branches, weighted, no RNG.
+
+The reference ships an alternative tracer (``process_rays_kernel``,
+/root/reference/GPU_ray_tracing_functions.py:193-417) in which rays *split* at each
+folding-coupler hit — the transmitted branch updates in place, the diffracted branch
+is appended through an atomic work-queue counter, and the host re-launches + compacts
+until the queue drains.  (It is unreachable from the reference's drivers; the MC
+kernels superseded it.)
+
+This module rebuilds that capability TPU-first for the *current* full-color physics:
+instead of Russian-roulette sampling one outcome per interaction, every interaction
+follows **all** branches with weights multiplied by the branch efficiencies, and the
+out-couple branch deposits its weighted energy directly.  The result is the exact
+expectation of the Monte-Carlo tracer — a zero-variance eyebox map, ideal for
+validating MC convergence and for fast design iteration.
+
+TPU mapping: a fixed-capacity SoA wavefront buffer stepped by ``lax.while_loop``.
+Each step every slot emits at most two children (branch A / branch B, or
+hop-survivor); children below the weight threshold die; the buffer is re-compacted
+every step with an argsort on aliveness (the atomic work queue becomes a prefix-sum
+compaction), and overflowing children are dropped lowest-weight-first with their
+energy tallied as ``truncated_weight``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import TraceConfig
+from ..luts.packing import CellTables, DIR_IC, DIR_FC, DIR_IC2, DIR_OC
+from .trace_geometry import TraceGeometry
+from . import trace_jnp
+
+DEAD = trace_jnp.DEAD
+
+
+@dataclasses.dataclass
+class SplitResult:
+    histogram: np.ndarray       # (L, N, M, ny, nx) weighted eyebox deposits
+    out_coupled: float          # total deposited weight (inside eyebox quads)
+    truncated: float            # weight lost to buffer overflow (should be ~0)
+    pruned: float               # weight killed by the threshold (downward bias bound)
+    steps: int
+
+
+def make_splitting_trace_fn(tables: CellTables, tgeom: TraceGeometry,
+                            cfg: TraceConfig, capacity: int = 1 << 16,
+                            weight_threshold: float = 1e-5,
+                            max_steps: int = 512):
+    """Build ``trace(rays0) -> (hist_flat, out_w, trunc_w, steps)`` (jitted).
+
+    ``rays0`` is a :func:`trace_jnp.make_ray_state` pytree whose length is the
+    initial wavefront (padded into the capacity buffer).  All rays' initial weight
+    is 1/len(rays0) x per-ray launch weight 1.
+    """
+    T = trace_jnp._as_jnp(tables)
+    G = trace_jnp._geom_jnp(tgeom)
+    ny, nx = cfg.eyebox_bins
+    L, M, N = tables.L, tables.M, tables.N
+    n_cells_mn = M * N
+    num_fc = tgeom.num_fc
+    num_oc = tgeom.num_oc
+    use_circle_ic = cfg.ic_test == "circle"
+    hist_size = L * N * M * ny * nx
+
+    def in_ic(x, y):
+        if use_circle_ic:
+            dx = x - G["ic_center"][0]
+            dy = y - G["ic_center"][1]
+            return dx * dx + dy * dy <= G["ic_radius"] * G["ic_radius"]
+        return trace_jnp._hp_inside(G["ic_hp"], x, y)
+
+    def hist_index(cid, x, y):
+        """Flat histogram index for a deposit at (x, y) of cell cid, or -1."""
+        mn = jnp.remainder(cid, n_cells_mn)
+        er = G["eyebox_range"][mn]
+        tol = trace_jnp._EDGE_TOL
+        in_quad = ((x >= er[:, 0] - tol) & (x <= er[:, 1] + tol)
+                   & (y >= er[:, 2] - tol) & (y <= er[:, 3] + tol))
+        dxb = (er[:, 1] - er[:, 0]) / nx
+        dyb = (er[:, 3] - er[:, 2]) / ny
+        ix = jnp.clip(jnp.floor((x - er[:, 0]) / dxb).astype(jnp.int32), 0, nx - 1)
+        iy = jnp.clip(jnp.floor((y - er[:, 2]) / dyb).astype(jnp.int32), 0, ny - 1)
+        l = cid // n_cells_mn
+        m = mn // N
+        n = mn % N
+        flat = ((l * N + n) * M + m) * (ny * nx) + iy * nx + ix
+        return jnp.where(in_quad, flat, -1)
+
+    def split_init(rays):
+        """First IC interaction: both orders become children with weights."""
+        cid = rays["cid"]
+        pol = (rays["ter"], rays["tei"], rays["tmr"], rays["tmi"])
+        w = rays["w"]
+        outs = []
+        for branch, dir_ in ((0, DIR_IC), (1, DIR_IC2)):
+            j = T["init_jones"][branch][cid]
+            p = trace_jnp._jones_apply(j, *pol)
+            eff = (trace_jnp._power(*p) * T["init_scale"][branch][cid]
+                   / T["init_cos0"][cid])
+            inv = jax.lax.rsqrt(jnp.maximum(trace_jnp._power(*p), 1e-30))
+            ph = T["tir_phasor"][cid, dir_]
+            ter, tei = p[0] * inv, p[1] * inv
+            tmr, tmi = trace_jnp._phase_mul(ph, p[2] * inv, p[3] * inv)
+            gx = T["gaps"][cid, dir_, 0]
+            gy = T["gaps"][cid, dir_, 1]
+            x = rays["x"] + gx
+            y = rays["y"] + gy
+            icin = in_ic(x, y)
+            if branch == 0:
+                state = jnp.where(icin, 0, 2)
+            else:
+                state = jnp.where(icin, 1, DEAD)
+            wgt = w * eff
+            state = jnp.where(wgt > weight_threshold, state, DEAD)
+            outs.append(dict(
+                x=x, y=y, ter=ter, tei=tei, tmr=tmr, tmi=tmi,
+                cos_th=T["ic_scale"][branch][cid], gap_x=gx, gap_y=gy,
+                state=state.astype(jnp.int32), w=wgt, cid=cid,
+            ))
+        return outs
+
+    def split_step(buf):
+        """One wavefront bounce: each slot -> (childA, childB, deposit)."""
+        x, y = buf["x"], buf["y"]
+        state = buf["state"]
+        cid = buf["cid"]
+        w = buf["w"]
+        alive = state < DEAD
+        alive &= trace_jnp._hp_inside(G["r1_hp"], x, y)
+
+        grp_ic = alive & (state <= 1)
+        grp_fc = alive & ((state == 2) | (state == 3))
+        grp_oc = alive & (state >= 4)
+        bit = (state & 1).astype(jnp.int32)
+
+        yrot = G["fc_rot"][0] * x + G["fc_rot"][1] * y
+        in_hull = trace_jnp._hp_inside(G["hull_hp"], x, y)
+        fc_strip = jnp.clip(
+            jnp.floor((G["fc_top"] - yrot) / G["fc_width"]).astype(jnp.int32),
+            0, num_fc - 1)
+        b = G["oc_bounds"]
+        tol = trace_jnp._EDGE_TOL
+        in_rect = ((x >= b[0] - tol) & (x <= b[1] + tol)
+                   & (y >= b[2] - tol) & (y <= b[3] + tol))
+        yr = G["oc_rot_y"][0] * x + G["oc_rot_y"][1] * y
+        oc_strip = jnp.clip(
+            jnp.floor((G["oc_top"] - yr) / G["oc_width"]).astype(jnp.int32),
+            0, num_oc - 1)
+        hit_fc = grp_fc & in_hull
+        hit_oc = grp_oc & in_rect
+        interact = grp_ic | hit_fc | hit_oc
+
+        pol = (buf["ter"], buf["tei"], buf["tmr"], buf["tmi"])
+
+        def site(jtab, stab, strip=None):
+            if strip is None:
+                return jtab[bit, cid], stab[cid]
+            return jtab[strip, bit, cid], stab[strip, cid]
+
+        j_ic_a, s_ic_a = site(T["ic_jones"][0], T["ic_scale"][0])
+        j_ic_b, s_ic_b = site(T["ic_jones"][1], T["ic_scale"][1])
+        j_fc_a, s_fc_a = site(T["fc_jones"][0], T["fc_scale"][0], fc_strip)
+        j_fc_b, s_fc_b = site(T["fc_jones"][1], T["fc_scale"][1], fc_strip)
+        j_oc_a, s_oc_a = site(T["oc_jones"][0], T["oc_scale"][0], oc_strip)
+        j_oc_b, s_oc_b = site(T["oc_jones"][1], T["oc_scale"][1], oc_strip)
+        j_oc_c = T["oc_jones"][2][oc_strip, bit, cid]
+
+        gfc = grp_fc[:, None, None, None]
+        goc = grp_oc[:, None, None, None]
+        j_a = jnp.where(goc, j_oc_a, jnp.where(gfc, j_fc_a, j_ic_a))
+        j_b = jnp.where(goc, j_oc_b, jnp.where(gfc, j_fc_b, j_ic_b))
+        s_a = jnp.where(grp_oc, s_oc_a, jnp.where(grp_fc, s_fc_a, s_ic_a))
+        s_b = jnp.where(grp_oc, s_oc_b, jnp.where(grp_fc, s_fc_b, s_ic_b))
+
+        pol_a = trace_jnp._jones_apply(j_a, *pol)
+        pol_b = trace_jnp._jones_apply(j_b, *pol)
+        pol_c = trace_jnp._jones_apply(j_oc_c, *pol)
+        inv_cos = 1.0 / buf["cos_th"]
+        eff_a = trace_jnp._power(*pol_a) * s_a * inv_cos
+        eff_b = trace_jnp._power(*pol_b) * s_b * inv_cos
+        eff_c = trace_jnp._power(*pol_c) * T["oc_scale_out"][cid] * inv_cos
+
+        # deposit: weighted out-couple energy from OC hits
+        dep_w = jnp.where(hit_oc, w * eff_c, 0.0)
+        dep_idx = hist_index(cid, x, y)
+        dep_w = jnp.where(dep_idx >= 0, dep_w, 0.0)
+
+        # miss transitions
+        miss_fc2 = grp_fc & ~in_hull & (state == 2)
+        miss_fc3 = grp_fc & ~in_hull & (state == 3)
+        in_r2 = trace_jnp._hp_inside(G["r2_hp"], x, y)
+        fc3_to_oc = miss_fc3 & ~in_r2
+        hop = miss_fc2 | (miss_fc3 & in_r2) | (grp_oc & ~in_rect & (state == 4))
+        miss_oc5 = grp_oc & ~in_rect & (state == 5)
+        hop_dir = jnp.where(miss_fc2, DIR_IC, DIR_FC)
+        hph = T["hop2_phasor"][cid, hop_dir]
+        hop_tmr, hop_tmi = trace_jnp._phase_mul(hph, buf["tmr"], buf["tmi"])
+
+        def child(branch_pol, eff, scale_cos, dir_idx, to_state_fc, to_state_oc,
+                  ic_in_state, ic_out_state):
+            """Build the child for one interaction branch; hop-survivor merged for
+            branch A, dead for branch B on non-interacting slots."""
+            inv = jax.lax.rsqrt(jnp.maximum(trace_jnp._power(*branch_pol), 1e-30))
+            ph = T["tir_phasor"][cid, dir_idx]
+            ter = branch_pol[0] * inv
+            tei = branch_pol[1] * inv
+            tmr, tmi = trace_jnp._phase_mul(ph, branch_pol[2] * inv,
+                                            branch_pol[3] * inv)
+            gx = T["gaps"][cid, dir_idx, 0]
+            gy = T["gaps"][cid, dir_idx, 1]
+            xa = x + gx
+            ya = y + gy
+            icin = in_ic(xa, ya)
+            st = jnp.where(
+                grp_oc, to_state_oc,
+                jnp.where(grp_fc, to_state_fc,
+                          jnp.where(icin, ic_in_state, ic_out_state)))
+            wgt = w * eff
+            keep = wgt > weight_threshold
+            pruned = jnp.sum(jnp.where(interact & alive & ~keep, wgt, 0.0))
+            st = jnp.where(interact & keep, st, DEAD)
+            return dict(x=xa, y=ya, ter=ter, tei=tei, tmr=tmr, tmi=tmi,
+                        cos_th=scale_cos, gap_x=gx, gap_y=gy,
+                        state=st.astype(jnp.int32), w=wgt, cid=cid), pruned
+
+        dir_a = jnp.where(grp_oc, DIR_FC, DIR_IC)
+        dir_b = jnp.where(grp_ic, DIR_IC2, jnp.where(grp_fc, DIR_FC, DIR_OC))
+        ch_a, pr_a = child(pol_a, eff_a, s_a, dir_a, 2, 4, 0, 2)
+        ch_b, pr_b = child(pol_b, eff_b, s_b, dir_b, 3, 5, 1, DEAD)
+        pruned = pr_a + pr_b
+
+        # non-interacting slots: childA carries the hop survivor / phase change
+        surv_state = jnp.where(
+            fc3_to_oc, 4, jnp.where(hop, state, DEAD)).astype(jnp.int32)
+        surv_state = jnp.where(miss_oc5, DEAD, surv_state)
+        not_int = alive & ~interact
+        for key, surv in (
+            ("x", jnp.where(hop, x + buf["gap_x"], x)),
+            ("y", jnp.where(hop, y + buf["gap_y"], y)),
+            ("ter", buf["ter"]), ("tei", buf["tei"]),
+            ("tmr", jnp.where(hop, hop_tmr, buf["tmr"])),
+            ("tmi", jnp.where(hop, hop_tmi, buf["tmi"])),
+            ("cos_th", buf["cos_th"]), ("gap_x", buf["gap_x"]),
+            ("gap_y", buf["gap_y"]), ("w", w),
+        ):
+            ch_a[key] = jnp.where(not_int, surv, ch_a[key])
+        ch_a["state"] = jnp.where(not_int, surv_state, ch_a["state"])
+        ch_a["state"] = jnp.where(alive, ch_a["state"], DEAD)
+        ch_b["state"] = jnp.where(alive & interact, ch_b["state"], DEAD)
+        return ch_a, ch_b, dep_w, dep_idx, pruned
+
+    keys = ("x", "y", "ter", "tei", "tmr", "tmi", "cos_th", "gap_x", "gap_y",
+            "state", "w", "cid")
+
+    def compact(children: dict, cap: int):
+        """Keep the ``cap`` heaviest alive slots (argsort compaction)."""
+        aliveness = jnp.where(children["state"] < DEAD, children["w"], -1.0)
+        order = jnp.argsort(-aliveness)
+        kept = {k: children[k][order[:cap]] for k in keys}
+        dropped = jnp.sum(
+            jnp.where((children["state"][order[cap:]] < DEAD),
+                      children["w"][order[cap:]], 0.0))
+        return kept, dropped
+
+    @jax.jit
+    def trace(rays0: dict):
+        n0 = len(rays0["x"])
+        w0 = jnp.abs(rays0["ter"]) + jnp.abs(rays0["tei"]) \
+            + jnp.abs(rays0["tmr"]) + jnp.abs(rays0["tmi"])
+        rays0 = dict(rays0)
+        rays0["w"] = jnp.where(w0 > 0, 1.0, 0.0)
+        kids = split_init(rays0)
+        children = {k: jnp.concatenate([kids[0][k], kids[1][k]]) for k in keys}
+        if len(children["x"]) < capacity:
+            pad = capacity - len(children["x"])
+            for k in keys:
+                filler = jnp.zeros((pad,), children[k].dtype)
+                if k == "state":
+                    filler = filler + DEAD
+                children[k] = jnp.concatenate([children[k], filler])
+        buf, trunc = compact(children, capacity)
+
+        hist = jnp.zeros(hist_size, jnp.float32)
+
+        def cond(carry):
+            buf, hist, trunc, pruned, it = carry
+            return (it < max_steps) & jnp.any(buf["state"] < DEAD)
+
+        def body(carry):
+            buf, hist, trunc, pruned, it = carry
+            ch_a, ch_b, dep_w, dep_idx, pr = split_step(buf)
+            hist = hist.at[jnp.maximum(dep_idx, 0)].add(
+                jnp.where(dep_idx >= 0, dep_w, 0.0))
+            children = {k: jnp.concatenate([ch_a[k], ch_b[k]]) for k in keys}
+            buf, dropped = compact(children, capacity)
+            return buf, hist, trunc + dropped, pruned + pr, it + 1
+
+        buf, hist, trunc, pruned, it = jax.lax.while_loop(
+            cond, body, (buf, hist, trunc, jnp.float32(0.0), jnp.int32(0)))
+        return hist, jnp.sum(hist), trunc, pruned, it
+
+    return trace
+
+
+def run_splitting(tables: CellTables, tgeom: TraceGeometry, cfg: TraceConfig,
+                  rays0: dict, **kw) -> SplitResult:
+    trace = make_splitting_trace_fn(tables, tgeom, cfg, **kw)
+    hist, out_w, trunc, pruned, steps = jax.block_until_ready(trace(rays0))
+    ny, nx = cfg.eyebox_bins
+    L, M, N = tables.L, tables.M, tables.N
+    return SplitResult(
+        histogram=np.asarray(hist).reshape(L, N, M, ny, nx),
+        out_coupled=float(out_w),
+        truncated=float(trunc),
+        pruned=float(pruned),
+        steps=int(steps),
+    )

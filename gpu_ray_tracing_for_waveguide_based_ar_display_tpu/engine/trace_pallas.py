@@ -196,24 +196,24 @@ def _hp_from_existing(hp: np.ndarray) -> np.ndarray:
     return out
 
 
-def _region_test(g_ref, base: int, x, y):
+def _region_test(g, base: int, x, y):
     """All-of half-plane containment with SMEM scalar coefficients."""
     inside = None
     for e in range(MAX_EDGES):
-        nx = g_ref[0, base + e]
-        ny = g_ref[0, base + MAX_EDGES + e]
-        c = g_ref[0, base + 2 * MAX_EDGES + e]
+        nx = g(base + e)
+        ny = g(base + MAX_EDGES + e)
+        c = g(base + 2 * MAX_EDGES + e)
         t = x * nx + y * ny <= c + _EDGE_TOL
         inside = t if inside is None else (inside & t)
     return inside
 
 
-def _jones_scalar(c_ref, off: int, ter, tei, tmr, tmi):
+def _jones_scalar(c, off: int, ter, tei, tmr, tmi):
     """Jones matvec with the 8 SMEM scalars at ``off`` (re/im interleaved)."""
-    ar, ai = c_ref[0, off + 0], c_ref[0, off + 1]
-    br, bi = c_ref[0, off + 2], c_ref[0, off + 3]
-    cr, ci = c_ref[0, off + 4], c_ref[0, off + 5]
-    dr, di = c_ref[0, off + 6], c_ref[0, off + 7]
+    ar, ai = c(off + 0), c(off + 1)
+    br, bi = c(off + 2), c(off + 3)
+    cr, ci = c(off + 4), c(off + 5)
+    dr, di = c(off + 6), c(off + 7)
     o_ter = ar * ter - ai * tei + br * tmr - bi * tmi
     o_tei = ar * tei + ai * ter + br * tmi + bi * tmr
     o_tmr = cr * ter - ci * tei + dr * tmr - di * tmi
@@ -221,19 +221,19 @@ def _jones_scalar(c_ref, off: int, ter, tei, tmr, tmi):
     return o_ter, o_tei, o_tmr, o_tmi
 
 
-def _bitsel(c_ref, off0: int, off1: int, bitmask):
+def _bitsel(c, off0: int, off1: int, bitmask):
     """Per-ray select between two SMEM scalars by the state bit."""
-    return jnp.where(bitmask, c_ref[0, off1], c_ref[0, off0])
+    return jnp.where(bitmask, c(off1), c(off0))
 
 
-def _accum_params(c_ref, base: int, stride: int, count: int, width: int, strip):
+def _accum_params(c, base: int, stride: int, count: int, width: int, strip):
     """One-hot accumulate ``width`` scalars per strip into vectors: out[j] =
     sum_k (strip == k) * p[k, j].  Returns a list of (RT, L) vectors."""
     outs = [jnp.zeros_like(strip, dtype=jnp.float32) for _ in range(width)]
     for k in range(count):
         mk = (strip == k).astype(jnp.float32)
         for j in range(width):
-            outs[j] = outs[j] + mk * c_ref[0, base + k * stride + j]
+            outs[j] = outs[j] + mk * c(base + k * stride + j)
     return outs
 
 
@@ -255,7 +255,8 @@ def _xorshift(s):
 
 
 def make_pallas_trace_fn(cfg: TraceConfig, num_fc: int, num_oc: int,
-                         rays_tile_rows: int, interpret: bool = False):
+                         rays_tile_rows: int, interpret: bool = False,
+                         phase_gating: bool = True):
     """Build the jitted cell-grid tracer.
 
     Returns ``trace(cell_params, geom_row, rays_in, rng_in) -> (dep, bounces)``:
@@ -269,6 +270,12 @@ def make_pallas_trace_fn(cfg: TraceConfig, num_fc: int, num_oc: int,
     max_bounces = cfg.max_bounces
 
     def kernel(g_ref, c_ref, rays_ref, rng_ref, dep_ref, nb_ref):
+        def g(j):
+            return g_ref[0, j]
+
+        def c(j):
+            return c_ref[0, 0, j]
+
         x = rays_ref[0, 0]
         y = rays_ref[0, 1]
         ter = rays_ref[0, 2]
@@ -283,20 +290,20 @@ def make_pallas_trace_fn(cfg: TraceConfig, num_fc: int, num_oc: int,
             return phr * re - phi_ * im, phr * im + phi_ * re
 
         def in_ic(px, py):
-            dx = px - g_ref[0, _G_IC]
-            dy = py - g_ref[0, _G_IC + 1]
-            return dx * dx + dy * dy <= g_ref[0, _G_IC + 2]
+            dx = px - g(_G_IC)
+            dy = py - g(_G_IC + 1)
+            return dx * dx + dy * dy <= g(_G_IC + 2)
 
         # ---------- init: first IC interaction from air ----------
-        pa = _jones_scalar(c_ref, _INIT_JA, ter, tei, tmr, tmi)
-        pb = _jones_scalar(c_ref, _INIT_JB, ter, tei, tmr, tmi)
+        pa = _jones_scalar(c, _INIT_JA, ter, tei, tmr, tmi)
+        pb = _jones_scalar(c, _INIT_JB, ter, tei, tmr, tmi)
         pw_a = pa[0] ** 2 + pa[1] ** 2 + pa[2] ** 2 + pa[3] ** 2
         pw_b = pb[0] ** 2 + pb[1] ** 2 + pb[2] ** 2 + pb[3] ** 2
-        inv_cos0 = 1.0 / c_ref[0, _INIT_COS0]
-        eff_a = pw_a * c_ref[0, _INIT_SA] * inv_cos0
-        eff_b = pw_b * c_ref[0, _INIT_SB] * inv_cos0
+        inv_cos0 = 1.0 / c(_INIT_COS0)
+        eff_a = pw_a * c(_INIT_SA) * inv_cos0
+        eff_b = pw_b * c(_INIT_SB) * inv_cos0
         rng = _xorshift(rng)
-        u = rng.astype(f32) * f32(1.0 / 4294967296.0)
+        u = (rng >> 8).astype(jnp.int32).astype(f32) * f32(1.0 / 16777216.0)
         a = u <= eff_a
         b = (~a) & (u <= eff_a + eff_b)
         ter1 = jnp.where(a, pa[0], pb[0])
@@ -306,19 +313,19 @@ def make_pallas_trace_fn(cfg: TraceConfig, num_fc: int, num_oc: int,
         pw = ter1 * ter1 + tei1 * tei1 + tmr1 * tmr1 + tmi1 * tmi1
         inv = jax.lax.rsqrt(jnp.maximum(pw, 1e-30))
         # dir 0 (accept A) or dir 2 (accept B)
-        phr = jnp.where(a, c_ref[0, _TIR_PH + 0], c_ref[0, _TIR_PH + 4])
-        phi_ = jnp.where(a, c_ref[0, _TIR_PH + 1], c_ref[0, _TIR_PH + 5])
+        phr = jnp.where(a, c(_TIR_PH + 0), c(_TIR_PH + 4))
+        phi_ = jnp.where(a, c(_TIR_PH + 1), c(_TIR_PH + 5))
         ter1, tei1 = ter1 * inv, tei1 * inv
         tmr1, tmi1 = phase_mul(phr, phi_, tmr1 * inv, tmi1 * inv)
-        gx = jnp.where(a, c_ref[0, _GAPS + 0], c_ref[0, _GAPS + 4])
-        gy = jnp.where(a, c_ref[0, _GAPS + 1], c_ref[0, _GAPS + 5])
+        gx = jnp.where(a, c(_GAPS + 0), c(_GAPS + 4))
+        gy = jnp.where(a, c(_GAPS + 1), c(_GAPS + 5))
         x1 = x + gx
         y1 = y + gy
         icin = in_ic(x1, y1)
         state = jnp.where(
             a, jnp.where(icin, 0, 2), jnp.where(b & icin, 1, 6)
         ).astype(jnp.int32)
-        cos_th = jnp.where(a, c_ref[0, _IC_SA], c_ref[0, _IC_SB])
+        cos_th = jnp.where(a, c(_IC_SA), c(_IC_SB))
         live0 = state < 6
         x = jnp.where(live0, x1, x)
         y = jnp.where(live0, y1, y)
@@ -337,7 +344,7 @@ def make_pallas_trace_fn(cfg: TraceConfig, num_fc: int, num_oc: int,
              nb, it) = carry
             alive = state < 6
             nb = nb + jnp.sum(alive.astype(jnp.int32))
-            in_r1 = _region_test(g_ref, _G_R1, x, y)
+            in_r1 = _region_test(g, _G_R1, x, y)
             state = jnp.where(alive & ~in_r1, 6, state)
             alive = state < 6
 
@@ -347,24 +354,24 @@ def make_pallas_trace_fn(cfg: TraceConfig, num_fc: int, num_oc: int,
             bit = (state & 1) == 1
 
             # membership + strip indices
-            yrot = g_ref[0, _G_FC_ROT] * x + g_ref[0, _G_FC_ROT + 1] * y
-            in_hull = _region_test(g_ref, _G_HULL, x, y)
+            yrot = g(_G_FC_ROT) * x + g(_G_FC_ROT + 1) * y
+            in_hull = _region_test(g, _G_HULL, x, y)
             fc_strip = jnp.clip(
                 jnp.floor(
-                    (g_ref[0, _G_FC_TOP] - yrot) * g_ref[0, _G_FC_INVW]
+                    (g(_G_FC_TOP) - yrot) * g(_G_FC_INVW)
                 ).astype(jnp.int32),
                 0, num_fc - 1,
             )
-            yr = g_ref[0, _G_OC_ROT] * x + g_ref[0, _G_OC_ROT + 1] * y
+            yr = g(_G_OC_ROT) * x + g(_G_OC_ROT + 1) * y
             in_rect = (
-                (x >= g_ref[0, _G_OC_B] - _EDGE_TOL)
-                & (x <= g_ref[0, _G_OC_B + 1] + _EDGE_TOL)
-                & (y >= g_ref[0, _G_OC_B + 2] - _EDGE_TOL)
-                & (y <= g_ref[0, _G_OC_B + 3] + _EDGE_TOL)
+                (x >= g(_G_OC_B) - _EDGE_TOL)
+                & (x <= g(_G_OC_B + 1) + _EDGE_TOL)
+                & (y >= g(_G_OC_B + 2) - _EDGE_TOL)
+                & (y <= g(_G_OC_B + 3) + _EDGE_TOL)
             )
             oc_strip = jnp.clip(
                 jnp.floor(
-                    (g_ref[0, _G_OC_TOP] - yr) * g_ref[0, _G_OC_INVW]
+                    (g(_G_OC_TOP) - yr) * g(_G_OC_INVW)
                 ).astype(jnp.int32),
                 0, num_oc - 1,
             )
@@ -376,19 +383,19 @@ def make_pallas_trace_fn(cfg: TraceConfig, num_fc: int, num_oc: int,
 
             # ---- IC site (scalar params, bit-selected)
             def ic_block(_):
-                ja = [_bitsel(c_ref, _IC_BLK + j, _IC_BLK + 16 + j, bit)
+                ja = [_bitsel(c, _IC_BLK + j, _IC_BLK + 16 + j, bit)
                       for j in range(8)]
-                jb = [_bitsel(c_ref, _IC_BLK + 8 + j, _IC_BLK + 24 + j, bit)
+                jb = [_bitsel(c, _IC_BLK + 8 + j, _IC_BLK + 24 + j, bit)
                       for j in range(8)]
                 pa = _jones_vec(ja, 0, ter, tei, tmr, tmi)
                 pb = _jones_vec(jb, 0, ter, tei, tmr, tmi)
                 return (*pa, *pb,
-                        jnp.broadcast_to(c_ref[0, _IC_SA], x.shape),
-                        jnp.broadcast_to(c_ref[0, _IC_SB], x.shape))
+                        jnp.broadcast_to(c(_IC_SA), x.shape),
+                        jnp.broadcast_to(c(_IC_SB), x.shape))
 
             # ---- FC site (strip one-hot accumulate)
             def fc_block(_):
-                p = _accum_params(c_ref, _FC_BLK, _FC_STRIDE, num_fc, 34, fc_strip)
+                p = _accum_params(c, _FC_BLK, _FC_STRIDE, num_fc, 34, fc_strip)
                 ja = [jnp.where(bit, p[16 + j], p[j]) for j in range(8)]
                 jb = [jnp.where(bit, p[24 + j], p[8 + j]) for j in range(8)]
                 pa = _jones_vec(ja, 0, ter, tei, tmr, tmi)
@@ -397,7 +404,7 @@ def make_pallas_trace_fn(cfg: TraceConfig, num_fc: int, num_oc: int,
 
             # ---- OC site
             def oc_block(_):
-                p = _accum_params(c_ref, _OC_BLK, _OC_STRIDE, num_oc, 50, oc_strip)
+                p = _accum_params(c, _OC_BLK, _OC_STRIDE, num_oc, 50, oc_strip)
                 ja = [jnp.where(bit, p[24 + j], p[j]) for j in range(8)]
                 jb = [jnp.where(bit, p[32 + j], p[8 + j]) for j in range(8)]
                 jc = [jnp.where(bit, p[40 + j], p[16 + j]) for j in range(8)]
@@ -406,14 +413,19 @@ def make_pallas_trace_fn(cfg: TraceConfig, num_fc: int, num_oc: int,
                 pc = _jones_vec(jc, 0, ter, tei, tmr, tmi)
                 return (*pa, *pb, *pc, p[48], p[49])
 
-            zeros10 = (zero,) * 10
-            ic_out = jax.lax.cond(jnp.any(grp_ic), ic_block,
-                                  lambda _: zeros10, None)
-            fc_out = jax.lax.cond(jnp.any(hit_fc), fc_block,
-                                  lambda _: zeros10, None)
-            zeros14 = (zero,) * 14
-            oc_out = jax.lax.cond(jnp.any(hit_oc), oc_block,
-                                  lambda _: zeros14, None)
+            if phase_gating:
+                zeros10 = (zero,) * 10
+                ic_out = jax.lax.cond(jnp.any(grp_ic), ic_block,
+                                      lambda _: zeros10, None)
+                fc_out = jax.lax.cond(jnp.any(hit_fc), fc_block,
+                                      lambda _: zeros10, None)
+                zeros14 = (zero,) * 14
+                oc_out = jax.lax.cond(jnp.any(hit_oc), oc_block,
+                                      lambda _: zeros14, None)
+            else:
+                ic_out = ic_block(None)
+                fc_out = fc_block(None)
+                oc_out = oc_block(None)
 
             gfc = grp_fc
             goc = grp_oc
@@ -427,7 +439,7 @@ def make_pallas_trace_fn(cfg: TraceConfig, num_fc: int, num_oc: int,
             pol_c = tuple(oc_out[8 + j] for j in range(4))
             s_a = sel3(ic_out[8], fc_out[8], oc_out[12])
             s_b = sel3(ic_out[9], fc_out[9], oc_out[13])
-            s_c = c_ref[0, _OC_SOUT]
+            s_c = c(_OC_SOUT)
 
             inv_cos = 1.0 / cos_th
             eff_a = (pol_a[0] ** 2 + pol_a[1] ** 2 + pol_a[2] ** 2
@@ -438,7 +450,8 @@ def make_pallas_trace_fn(cfg: TraceConfig, num_fc: int, num_oc: int,
                      + pol_c[3] ** 2) * s_c * inv_cos
 
             rng_new = _xorshift(rng)
-            u = rng_new.astype(f32) * f32(1.0 / 4294967296.0)
+            u = ((rng_new >> 8).astype(jnp.int32).astype(f32)
+                 * f32(1.0 / 16777216.0))
             rng = jnp.where(interact, rng_new, rng)
             br_a = interact & (u <= eff_a) & (eff_a > 0)
             br_b = interact & ~br_a & (u <= eff_a + eff_b) & (eff_b > 0)
@@ -461,10 +474,10 @@ def make_pallas_trace_fn(cfg: TraceConfig, num_fc: int, num_oc: int,
             inv = jax.lax.rsqrt(jnp.maximum(pw, 1e-30))
 
             def dir_gather(base, stride=2):
-                v0 = c_ref[0, base + 0]
-                v1 = c_ref[0, base + stride]
-                v2 = c_ref[0, base + 2 * stride]
-                v3 = c_ref[0, base + 3 * stride]
+                v0 = c(base + 0)
+                v1 = c(base + stride)
+                v2 = c(base + 2 * stride)
+                v3 = c(base + 3 * stride)
                 return jnp.where(
                     dirs == 0, v0,
                     jnp.where(dirs == 1, v1, jnp.where(dirs == 2, v2, v3)),
@@ -485,10 +498,10 @@ def make_pallas_trace_fn(cfg: TraceConfig, num_fc: int, num_oc: int,
             st_acc = jnp.where(br_a, st_a, st_b)
 
             # deposit (branch C)
-            ebx0 = c_ref[0, _EBR]
-            ebx1 = c_ref[0, _EBR + 1]
-            eby0 = c_ref[0, _EBR + 2]
-            eby1 = c_ref[0, _EBR + 3]
+            ebx0 = c(_EBR)
+            ebx1 = c(_EBR + 1)
+            eby0 = c(_EBR + 2)
+            eby1 = c(_EBR + 3)
             in_quad = ((x >= ebx0 - _EDGE_TOL) & (x <= ebx1 + _EDGE_TOL)
                        & (y >= eby0 - _EDGE_TOL) & (y <= eby1 + _EDGE_TOL))
             ix = jnp.clip(
@@ -504,14 +517,14 @@ def make_pallas_trace_fn(cfg: TraceConfig, num_fc: int, num_oc: int,
             # misses
             miss_fc2 = grp_fc & ~in_hull & (state == 2)
             miss_fc3 = grp_fc & ~in_hull & (state == 3)
-            in_r2 = _region_test(g_ref, _G_R2, x, y)
+            in_r2 = _region_test(g, _G_R2, x, y)
             fc3_to_oc = miss_fc3 & ~in_r2
             hop = miss_fc2 | (miss_fc3 & in_r2) | (grp_oc & ~in_rect & (state == 4))
             miss_oc5 = grp_oc & ~in_rect & (state == 5)
-            h_phr = jnp.where(miss_fc2, c_ref[0, _HOP2_PH + 0],
-                              c_ref[0, _HOP2_PH + 2])
-            h_phi = jnp.where(miss_fc2, c_ref[0, _HOP2_PH + 1],
-                              c_ref[0, _HOP2_PH + 3])
+            h_phr = jnp.where(miss_fc2, c(_HOP2_PH + 0),
+                              c(_HOP2_PH + 2))
+            h_phi = jnp.where(miss_fc2, c(_HOP2_PH + 1),
+                              c(_HOP2_PH + 3))
             hop_tmr, hop_tmi = phase_mul(h_phr, h_phi, tmr, tmi)
 
             state = jnp.where(
@@ -537,14 +550,14 @@ def make_pallas_trace_fn(cfg: TraceConfig, num_fc: int, num_oc: int,
                  rng, dep, jnp.int32(0), jnp.int32(0))
         carry = jax.lax.while_loop(cond, body, carry)
         dep_ref[0] = carry[11]
-        nb_ref[0, 0] = carry[12]
+        nb_ref[0, 0, 0] = carry[12]
 
     @jax.jit
     def trace(cell_params, geom_row, rays_in, rng_in):
         C = cell_params.shape[0]
         out_shapes = (
             jax.ShapeDtypeStruct((C, RT, LANES), jnp.int32),
-            jax.ShapeDtypeStruct((C, 1), jnp.int32),
+            jax.ShapeDtypeStruct((C, 1, 1), jnp.int32),
         )
         dep, nb = pl.pallas_call(
             kernel,
@@ -552,7 +565,7 @@ def make_pallas_trace_fn(cfg: TraceConfig, num_fc: int, num_oc: int,
             in_specs=[
                 pl.BlockSpec((1, PG), lambda i: (0, 0),
                              memory_space=pltpu.SMEM),
-                pl.BlockSpec((1, PC), lambda i: (i, 0),
+                pl.BlockSpec((1, 1, PC), lambda i: (i, 0, 0),
                              memory_space=pltpu.SMEM),
                 pl.BlockSpec((1, 6, RT, LANES), lambda i: (i, 0, 0, 0),
                              memory_space=pltpu.VMEM),
@@ -562,13 +575,13 @@ def make_pallas_trace_fn(cfg: TraceConfig, num_fc: int, num_oc: int,
             out_specs=(
                 pl.BlockSpec((1, RT, LANES), lambda i: (i, 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 1), lambda i: (i, 0),
+                pl.BlockSpec((1, 1, 1), lambda i: (i, 0, 0),
                              memory_space=pltpu.SMEM),
             ),
             out_shape=out_shapes,
             interpret=interpret,
-        )(geom_row, cell_params, rays_in, rng_in)
-        return dep, nb
+        )(geom_row, cell_params[:, None, :], rays_in, rng_in)
+        return dep, nb.reshape(C, 1)
 
     return trace
 

@@ -33,7 +33,10 @@ def draw_uniform(state: jnp.ndarray, ray_idx: jnp.ndarray, advance: jnp.ndarray)
     """
     s = jnp.where(state == 0, _RESEED ^ (ray_idx.astype(jnp.uint32) + 1), state)
     s_new = xorshift32_step(s)
-    u = s_new.astype(jnp.float32) * jnp.float32(1.0 / 4294967296.0)
+    # top-24-bit draw: exact in float32 (and the TPU backend lacks uint32->f32
+    # casts); differs from the reference's s * 2^-32 by < 6e-8
+    u = ((s_new >> 8).astype(jnp.int32).astype(jnp.float32)
+         * jnp.float32(1.0 / 16777216.0))
     return u, jnp.where(advance, s_new, state)
 
 

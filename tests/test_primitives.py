@@ -32,7 +32,11 @@ def test_draw_uniform_matches_oracle_sequence():
         u_o = np.empty(n)
         for i in range(n):
             u_o[i], ostate[i] = oracle.uniform_from_state(int(ostate[i]), i)
-        np.testing.assert_allclose(np.asarray(u_j), u_o.astype(np.float32), rtol=1e-6)
+        # the engine draws from the top 24 bits (float32-exact); the oracle keeps
+        # the reference's full 32-bit/float64 draw — equal to < 2^-24
+        np.testing.assert_allclose(
+            np.asarray(u_j), u_o.astype(np.float32), atol=1.0 / 16777216.0
+        )
     assert np.array_equal(np.asarray(jstate), ostate.astype(np.uint32))
 
 
