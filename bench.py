@@ -8,6 +8,9 @@ The baseline denominator is the 1 G ray-bounces/sec/chip rebuild target from
 BASELINE.md (the reference publishes no absolute numbers; it defines the workload:
 full-color tracing of the paper design over a 100x75 FoV grid,
 gpu_ray_tracing_pro_fullColor.py:16-17,60-63).
+
+Env knobs: BENCH_ENGINE (pallas|jnp), BENCH_FOV_X/Y, BENCH_RAYS_PER_FOV,
+BENCH_CELLS_PER_BATCH, BENCH_MAX_BOUNCES.
 """
 
 import json
@@ -15,91 +18,62 @@ import os
 import sys
 import time
 
-import numpy as np
 
-
-def main():
+def run(engine: str):
     import jax
 
     from gpu_ray_tracing_for_waveguide_based_ar_display_tpu.config import TraceConfig
-    from gpu_ray_tracing_for_waveguide_based_ar_display_tpu.design import (
-        generate_geometry,
-    )
-    from gpu_ray_tracing_for_waveguide_based_ar_display_tpu.engine import (
-        seeding,
-        trace_jnp,
-    )
-    from gpu_ray_tracing_for_waveguide_based_ar_display_tpu.engine.trace_geometry import (
-        build_trace_geometry,
-    )
-    from gpu_ray_tracing_for_waveguide_based_ar_display_tpu.luts import (
-        make_synthetic_luts,
-    )
-    from gpu_ray_tracing_for_waveguide_based_ar_display_tpu.luts.packing import (
-        build_cell_tables,
+    from gpu_ray_tracing_for_waveguide_based_ar_display_tpu.engine.pipeline import (
+        Simulator,
     )
 
-    # paper-default workload shape; ray count sized for a ~1 minute benchmark
     num_fov_x = int(os.environ.get("BENCH_FOV_X", 100))
     num_fov_y = int(os.environ.get("BENCH_FOV_Y", 75))
-    rays_per_fov = int(os.environ.get("BENCH_RAYS_PER_FOV", 200))
+    rays_per_fov = int(os.environ.get("BENCH_RAYS_PER_FOV", 512))
     cells_per_batch = int(os.environ.get("BENCH_CELLS_PER_BATCH", 2500))
+    max_bounces = int(os.environ.get("BENCH_MAX_BOUNCES", 4096))
 
     cfg = TraceConfig(
         num_fov_x=num_fov_x, num_fov_y=num_fov_y, rays_per_fov=rays_per_fov,
-        max_bounces=4096, seed=0,
+        max_bounces=max_bounces, seed=0, rng_mode="fast", ic_test="circle",
     )
-    geom = generate_geometry(num_fov_x=num_fov_x, num_fov_y=num_fov_y)
-    luts = make_synthetic_luts(geom)
-    tables = build_cell_tables(geom, luts)
-    tgeom = build_trace_geometry(geom, simplify_tol=1e-3)
-    trace = trace_jnp.make_trace_fn(tables, tgeom, cfg)
-    L = 3
+    sim = Simulator(cfg=cfg, engine=engine,
+                    geometry_simplify_tol=0.05 if engine == "pallas" else 1e-3)
 
-    def batch_for(cells):
-        b = seeding.build_ray_batch(geom, cfg, cell_ids=cells)
-        return trace_jnp.make_ray_state(
-            b["x"], b["y"], b["te"], b["tm"], b["cid"], b["idx"], b["rng"]
-        )
+    # warm-up (compile) on one batch
+    import numpy as np
 
-    all_cells = np.arange(L * num_fov_x * num_fov_y)
-    chunks = [
-        all_cells[i : i + cells_per_batch]
-        for i in range(0, len(all_cells), cells_per_batch)
-    ]
-    # uniform chunk sizes avoid re-jitting; drop a ragged tail if present
-    chunks = [c for c in chunks if len(c) == len(chunks[0])]
+    warm = np.arange(min(cells_per_batch, 3 * num_fov_x * num_fov_y))
+    out = sim.trace_batch(warm, rays_per_fov, 0)
+    jax.block_until_ready(out[0])
 
-    # warm-up / compile on the first chunk
-    rays = batch_for(chunks[0])
-    out = trace(rays)
-    jax.block_until_ready(out)
+    res = sim.run(num_iter=1, cells_per_batch=cells_per_batch,
+                  evaluate_metrics=False)
+    return {
+        "metric": "ray-bounces/sec/chip",
+        "value": round(res.bounces_per_second),
+        "unit": "bounces/s",
+        "vs_baseline": round(res.bounces_per_second / 1e9, 4),
+        "rays_per_sec": round(res.rays_per_second),
+        "total_bounces": res.total_bounces,
+        "rays_traced": res.rays_traced,
+        "elapsed_s": round(res.trace_seconds, 2),
+        "engine": engine,
+        "device": str(jax.devices()[0]),
+    }
 
-    total_bounces = 0
-    total_rays = 0
-    t0 = time.perf_counter()
-    for c in chunks:
-        rays = batch_for(c)
-        rays_f, bounces = trace(rays)
-        total_bounces += int(bounces)
-        total_rays += len(np.asarray(rays_f["dep"]))
-    elapsed = time.perf_counter() - t0
 
-    bps = total_bounces / elapsed
-    print(
-        json.dumps(
-            {
-                "metric": "ray-bounces/sec/chip",
-                "value": round(bps),
-                "unit": "bounces/s",
-                "vs_baseline": round(bps / 1e9, 4),
-                "rays_per_sec": round(total_rays / elapsed),
-                "total_bounces": total_bounces,
-                "elapsed_s": round(elapsed, 2),
-                "device": str(jax.devices()[0]),
-            }
-        )
-    )
+def main():
+    engine = os.environ.get("BENCH_ENGINE", "pallas")
+    try:
+        out = run(engine)
+    except Exception as e:  # pallas unavailable on some backends -> XLA engine
+        if engine == "pallas":
+            out = run("jnp")
+            out["fallback_reason"] = f"{type(e).__name__}: {str(e)[:120]}"
+        else:
+            raise
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
