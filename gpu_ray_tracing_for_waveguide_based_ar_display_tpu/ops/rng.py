@@ -47,7 +47,8 @@ def seed_parity(ray_idx: np.ndarray) -> np.ndarray:
 
 def seed_fast(ray_idx: np.ndarray, seed: int) -> np.ndarray:
     """Splitmix32-style hash of (global seed, ray index)."""
-    x = ray_idx.astype(np.uint64) + np.uint64(seed) * np.uint64(0x9E3779B97F4A7C15)
+    offset = np.uint64((seed * 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF)
+    x = ray_idx.astype(np.uint64) + offset
     x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
     x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
     x = x ^ (x >> np.uint64(31))

@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from ..config import TraceConfig
 from ..luts.packing import CellTables
@@ -82,7 +82,7 @@ def make_sharded_trace_fn(
         mesh=mesh,
         in_specs=(P(axes),),
         out_specs=(P(), P()),
-        check_rep=False,
+        check_vma=False,
     )
     def _sharded(rays):
         rays_f, bounces = core(rays)
