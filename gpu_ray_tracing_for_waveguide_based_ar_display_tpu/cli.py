@@ -42,8 +42,12 @@ def cmd_simulate(args) -> int:
     )
     sim = Simulator(design=presets.get(args.design), cfg=cfg,
                     luts_dir=args.luts_dir,
-                    geometry_simplify_tol=args.simplify_tol)
-    res = sim.run(cells_per_batch=args.cells_per_batch, verbose=args.verbose)
+                    geometry_simplify_tol=args.simplify_tol,
+                    engine=args.engine)
+    wl = (tuple(int(w) for w in args.wavelengths.split(","))
+          if args.wavelengths else None)
+    res = sim.run(cells_per_batch=args.cells_per_batch, verbose=args.verbose,
+                  wavelengths=wl, checkpoint_path=args.checkpoint)
     print(format_report(res))
     if args.image and res.metrics is not None:
         save_eyebox_center_view(args.image, res.metrics.output_image)
@@ -116,6 +120,10 @@ def main(argv=None) -> int:
     p.add_argument("--simplify-tol", type=float, default=0.0)
     p.add_argument("--image", default="Eyebox Center View.png",
                    help="output PNG path ('' to skip)")
+    p.add_argument("--engine", default="jnp", choices=("jnp", "pallas"))
+    p.add_argument("--wavelengths", default=None,
+                   help="comma-separated wavelength indices (e.g. '1' = green only)")
+    p.add_argument("--checkpoint", default=None, help="resumable checkpoint path")
     p.add_argument("--json", default=None, help="write metrics JSON here")
     p.add_argument("--verbose", action="store_true")
     p.set_defaults(fn=cmd_simulate)

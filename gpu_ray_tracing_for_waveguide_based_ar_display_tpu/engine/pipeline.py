@@ -134,16 +134,37 @@ class Simulator:
         evaluate_metrics: bool = True,
         eval_cfg: EvalConfig = EvalConfig(),
         verbose: bool = False,
+        wavelengths: Optional[tuple] = None,
+        checkpoint_path: Optional[str] = None,
+        checkpoint_every: int = 1,
     ) -> SimulationResult:
+        """Trace the full workload and reduce metrics.
+
+        ``wavelengths``: optional subset of wavelength indices to trace (e.g.
+        ``(1,)`` for a green-only run); other cells receive no rays.
+        ``checkpoint_path``: resumable additive-histogram checkpointing every
+        ``checkpoint_every`` iterations (see utils/checkpoint.py).
+        """
         rpf = rays_per_fov if rays_per_fov is not None else self.cfg.rays_per_fov
         iters = num_iter if num_iter is not None else self.cfg.num_iter
         all_cells = np.arange(self.L * self.M * self.N)
+        if wavelengths is not None:
+            lsel = np.asarray(all_cells // (self.M * self.N))
+            all_cells = all_cells[np.isin(lsel, np.asarray(wavelengths))]
 
         hist_acc = None
         total_bounces = 0
         total_rays = 0
+        start_iter = 0
+        if checkpoint_path:
+            from ..utils.checkpoint import load_checkpoint
+
+            resumed = load_checkpoint(checkpoint_path, self.design, self.cfg)
+            if resumed is not None:
+                h0, start_iter, total_bounces = resumed
+                hist_acc = jax.numpy.asarray(h0)
         t0 = time.perf_counter()
-        for it in range(iters):
+        for it in range(start_iter, iters):
             for start in range(0, len(all_cells), cells_per_batch):
                 chunk = all_cells[start : start + cells_per_batch]
                 hist, bounces, n = self.trace_batch(chunk, rpf, it)
@@ -155,6 +176,13 @@ class Simulator:
                         f"iter {it} cells {start}-{start + len(chunk)}: "
                         f"{int(bounces):,} bounces"
                     )
+            if checkpoint_path and (it + 1) % checkpoint_every == 0:
+                from ..utils.checkpoint import save_checkpoint
+
+                save_checkpoint(
+                    checkpoint_path, np.asarray(hist_acc), it + 1,
+                    self.design, self.cfg, total_bounces,
+                )
         histogram = np.asarray(jax.block_until_ready(hist_acc))
         trace_seconds = time.perf_counter() - t0
 

@@ -67,3 +67,24 @@ def test_design_sweep_changes_results():
     ).run(evaluate_metrics=False)
     # thicker substrate -> longer hops -> different pupil replication density
     assert base.histogram.sum() != thick.histogram.sum()
+
+
+def test_wavelength_subset(sim):
+    res = sim.run(rays_per_fov=40, num_iter=1, evaluate_metrics=False,
+                  wavelengths=(1,))
+    # only the green (index 1) slice receives deposits
+    assert res.histogram[1].sum() > 0
+    assert res.histogram[0].sum() == 0
+    assert res.histogram[2].sum() == 0
+    assert res.rays_traced == 40 * 6 * 4
+
+
+def test_checkpoint_resume(sim, tmp_path):
+    path = str(tmp_path / "run.npz")
+    full = sim.run(rays_per_fov=30, num_iter=2, evaluate_metrics=False)
+    part = sim.run(rays_per_fov=30, num_iter=1, evaluate_metrics=False,
+                   checkpoint_path=path)
+    # resuming from the 1-iteration checkpoint completes to the same histogram
+    resumed = sim.run(rays_per_fov=30, num_iter=2, evaluate_metrics=False,
+                      checkpoint_path=path)
+    np.testing.assert_array_equal(resumed.histogram, full.histogram)
