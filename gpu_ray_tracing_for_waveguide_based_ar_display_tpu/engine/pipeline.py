@@ -80,6 +80,7 @@ class Simulator:
         self._hist_shape = (self.L, self.N, self.M, ny, nx)
         if engine == "jnp":
             self.trace_fn = trace_jnp.make_trace_fn(self.tables, self.tgeom, cfg)
+            self._resume_fns = {}
         else:
             self._cp = trace_pallas.build_kernel_cell_params(
                 self.tables, self.geom.eyebox_range
@@ -125,6 +126,82 @@ class Simulator:
         import jax.numpy as jnp
 
         return hist, jnp.sum(nb), len(batch["x"])
+
+    def trace_batch_compacted(
+        self, cell_ids: np.ndarray, rays_per_cell: int, iteration: int,
+        segment_bounces: int = 64, min_live: int = 4096,
+    ):
+        """jnp-engine tracing in bounce segments with host-side compaction.
+
+        The single while_loop form pays for every dead ray until the batch's
+        slowest ray finishes; segmenting re-packs survivors after every
+        ``segment_bounces`` so late-bounce work runs on a small dense batch.
+        Bitwise-identical to :meth:`trace_batch` (per-ray RNG streams carry over).
+        """
+        if self.engine != "jnp":
+            raise ValueError("compacted tracing is a jnp-engine scheduler")
+        import jax.numpy as jnp
+
+        batch = seeding.build_ray_batch(
+            self.geom, self.cfg, cell_ids=cell_ids,
+            rays_per_cell=rays_per_cell, iteration=iteration,
+        )
+        rays = trace_jnp.make_ray_state(
+            batch["x"], batch["y"], batch["te"], batch["tm"],
+            batch["cid"], batch["idx"], batch["rng"],
+        )
+        seg_cfg = dataclasses.replace(self.cfg, max_bounces=segment_bounces)
+        key = ("seg", segment_bounces)
+        if key not in self._resume_fns:
+            T = trace_jnp._as_jnp(self.tables)
+            G = trace_jnp._geom_jnp(self.tgeom)
+            full = trace_jnp.make_trace_fn_dynamic(
+                seg_cfg, self.tgeom.num_fc, self.tgeom.num_oc, self.M * self.N,
+                mode="full")
+            resume = trace_jnp.make_trace_fn_dynamic(
+                seg_cfg, self.tgeom.num_fc, self.tgeom.num_oc, self.M * self.N,
+                mode="resume")
+            self._resume_fns[key] = (
+                jax.jit(lambda r: full(r, T, G)),
+                jax.jit(lambda r: resume(r, T, G)),
+            )
+        full_fn, resume_fn = self._resume_fns[key]
+
+        ny, nx = self.cfg.eyebox_bins
+        hist = None
+        total_bounces = 0
+        n_rays = len(batch["x"])
+        fn = full_fn
+        remaining = self.cfg.max_bounces
+        while remaining > 0:
+            rays_f, bounces = fn(rays)
+            total_bounces += int(bounces)
+            remaining -= segment_bounces
+            h = trace_jnp.deposits_to_histogram(
+                rays_f["dep"], rays_f["cid"], self.L, self.M, self.N, ny, nx)
+            hist = h if hist is None else hist + h
+            state = np.asarray(rays_f["state"])
+            live = np.flatnonzero(state < 6)
+            if len(live) == 0 or remaining <= 0:
+                break
+            # round the survivor count up to a power of two to bound re-jits
+            target = max(min_live, 1 << int(np.ceil(np.log2(len(live)))))
+            sel = np.pad(live, (0, max(0, target - len(live))),
+                         constant_values=live[0] if len(live) else 0)
+            rays = {k: jnp.asarray(np.asarray(v)[sel]) for k, v in rays_f.items()}
+            if target > len(live):
+                # mark the pad duplicates dead so they are ignored
+                st = np.asarray(rays["state"]).copy()
+                st[len(live):] = 6
+                rays["state"] = jnp.asarray(st)
+                dp = np.asarray(rays["dep"]).copy()
+                dp[len(live):] = -1
+                rays["dep"] = jnp.asarray(dp)
+            # already-deposited rays were binned in this segment; reset so the
+            # next segment's histogram only adds new deposits
+            rays["dep"] = jnp.where(rays["state"] < 6, -1, -1).astype(jnp.int32)
+            fn = resume_fn
+        return hist, total_bounces, n_rays
 
     def run(
         self,

@@ -138,13 +138,18 @@ def make_ray_state(x, y, te, tm, cid, ray_idx, rng_state,
 
 
 def make_trace_fn_dynamic(
-    cfg: TraceConfig, num_fc: int, num_oc: int, n_cells_mn: int
+    cfg: TraceConfig, num_fc: int, num_oc: int, n_cells_mn: int,
+    mode: str = "full",
 ):
     """Build ``trace(rays, T, G) -> (rays_final, bounces)`` with tables/geometry as
     pytree *arguments* (dicts from :func:`_as_jnp` / :func:`_geom_jnp`).
 
     One compilation serves any design of the same strip counts and FoV grid; vmap
     over a leading design axis of (rays, T, G) for batched sweeps.
+
+    ``mode='resume'`` skips the first-IC init step and just runs the bounce loop on
+    already-initialized state — the building block for host-level segment +
+    compaction scheduling (trace a bounce budget, gather survivors, continue).
     """
     ny, nx = cfg.eyebox_bins
     use_circle_ic = cfg.ic_test == "circle"
@@ -371,7 +376,8 @@ def make_trace_fn_dynamic(
         return out, n_alive
 
     def trace_core(rays: dict, T: dict, G: dict):
-        rays = init_step(rays, T, G)
+        if mode == "full":
+            rays = init_step(rays, T, G)
 
         def cond(carry):
             rays, bounces, it = carry

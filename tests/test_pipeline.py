@@ -88,3 +88,14 @@ def test_checkpoint_resume(sim, tmp_path):
     resumed = sim.run(rays_per_fov=30, num_iter=2, evaluate_metrics=False,
                       checkpoint_path=path)
     np.testing.assert_array_equal(resumed.histogram, full.histogram)
+
+
+def test_compacted_tracing_matches(sim):
+    """Segmented+compacted scheduling must reproduce the plain trace exactly."""
+    cells = np.arange(3 * 6 * 4)
+    h1, b1, n1 = sim.trace_batch(cells, 50, 0)
+    h2, b2, n2 = sim.trace_batch_compacted(cells, 50, 0, segment_bounces=32,
+                                           min_live=64)
+    np.testing.assert_array_equal(np.asarray(h1), np.asarray(h2))
+    assert int(b1) == int(b2)
+    assert n1 == n2
