@@ -92,3 +92,25 @@ def test_pallas_histogram_matches(setup):
     )
     assert hist.shape == (3, N, M, 80, 120)
     assert hist.sum() == (np.asarray(dep2) >= 0).sum()
+
+
+def test_simulator_pallas_engine_interpret(setup):
+    """Pipeline wiring for engine='pallas' (interpret mode) matches jnp engine."""
+    from gpu_ray_tracing_for_waveguide_based_ar_display_tpu.engine.pipeline import (
+        Simulator,
+    )
+
+    geom, tables, tgeom, cfg, batch = setup
+    sim_p = Simulator(cfg=cfg, engine="pallas", interpret=True,
+                      geom=geom, geometry_simplify_tol=0.05)
+    sim_j = Simulator(cfg=cfg, engine="jnp", geom=geom,
+                      geometry_simplify_tol=0.05)
+    # identical LUT seeds -> identical tables; run a small subset of cells
+    rp = sim_p.run(rays_per_fov=RPC, num_iter=1, evaluate_metrics=False,
+                   cells_per_batch=20)
+    rj = sim_j.run(rays_per_fov=RPC, num_iter=1, evaluate_metrics=False,
+                   cells_per_batch=20)
+    # engines agree statistically; identical RNG -> near-identical histograms
+    d = np.abs(rp.histogram - rj.histogram).sum()
+    assert d / max(rj.histogram.sum(), 1) < 0.02
+    assert abs(rp.total_bounces - rj.total_bounces) / rj.total_bounces < 0.02
