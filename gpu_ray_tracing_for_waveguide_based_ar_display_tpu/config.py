@@ -99,6 +99,9 @@ class TraceConfig:
     # cell exactly like the reference driver (:79-115), vs. independent samples.
     shared_pupil_samples: bool = True
 
+    # 'numpy' or 'native' (C++ host sampler via ctypes, numpy fallback)
+    pupil_sampler: str = "numpy"
+
 
 @dataclasses.dataclass(frozen=True)
 class EvalConfig:

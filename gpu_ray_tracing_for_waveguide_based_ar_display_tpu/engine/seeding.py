@@ -58,12 +58,24 @@ def build_ray_batch(
     total = n_cells * rpc
 
     host_rng = np.random.default_rng(cfg.seed + 7919 * iteration)
+
+    def sample(n):
+        if cfg.pupil_sampler == "native":
+            from . import native
+
+            pts = native.sample_points_in_polygon(
+                geom.ic, n, seed=cfg.seed + 7919 * iteration
+            )
+            if pts is not None:
+                return pts
+        return sample_points_in_polygon(geom.ic, n, host_rng)
+
     if cfg.shared_pupil_samples:
-        pts = sample_points_in_polygon(geom.ic, half, host_rng)
+        pts = sample(half)
         x = np.tile(np.concatenate([pts[:, 0], pts[:, 0]]), n_cells)
         y = np.tile(np.concatenate([pts[:, 1], pts[:, 1]]), n_cells)
     else:
-        pts = sample_points_in_polygon(geom.ic, half * n_cells, host_rng)
+        pts = sample(half * n_cells)
         xs = pts[:, 0].reshape(n_cells, half)
         ys = pts[:, 1].reshape(n_cells, half)
         x = np.concatenate([xs, xs], axis=1).reshape(-1)
