@@ -23,7 +23,7 @@ from ..eval import EvalResult, efficiencies, evaluate
 from ..luts.io import load_or_synthesize
 from ..luts.packing import build_cell_tables
 from ..luts.schema import RcwaLuts
-from . import seeding, trace_jnp, trace_pallas
+from . import seeding, trace_cellblock, trace_jnp, trace_pallas
 from .trace_geometry import build_trace_geometry
 
 
@@ -59,7 +59,7 @@ class Simulator:
         engine: str = "jnp",
         interpret: bool = False,
     ):
-        if engine not in ("jnp", "pallas"):
+        if engine not in ("jnp", "pallas", "cellblock"):
             raise ValueError(f"unknown engine {engine!r}")
         self.engine = engine
         self.design = design
@@ -81,6 +81,16 @@ class Simulator:
         if engine == "jnp":
             self.trace_fn = trace_jnp.make_trace_fn(self.tables, self.tgeom, cfg)
             self._resume_fns = {}
+        elif engine == "cellblock":
+            import jax.numpy as jnp
+
+            T = trace_cellblock.build_cellblock_tables(
+                self.tables, self.geom.eyebox_range
+            )
+            self._cb_tables = {k: jnp.asarray(v) for k, v in T.items()}
+            self._cb_trace = trace_cellblock.make_cellblock_trace_fn(
+                cfg, self.tgeom.num_fc, self.tgeom.num_oc, self.tgeom
+            )
         else:
             self._cp = trace_pallas.build_kernel_cell_params(
                 self.tables, self.geom.eyebox_range
@@ -105,6 +115,17 @@ class Simulator:
             rays_f, bounces = self.trace_fn(rays)
             hist = trace_jnp.deposits_to_histogram(
                 rays_f["dep"], rays_f["cid"], self.L, self.M, self.N, ny, nx
+            )
+            return hist, bounces, len(batch["x"])
+
+        if self.engine == "cellblock":
+            blocks = trace_cellblock.make_ray_blocks(
+                batch, len(cell_ids), rays_per_cell
+            )
+            Tsel = {k: v[cell_ids] for k, v in self._cb_tables.items()}
+            rays_f, bounces = self._cb_trace(Tsel, blocks)
+            hist = trace_pallas.deposits_to_histogram_cells(
+                rays_f["dep"], cell_ids, self.L, self.M, self.N, ny, nx
             )
             return hist, bounces, len(batch["x"])
 
