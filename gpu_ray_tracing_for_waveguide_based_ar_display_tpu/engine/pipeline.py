@@ -138,7 +138,7 @@ class Simulator:
         rays_in, rng_in = trace_pallas.pack_ray_blocks(
             batch, len(cell_ids), rays_per_cell, rt
         )
-        dep, nb = self._rt_cache[rt](
+        dep, nb, *_ = self._rt_cache[rt](
             self._cp[cell_ids], self._gr, rays_in, rng_in
         )
         hist = trace_pallas.deposits_to_histogram_cells(

@@ -256,20 +256,32 @@ def _xorshift(s):
 
 def make_pallas_trace_fn(cfg: TraceConfig, num_fc: int, num_oc: int,
                          rays_tile_rows: int, interpret: bool = False,
-                         phase_gating: bool = True):
+                         phase_gating: bool = True, mode: str = "full"):
     """Build the jitted cell-grid tracer.
 
-    Returns ``trace(cell_params, geom_row, rays_in, rng_in) -> (dep, bounces)``:
-    - cell_params: (C, PC) f32; geom_row: (1, PG) f32
-    - rays_in: (C, 6, RT, 128) f32 fields (x, y, ter, tei, tmr, tmi)
-    - rng_in: (C, RT, 128) uint32
-    - dep: (C, RT, 128) int32 terminal bin (-1 = none); bounces: (C, 1) int32
+    mode='full':   ``trace(cell_params, geom_row, rays_in, rng_in)`` with
+                   rays_in (C, 6, RT, 128) fields (x, y, ter, tei, tmr, tmi) —
+                   runs the first-IC init then the bounce loop.
+    mode='resume': ``trace(cell_params, geom_row, rays_in, state_in, rng_in)``
+                   with rays_in (C, 9, RT, 128) adding (cos_th, gap_x, gap_y) —
+                   continues already-initialized rays (segmented scheduling).
+
+    Both return ``(dep, bounces, rays_out, state_out, rng_out)`` where rays_out is
+    the 9-field state block, enabling compaction between segments.
     """
     RT = rays_tile_rows
     ny, nx = cfg.eyebox_bins
     max_bounces = cfg.max_bounces
+    resume = mode == "resume"
 
-    def kernel(g_ref, c_ref, rays_ref, rng_ref, dep_ref, nb_ref):
+    def kernel(*refs):
+        if resume:
+            (g_ref, c_ref, rays_ref, st_ref, rng_ref,
+             dep_ref, nb_ref, ro_ref, so_ref, rgo_ref) = refs
+        else:
+            (g_ref, c_ref, rays_ref, rng_ref,
+             dep_ref, nb_ref, ro_ref, so_ref, rgo_ref) = refs
+
         def g(j):
             return g_ref[0, j]
 
@@ -295,43 +307,59 @@ def make_pallas_trace_fn(cfg: TraceConfig, num_fc: int, num_oc: int,
             return dx * dx + dy * dy <= g(_G_IC + 2)
 
         # ---------- init: first IC interaction from air ----------
-        pa = _jones_scalar(c, _INIT_JA, ter, tei, tmr, tmi)
-        pb = _jones_scalar(c, _INIT_JB, ter, tei, tmr, tmi)
-        pw_a = pa[0] ** 2 + pa[1] ** 2 + pa[2] ** 2 + pa[3] ** 2
-        pw_b = pb[0] ** 2 + pb[1] ** 2 + pb[2] ** 2 + pb[3] ** 2
-        inv_cos0 = 1.0 / c(_INIT_COS0)
-        eff_a = pw_a * c(_INIT_SA) * inv_cos0
-        eff_b = pw_b * c(_INIT_SB) * inv_cos0
-        rng = _xorshift(rng)
-        u = (rng >> 8).astype(jnp.int32).astype(f32) * f32(1.0 / 16777216.0)
-        a = u <= eff_a
-        b = (~a) & (u <= eff_a + eff_b)
-        ter1 = jnp.where(a, pa[0], pb[0])
-        tei1 = jnp.where(a, pa[1], pb[1])
-        tmr1 = jnp.where(a, pa[2], pb[2])
-        tmi1 = jnp.where(a, pa[3], pb[3])
-        pw = ter1 * ter1 + tei1 * tei1 + tmr1 * tmr1 + tmi1 * tmi1
-        inv = jax.lax.rsqrt(jnp.maximum(pw, 1e-30))
-        # dir 0 (accept A) or dir 2 (accept B)
-        phr = jnp.where(a, c(_TIR_PH + 0), c(_TIR_PH + 4))
-        phi_ = jnp.where(a, c(_TIR_PH + 1), c(_TIR_PH + 5))
-        ter1, tei1 = ter1 * inv, tei1 * inv
-        tmr1, tmi1 = phase_mul(phr, phi_, tmr1 * inv, tmi1 * inv)
-        gx = jnp.where(a, c(_GAPS + 0), c(_GAPS + 4))
-        gy = jnp.where(a, c(_GAPS + 1), c(_GAPS + 5))
-        x1 = x + gx
-        y1 = y + gy
-        icin = in_ic(x1, y1)
-        state = jnp.where(
-            a, jnp.where(icin, 0, 2), jnp.where(b & icin, 1, 6)
-        ).astype(jnp.int32)
-        cos_th = jnp.where(a, c(_IC_SA), c(_IC_SB))
-        live0 = state < 6
-        x = jnp.where(live0, x1, x)
-        y = jnp.where(live0, y1, y)
-        ter, tei = jnp.where(live0, ter1, ter), jnp.where(live0, tei1, tei)
-        tmr, tmi = jnp.where(live0, tmr1, tmr), jnp.where(live0, tmi1, tmi)
-        dep = jnp.full_like(state, -1)
+        if resume:
+            cos_th = rays_ref[0, 6]
+            gx0 = rays_ref[0, 7]
+            gy0 = rays_ref[0, 8]
+            state = st_ref[0]
+            dep = jnp.full_like(state, -1)
+            carry = (x, y, ter, tei, tmr, tmi, cos_th, gx0, gy0, state,
+                     rng, dep, jnp.int32(0), jnp.int32(0))
+            run_init = False
+        else:
+            run_init = True
+        if run_init:
+            pa = _jones_scalar(c, _INIT_JA, ter, tei, tmr, tmi)
+            pb = _jones_scalar(c, _INIT_JB, ter, tei, tmr, tmi)
+            pw_a = pa[0] ** 2 + pa[1] ** 2 + pa[2] ** 2 + pa[3] ** 2
+            pw_b = pb[0] ** 2 + pb[1] ** 2 + pb[2] ** 2 + pb[3] ** 2
+            inv_cos0 = 1.0 / c(_INIT_COS0)
+            eff_a = pw_a * c(_INIT_SA) * inv_cos0
+            eff_b = pw_b * c(_INIT_SB) * inv_cos0
+            rng = _xorshift(rng)
+            u = (rng >> 8).astype(jnp.int32).astype(f32) * f32(1.0 / 16777216.0)
+            a = u <= eff_a
+            b = (~a) & (u <= eff_a + eff_b)
+            ter1 = jnp.where(a, pa[0], pb[0])
+            tei1 = jnp.where(a, pa[1], pb[1])
+            tmr1 = jnp.where(a, pa[2], pb[2])
+            tmi1 = jnp.where(a, pa[3], pb[3])
+            pw = ter1 * ter1 + tei1 * tei1 + tmr1 * tmr1 + tmi1 * tmi1
+            inv = jax.lax.rsqrt(jnp.maximum(pw, 1e-30))
+            # dir 0 (accept A) or dir 2 (accept B)
+            phr = jnp.where(a, c(_TIR_PH + 0), c(_TIR_PH + 4))
+            phi_ = jnp.where(a, c(_TIR_PH + 1), c(_TIR_PH + 5))
+            ter1, tei1 = ter1 * inv, tei1 * inv
+            tmr1, tmi1 = phase_mul(phr, phi_, tmr1 * inv, tmi1 * inv)
+            gx = jnp.where(a, c(_GAPS + 0), c(_GAPS + 4))
+            gy = jnp.where(a, c(_GAPS + 1), c(_GAPS + 5))
+            x1 = x + gx
+            y1 = y + gy
+            icin = in_ic(x1, y1)
+            state = jnp.where(
+                a, jnp.where(icin, 0, 2), jnp.where(b & icin, 1, 6)
+            ).astype(jnp.int32)
+            cos_th = jnp.where(a, c(_IC_SA), c(_IC_SB))
+            live0 = state < 6
+            x = jnp.where(live0, x1, x)
+            y = jnp.where(live0, y1, y)
+            ter, tei = jnp.where(live0, ter1, ter), jnp.where(live0, tei1, tei)
+            tmr, tmi = jnp.where(live0, tmr1, tmr), jnp.where(live0, tmi1, tmi)
+            dep = jnp.full_like(state, -1)
+            init_gx = jnp.where(live0, gx, jnp.zeros_like(x))
+            init_gy = jnp.where(live0, gy, jnp.zeros_like(x))
+            carry = (x, y, ter, tei, tmr, tmi, cos_th, init_gx, init_gy, state,
+                     rng, dep, jnp.int32(0), jnp.int32(0))
 
         # ---------- bounce loop ----------
         def cond(carry):
@@ -544,44 +572,60 @@ def make_pallas_trace_fn(cfg: TraceConfig, num_fc: int, num_oc: int,
             return (x, y, ter, tei, tmr, tmi, cos_th, gx, gy, state, rng, dep,
                     nb, it + 1)
 
-        init_gx = jnp.where(live0, gx, jnp.zeros_like(x))
-        init_gy = jnp.where(live0, gy, jnp.zeros_like(x))
-        carry = (x, y, ter, tei, tmr, tmi, cos_th, init_gx, init_gy, state,
-                 rng, dep, jnp.int32(0), jnp.int32(0))
         carry = jax.lax.while_loop(cond, body, carry)
         dep_ref[0] = carry[11]
         nb_ref[0, 0, 0] = carry[12]
+        for fi in range(9):
+            ro_ref[0, fi] = carry[fi]
+        so_ref[0] = carry[9]
+        rgo_ref[0] = carry[10]
+
+    nf_in = 9 if resume else 6
 
     @jax.jit
-    def trace(cell_params, geom_row, rays_in, rng_in):
+    def trace(cell_params, geom_row, rays_in, *rest):
         C = cell_params.shape[0]
         out_shapes = (
             jax.ShapeDtypeStruct((C, RT, LANES), jnp.int32),
             jax.ShapeDtypeStruct((C, 1, 1), jnp.int32),
+            jax.ShapeDtypeStruct((C, 9, RT, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((C, RT, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((C, RT, LANES), jnp.uint32),
         )
-        dep, nb = pl.pallas_call(
+        in_specs = [
+            pl.BlockSpec((1, PG), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, PC), lambda i: (i, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, nf_in, RT, LANES), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        if resume:
+            in_specs.append(
+                pl.BlockSpec((1, RT, LANES), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM))
+        in_specs.append(
+            pl.BlockSpec((1, RT, LANES), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM))
+        dep, nb, rays_out, st_out, rng_out = pl.pallas_call(
             kernel,
             grid=(C,),
-            in_specs=[
-                pl.BlockSpec((1, PG), lambda i: (0, 0),
-                             memory_space=pltpu.SMEM),
-                pl.BlockSpec((1, 1, PC), lambda i: (i, 0, 0),
-                             memory_space=pltpu.SMEM),
-                pl.BlockSpec((1, 6, RT, LANES), lambda i: (i, 0, 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, RT, LANES), lambda i: (i, 0, 0),
-                             memory_space=pltpu.VMEM),
-            ],
+            in_specs=in_specs,
             out_specs=(
                 pl.BlockSpec((1, RT, LANES), lambda i: (i, 0, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, 1, 1), lambda i: (i, 0, 0),
                              memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, 9, RT, LANES), lambda i: (i, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, RT, LANES), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, RT, LANES), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
             ),
             out_shape=out_shapes,
             interpret=interpret,
-        )(geom_row, cell_params[:, None, :], rays_in, rng_in)
-        return dep, nb.reshape(C, 1)
+        )(geom_row, cell_params[:, None, :], rays_in, *rest)
+        return dep, nb.reshape(C, 1), rays_out, st_out, rng_out
 
     return trace
 

@@ -61,7 +61,7 @@ def test_pallas_interpret_matches_jnp(setup):
     trace2 = trace_pallas.make_pallas_trace_fn(
         cfg, tgeom.num_fc, tgeom.num_oc, RT, interpret=True
     )
-    dep2, nb2 = trace2(cp, gr, rays_in, rng_in)
+    dep2, nb2, *_ = trace2(cp, gr, rays_in, rng_in)
     dep2 = np.asarray(dep2).reshape(n_cells, RT * trace_pallas.LANES)[:, :RPC]
 
     agree = (dep1 == dep2).mean()
@@ -84,7 +84,7 @@ def test_pallas_histogram_matches(setup):
     trace2 = trace_pallas.make_pallas_trace_fn(
         cfg, tgeom.num_fc, tgeom.num_oc, RT, interpret=True
     )
-    dep2, _ = trace2(cp, gr, rays_in, rng_in)
+    dep2, _, *_ = trace2(cp, gr, rays_in, rng_in)
     hist = np.asarray(
         trace_pallas.deposits_to_histogram_cells(
             dep2, np.arange(n_cells), 3, M, N, 80, 120
@@ -114,3 +114,32 @@ def test_simulator_pallas_engine_interpret(setup):
     d = np.abs(rp.histogram - rj.histogram).sum()
     assert d / max(rj.histogram.sum(), 1) < 0.02
     assert abs(rp.total_bounces - rj.total_bounces) / rj.total_bounces < 0.02
+
+
+def test_segmented_pallas_matches_monolithic(setup):
+    """Segment + compact scheduling must reproduce the monolithic kernel exactly."""
+    from gpu_ray_tracing_for_waveguide_based_ar_display_tpu.engine import (
+        pallas_segments,
+    )
+
+    geom, tables, tgeom, cfg, batch = setup
+    n_cells = 3 * M * N
+    cp = trace_pallas.build_kernel_cell_params(tables, geom.eyebox_range)
+    gr = trace_pallas.build_kernel_geom(tgeom)[None, :]
+    rays_in, rng_in = trace_pallas.pack_ray_blocks(batch, n_cells, RPC, RT)
+
+    mono = trace_pallas.make_pallas_trace_fn(
+        cfg, tgeom.num_fc, tgeom.num_oc, RT, interpret=True)
+    dep_m, nb_m, *_ = mono(cp, gr, rays_in, rng_in)
+    hist_m = np.asarray(trace_pallas.deposits_to_histogram_cells(
+        dep_m, np.arange(n_cells), 3, M, N, 80, 120))
+    bounces_m = int(np.asarray(nb_m).sum())
+
+    seg = pallas_segments.SegmentedPallasTracer(
+        cfg, tgeom.num_fc, tgeom.num_oc, segment_bounces=32, interpret=True)
+    deps, bounces_s = seg.trace(cp, gr, rays_in, rng_in)
+    hist_s = np.asarray(pallas_segments.deps_to_histogram(
+        deps, np.arange(n_cells), 3, M, N, 80, 120))
+
+    np.testing.assert_array_equal(hist_m, hist_s)
+    assert bounces_m == bounces_s
