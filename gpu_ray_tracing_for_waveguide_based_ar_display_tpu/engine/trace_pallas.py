@@ -208,6 +208,27 @@ def _region_test(g, base: int, x, y):
     return inside
 
 
+def _region_test_unrolled(g, base: int, x, y):
+    """Unrolled all-of half-plane test (hoisted-scalar mode: g is list access)."""
+    inside = None
+    for e in range(MAX_EDGES):
+        t = (x * g(base + e) + y * g(base + MAX_EDGES + e)
+             <= g(base + 2 * MAX_EDGES + e) + _EDGE_TOL)
+        inside = t if inside is None else (inside & t)
+    return inside
+
+
+def _accum_params_unrolled(c, base: int, stride: int, count: int, width: int,
+                           strip):
+    """Unrolled one-hot accumulate (hoisted-scalar mode)."""
+    outs = [jnp.zeros(strip.shape, dtype=jnp.float32) for _ in range(width)]
+    for k in range(count):
+        mk = (strip == k).astype(jnp.float32)
+        for j in range(width):
+            outs[j] = outs[j] + mk * c(base + k * stride + j)
+    return outs
+
+
 def _jones_scalar(c, off: int, ter, tei, tmr, tmi):
     """Jones matvec with the 8 SMEM scalars at ``off`` (re/im interleaved)."""
     ar, ai = c(off + 0), c(off + 1)
@@ -256,7 +277,8 @@ def _xorshift(s):
 
 def make_pallas_trace_fn(cfg: TraceConfig, num_fc: int, num_oc: int,
                          rays_tile_rows: int, interpret: bool = False,
-                         phase_gating: bool = True, mode: str = "full"):
+                         phase_gating: bool = True, mode: str = "full",
+                         hoist_params: bool = False):
     """Build the jitted cell-grid tracer.
 
     mode='full':   ``trace(cell_params, geom_row, rays_in, rng_in)`` with
@@ -282,11 +304,29 @@ def make_pallas_trace_fn(cfg: TraceConfig, num_fc: int, num_oc: int,
             (g_ref, c_ref, rays_ref, rng_ref,
              dep_ref, nb_ref, ro_ref, so_ref, rgo_ref) = refs
 
-        def g(j):
-            return g_ref[0, j]
+        if hoist_params:
+            # load every scalar once, before the loop; the loop body then contains
+            # only vector ops (big Mosaic program, but no per-iteration SMEM loads)
+            g_vals = [g_ref[0, j] for j in range(PG)]
+            c_vals = [c_ref[0, 0, j] for j in range(PC)]
 
-        def c(j):
-            return c_ref[0, 0, j]
+            def g(j):
+                return g_vals[j]
+
+            def c(j):
+                return c_vals[j]
+
+            region_test = _region_test_unrolled
+            accum_params = _accum_params_unrolled
+        else:
+            def g(j):
+                return g_ref[0, j]
+
+            def c(j):
+                return c_ref[0, 0, j]
+
+            region_test = _region_test
+            accum_params = _accum_params
 
         x = rays_ref[0, 0]
         y = rays_ref[0, 1]
@@ -372,7 +412,7 @@ def make_pallas_trace_fn(cfg: TraceConfig, num_fc: int, num_oc: int,
              nb, it) = carry
             alive = state < 6
             nb = nb + jnp.sum(alive.astype(jnp.int32))
-            in_r1 = _region_test(g, _G_R1, x, y)
+            in_r1 = region_test(g, _G_R1, x, y)
             state = jnp.where(alive & ~in_r1, 6, state)
             alive = state < 6
 
@@ -383,7 +423,7 @@ def make_pallas_trace_fn(cfg: TraceConfig, num_fc: int, num_oc: int,
 
             # membership + strip indices
             yrot = g(_G_FC_ROT) * x + g(_G_FC_ROT + 1) * y
-            in_hull = _region_test(g, _G_HULL, x, y)
+            in_hull = region_test(g, _G_HULL, x, y)
             fc_strip = jnp.clip(
                 jnp.floor(
                     (g(_G_FC_TOP) - yrot) * g(_G_FC_INVW)
@@ -423,7 +463,7 @@ def make_pallas_trace_fn(cfg: TraceConfig, num_fc: int, num_oc: int,
 
             # ---- FC site (strip one-hot accumulate)
             def fc_block(_):
-                p = _accum_params(c, _FC_BLK, _FC_STRIDE, num_fc, 34, fc_strip)
+                p = accum_params(c, _FC_BLK, _FC_STRIDE, num_fc, 34, fc_strip)
                 ja = [jnp.where(bit, p[16 + j], p[j]) for j in range(8)]
                 jb = [jnp.where(bit, p[24 + j], p[8 + j]) for j in range(8)]
                 pa = _jones_vec(ja, 0, ter, tei, tmr, tmi)
@@ -432,7 +472,7 @@ def make_pallas_trace_fn(cfg: TraceConfig, num_fc: int, num_oc: int,
 
             # ---- OC site
             def oc_block(_):
-                p = _accum_params(c, _OC_BLK, _OC_STRIDE, num_oc, 50, oc_strip)
+                p = accum_params(c, _OC_BLK, _OC_STRIDE, num_oc, 50, oc_strip)
                 ja = [jnp.where(bit, p[24 + j], p[j]) for j in range(8)]
                 jb = [jnp.where(bit, p[32 + j], p[8 + j]) for j in range(8)]
                 jc = [jnp.where(bit, p[40 + j], p[16 + j]) for j in range(8)]
@@ -545,7 +585,7 @@ def make_pallas_trace_fn(cfg: TraceConfig, num_fc: int, num_oc: int,
             # misses
             miss_fc2 = grp_fc & ~in_hull & (state == 2)
             miss_fc3 = grp_fc & ~in_hull & (state == 3)
-            in_r2 = _region_test(g, _G_R2, x, y)
+            in_r2 = region_test(g, _G_R2, x, y)
             fc3_to_oc = miss_fc3 & ~in_r2
             hop = miss_fc2 | (miss_fc3 & in_r2) | (grp_oc & ~in_rect & (state == 4))
             miss_oc5 = grp_oc & ~in_rect & (state == 5)
