@@ -58,6 +58,8 @@ class Simulator:
         geometry_simplify_tol: float = 0.0,
         engine: str = "jnp",
         interpret: bool = False,
+        pallas_segmented: bool = False,
+        segment_bounces: int = 24,
     ):
         if engine not in ("jnp", "pallas", "cellblock"):
             raise ValueError(f"unknown engine {engine!r}")
@@ -98,6 +100,14 @@ class Simulator:
             self._gr = trace_pallas.build_kernel_geom(self.tgeom)[None, :]
             self._rt_cache = {}
             self._interpret = interpret
+            self._segmented = pallas_segmented
+            if pallas_segmented:
+                from .pallas_segments import SegmentedPallasTracer
+
+                self._seg_tracer = SegmentedPallasTracer(
+                    cfg, self.tgeom.num_fc, self.tgeom.num_oc,
+                    segment_bounces=segment_bounces, interpret=interpret,
+                )
 
     # ------------------------------------------------------------------
     def trace_batch(self, cell_ids: np.ndarray, rays_per_cell: int, iteration: int):
@@ -130,14 +140,26 @@ class Simulator:
             return hist, bounces, len(batch["x"])
 
         rt = -(-rays_per_cell // trace_pallas.LANES)
+        rays_in, rng_in = trace_pallas.pack_ray_blocks(
+            batch, len(cell_ids), rays_per_cell, rt
+        )
+        if self._segmented:
+            from . import pallas_segments
+
+            deps, bounces = self._seg_tracer.trace(
+                self._cp[cell_ids], self._gr, rays_in, rng_in
+            )
+            hist = pallas_segments.deps_to_histogram(
+                deps, cell_ids, self.L, self.M, self.N, ny, nx
+            )
+            import jax.numpy as jnp
+
+            return jnp.asarray(hist), bounces, len(batch["x"])
         if rt not in self._rt_cache:
             self._rt_cache[rt] = trace_pallas.make_pallas_trace_fn(
                 self.cfg, self.tgeom.num_fc, self.tgeom.num_oc, rt,
                 interpret=self._interpret,
             )
-        rays_in, rng_in = trace_pallas.pack_ray_blocks(
-            batch, len(cell_ids), rays_per_cell, rt
-        )
         dep, nb, *_ = self._rt_cache[rt](
             self._cp[cell_ids], self._gr, rays_in, rng_in
         )
