@@ -132,3 +132,35 @@ def test_design_variation_changes_geometry():
     a0 = sum(abs(convex.polygon_area(convex.ensure_ccw(s))) for s in base.oc_strips)
     a1 = sum(abs(convex.polygon_area(convex.ensure_ccw(s))) for s in wide.oc_strips)
     assert a1 > a0
+
+
+def test_default_config_matches_reference_constants():
+    """Pin the workload contract to the reference driver's constants
+    (gpu_ray_tracing_pro_fullColor.py:16-17,37,60-61,160;
+    GPU_ray_tracing_functions.py:905)."""
+    from gpu_ray_tracing_for_waveguide_based_ar_display_tpu.config import (
+        TraceConfig,
+        WaveguideDesign,
+    )
+
+    cfg = TraceConfig()
+    assert (cfg.num_fov_x, cfg.num_fov_y) == (100, 75)
+    assert cfg.rays_per_fov == 5000
+    assert cfg.num_iter == 4
+    assert cfg.eyebox_bins == (80, 120)
+    assert cfg.max_bounces == 100_000
+
+    d = WaveguideDesign()
+    assert d.wavelengths == (465.0, 532.0, 630.0)
+    assert d.n_glass == 1.9
+    assert d.thickness == 0.7
+    assert (d.num_fc, d.num_oc) == (7, 6)
+    assert d.pupil_radius == 2.0
+    assert d.ic_center == (-28.0, 15.0)
+    assert d.eyebox_size == (12.0, 8.0)
+    assert d.eyebox_center == (0.0, 15.0)
+    assert d.eye_relief == -20.0
+    assert d.lambda_ic == 388.0 and d.lambda_oc == 388.0
+    assert abs(np.degrees(d.phi_ic) - (-38.0)) < 1e-12
+    assert abs(np.degrees(d.phi_oc) - (-142.0)) < 1e-12
+    assert abs(np.degrees(d.fov_x) - 18.0) < 1e-12
