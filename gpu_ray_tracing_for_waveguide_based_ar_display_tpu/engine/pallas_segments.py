@@ -27,6 +27,14 @@ from . import trace_pallas
 
 
 @jax.jit
+def _scatter_deps(hist, dep, base):
+    """Scatter one segment's deposits (C, K) into the flat device histogram."""
+    has = dep >= 0
+    flat = base[:, None] + jnp.maximum(dep, 0)
+    return hist.at[flat.reshape(-1)].add(has.reshape(-1).astype(jnp.float32))
+
+
+@jax.jit
 def _compact(rays_out, st_out, rng_out, dep_out):
     """Per-cell stable partition: alive rays first.  Shapes (C, ..., RT, L)."""
     C = st_out.shape[0]
@@ -42,16 +50,22 @@ def _compact(rays_out, st_out, rng_out, dep_out):
 
 
 class SegmentedPallasTracer:
-    """Caches per-(RT, mode) kernels and drives segment scheduling."""
+    """Caches per-(RT, mode) kernels and drives segment scheduling.
+
+    All bulk data stays on device across segments (the relay-attached TPU makes
+    host round trips very expensive); only the (C,) per-cell alive counts are
+    pulled to pick the next tile size."""
 
     def __init__(self, cfg: TraceConfig, num_fc: int, num_oc: int,
-                 segment_bounces: int = 24, interpret: bool = False):
+                 segment_bounces: int = 24, interpret: bool = False,
+                 hist_dims=None):
         self.cfg = cfg
         self.num_fc = num_fc
         self.num_oc = num_oc
         self.segment_bounces = segment_bounces
         self.interpret = interpret
         self._fns = {}
+        self._hist_dims = hist_dims  # (L, M, N) when device histograms requested
 
     def _fn(self, rt: int, mode: str):
         key = (rt, mode)
@@ -66,21 +80,31 @@ class SegmentedPallasTracer:
             )
         return self._fns[key]
 
-    def trace(self, cell_params, geom_row, rays_in, rng_in) -> Tuple:
-        """Returns (dep_list, total_bounces).  dep_list entries are (C, K) int32
-        per segment (terminal bins of rays that finished in that segment)."""
+    def trace(self, cell_params, geom_row, rays_in, rng_in,
+              hist_base=None) -> Tuple:
+        """Returns (dep_list, total_bounces) with dep_list entries on device, or
+        (histogram, total_bounces) when ``hist_base`` (C,) flat offsets is given
+        (deposits are then scattered on-device each segment)."""
         C, _, rt, L = rays_in.shape
         total = 0
         deps = []
+        hist = None
+        if hist_base is not None:
+            Ld, Md, Nd = self._hist_dims
+            ny, nx = self.cfg.eyebox_bins
+            hist = jnp.zeros(Ld * Nd * Md * ny * nx, jnp.float32)
+            hist_base = jnp.asarray(hist_base, jnp.int32)
         budget = self.cfg.max_bounces
         out = self._fn(rt, "full")(cell_params, geom_row, rays_in, rng_in)
         while True:
             dep, nb, rays_out, st_out, rng_out = out
-            total += int(np.asarray(nb).sum())
             budget -= self.segment_bounces
-            rf, st, rg, dp, alive = jax.block_until_ready(
-                _compact(rays_out, st_out, rng_out, dep))
-            deps.append(np.asarray(dp))
+            rf, st, rg, dp, alive = _compact(rays_out, st_out, rng_out, dep)
+            if hist is not None:
+                hist = _scatter_deps(hist, dp, hist_base)
+            else:
+                deps.append(dp)
+            total += int(np.asarray(nb).sum())
             max_alive = int(np.asarray(alive).max())
             if max_alive == 0 or budget <= 0:
                 break
@@ -88,13 +112,15 @@ class SegmentedPallasTracer:
             # keep row counts in a few buckets to bound kernel variants
             rt_next = 1 << (rt_next - 1).bit_length()
             k = rt_next * trace_pallas.LANES
-            rays_in2 = np.asarray(rf)[:, :, :k].reshape(C, 9, rt_next,
-                                                        trace_pallas.LANES)
-            st2 = np.asarray(st)[:, :k].reshape(C, rt_next, trace_pallas.LANES)
-            rg2 = np.asarray(rg)[:, :k].reshape(C, rt_next, trace_pallas.LANES)
+            rays_in2 = rf[:, :, :k].reshape(C, 9, rt_next, trace_pallas.LANES)
+            st2 = st[:, :k].reshape(C, rt_next, trace_pallas.LANES)
+            rg2 = rg[:, :k].reshape(C, rt_next, trace_pallas.LANES)
             out = self._fn(rt_next, "resume")(
-                cell_params, geom_row, jnp.asarray(rays_in2),
-                jnp.asarray(st2), jnp.asarray(rg2))
+                cell_params, geom_row, rays_in2, st2, rg2)
+        if hist is not None:
+            ny, nx = self.cfg.eyebox_bins
+            Ld, Md, Nd = self._hist_dims
+            return hist.reshape(Ld, Nd, Md, ny, nx), total
         return deps, total
 
 
@@ -113,7 +139,7 @@ def deps_to_histogram(deps, cell_ids, L, M, N, ny, nx):
     size = L * N * M * ny * nx
     hist = np.zeros(size, np.float32)
     for dp in deps:
-        d = np.asarray(dp, np.int64)
+        d = np.asarray(dp).astype(np.int64)
         mask = d >= 0
         flat = (base + d)[mask]
         if len(flat):

@@ -107,6 +107,7 @@ class Simulator:
                 self._seg_tracer = SegmentedPallasTracer(
                     cfg, self.tgeom.num_fc, self.tgeom.num_oc,
                     segment_bounces=segment_bounces, interpret=interpret,
+                    hist_dims=(self.L, self.M, self.N),
                 )
 
     # ------------------------------------------------------------------
@@ -144,17 +145,15 @@ class Simulator:
             batch, len(cell_ids), rays_per_cell, rt
         )
         if self._segmented:
-            from . import pallas_segments
-
-            deps, bounces = self._seg_tracer.trace(
-                self._cp[cell_ids], self._gr, rays_in, rng_in
+            cid = np.asarray(cell_ids, np.int64)
+            l = cid // (self.M * self.N)
+            mn = cid % (self.M * self.N)
+            base = (((l * self.N + mn % self.N) * self.M + mn // self.N)
+                    * (ny * nx)).astype(np.int32)
+            hist, bounces = self._seg_tracer.trace(
+                self._cp[cell_ids], self._gr, rays_in, rng_in, hist_base=base
             )
-            hist = pallas_segments.deps_to_histogram(
-                deps, cell_ids, self.L, self.M, self.N, ny, nx
-            )
-            import jax.numpy as jnp
-
-            return jnp.asarray(hist), bounces, len(batch["x"])
+            return hist, bounces, len(batch["x"])
         if rt not in self._rt_cache:
             self._rt_cache[rt] = trace_pallas.make_pallas_trace_fn(
                 self.cfg, self.tgeom.num_fc, self.tgeom.num_oc, rt,

@@ -143,3 +143,15 @@ def test_segmented_pallas_matches_monolithic(setup):
 
     np.testing.assert_array_equal(hist_m, hist_s)
     assert bounces_m == bounces_s
+
+    # device-histogram path (on-device scatter per segment) must agree too
+    seg2 = pallas_segments.SegmentedPallasTracer(
+        cfg, tgeom.num_fc, tgeom.num_oc, segment_bounces=32, interpret=True,
+        hist_dims=(3, M, N))
+    cid = np.arange(n_cells)
+    l = cid // (M * N)
+    mn = cid % (M * N)
+    base = (((l * N + mn % N) * M + mn // N) * (80 * 120)).astype(np.int32)
+    hist_d, bounces_d = seg2.trace(cp, gr, rays_in, rng_in, hist_base=base)
+    np.testing.assert_array_equal(hist_m, np.asarray(hist_d))
+    assert bounces_d == bounces_m
