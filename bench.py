@@ -30,14 +30,14 @@ def run(engine: str):
     num_fov_x = int(os.environ.get("BENCH_FOV_X", 100))
     num_fov_y = int(os.environ.get("BENCH_FOV_Y", 75))
     rays_per_fov = int(os.environ.get("BENCH_RAYS_PER_FOV", 2048))
-    cells_per_batch = int(os.environ.get("BENCH_CELLS_PER_BATCH", 2500))
+    cells_per_batch = int(os.environ.get("BENCH_CELLS_PER_BATCH", 900))
     max_bounces = int(os.environ.get("BENCH_MAX_BOUNCES", 4096))
 
     cfg = TraceConfig(
         num_fov_x=num_fov_x, num_fov_y=num_fov_y, rays_per_fov=rays_per_fov,
         max_bounces=max_bounces, seed=0, rng_mode="fast", ic_test="circle",
     )
-    segmented = os.environ.get("BENCH_SEGMENTED", "1") == "1"
+    segmented = os.environ.get("BENCH_SEGMENTED", "0") == "1"
     sim = Simulator(cfg=cfg, engine=engine,
                     geometry_simplify_tol=0.05 if engine == "pallas" else 1e-3,
                     pallas_segmented=(engine == "pallas" and segmented))
