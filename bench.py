@@ -18,6 +18,11 @@ import os
 import sys
 import time
 
+# persistent XLA compilation cache: kernel variants compile once per machine
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
+
 
 def run(engine: str):
     import jax
