@@ -457,9 +457,10 @@ def make_pallas_trace_fn(cfg: TraceConfig, num_fc: int, num_oc: int,
                       for j in range(8)]
                 pa = _jones_vec(ja, 0, ter, tei, tmr, tmi)
                 pb = _jones_vec(jb, 0, ter, tei, tmr, tmi)
-                return (*pa, *pb,
-                        jnp.broadcast_to(c(_IC_SA), x.shape),
-                        jnp.broadcast_to(c(_IC_SB), x.shape))
+                # materialize via add (broadcast_to of a traced scalar produces a
+                # null-layout operand Mosaic rejects inside lax.cond)
+                zv = jnp.zeros_like(x)
+                return (*pa, *pb, zv + c(_IC_SA), zv + c(_IC_SB))
 
             # ---- FC site (strip one-hot accumulate)
             def fc_block(_):
