@@ -1,0 +1,434 @@
+"""Persistent-slot Pallas kernel: dead slots respawn fresh rays in place.
+
+The monolithic per-cell kernel (:mod:`.trace_pallas`) wastes lanes: the mean ray
+dies after ~9 bounces but its lane idles until the cell's slowest ray (~130
+iterations) finishes — a few percent utilization.  Instead of compacting (argsort
+overhead, host scheduling), this kernel keeps every lane busy with the classic
+persistent-threads pattern:
+
+- each slot carries a *generation* counter; on death (and while generations
+  remain) the slot immediately re-enters the init state with its original pupil
+  position and polarization and its **continued** per-slot RNG stream — exactly the
+  reference's ``num_iter`` re-launch semantics (gpu_ray_tracing_pro_fullColor.py:169,
+  same rays re-traced with persistent ``rng_states``), interleaved instead of
+  sequential;
+- deposits accumulate into a per-cell VMEM histogram tile inside the kernel via a
+  drain loop over the (rare, ~2% of rays) deposit events — extract the next
+  depositing lane with an argmax reduce, scalar-update the histogram, repeat — so
+  no per-ray terminal outputs and no XLA scatter afterwards;
+- lane utilization stays near 100% until the last generation's tail.
+
+The per-cell histograms are disjoint (cells own their (lambda, FoV) slice), so the
+output assembles into the eyebox histogram by reshape alone — still no atomics.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..config import TraceConfig
+from .trace_pallas import (
+    LANES, PC, PG,
+    _EDGE_TOL, _FC_BLK, _FC_STRIDE, _GAPS, _G_FC_INVW, _G_FC_ROT, _G_FC_TOP,
+    _G_IC, _G_OC_B, _G_OC_INVW, _G_OC_ROT, _G_OC_TOP, _G_HULL, _G_R1, _G_R2,
+    _HOP2_PH, _IC_BLK, _IC_SA, _IC_SB, _INIT_COS0, _INIT_JA, _INIT_JB,
+    _INIT_SA, _INIT_SB, _OC_BLK, _OC_SOUT, _OC_STRIDE, _TIR_PH,
+    _accum_params, _bitsel, _jones_scalar, _jones_vec, _region_test, _xorshift,
+)
+
+NY_PAD = 128  # eyebox x bins padded to the lane width
+
+
+def make_persistent_trace_fn(cfg: TraceConfig, num_fc: int, num_oc: int,
+                             rays_tile_rows: int, gens: int,
+                             interpret: bool = False,
+                             phase_gating: bool = True,
+                             max_iters: int = 0):
+    """Build ``trace(cell_params, geom_row, rays_in, rng_in) -> (hist, bounces)``.
+
+    - rays_in: (C, 6, RT, 128) initial fields (x, y, ter, tei, tmr, tmi); these are
+      also the respawn values for every generation.
+    - hist: (C, ny, 128) float32 per-cell eyebox tiles (x-bins padded to 128).
+    - total Monte-Carlo samples per cell = live_slots x ``gens``.
+    """
+    RT = rays_tile_rows
+    ny, nx = cfg.eyebox_bins
+    assert nx <= NY_PAD
+    if max_iters <= 0:
+        max_iters = cfg.max_bounces
+
+    def kernel(g_ref, c_ref, rays_ref, rng_ref, hist_ref, nb_ref, dscr):
+        def g(j):
+            return g_ref[0, j]
+
+        def c(j):
+            return c_ref[0, 0, j]
+
+        f32 = jnp.float32
+        x0 = rays_ref[0, 0]
+        y0 = rays_ref[0, 1]
+        ter0 = rays_ref[0, 2]
+        tei0 = rays_ref[0, 3]
+        tmr0 = rays_ref[0, 4]
+        tmi0 = rays_ref[0, 5]
+
+        hist_ref[0] = jnp.zeros((ny, NY_PAD), f32)
+
+        def phase_mul(phr, phi_, re, im):
+            return phr * re - phi_ * im, phr * im + phi_ * re
+
+        def in_ic(px, py):
+            dx = px - g(_G_IC)
+            dy = py - g(_G_IC + 1)
+            return dx * dx + dy * dy <= g(_G_IC + 2)
+
+        lane_lin = (jax.lax.broadcasted_iota(jnp.int32, (RT, LANES), 0) * LANES
+                    + jax.lax.broadcasted_iota(jnp.int32, (RT, LANES), 1))
+
+        # carry: x, y, ter, tei, tmr, tmi, cos_th, gx, gy, state, gen, rng, nb, it
+        state0 = jnp.full((RT, LANES), 7, jnp.int32)   # 7 = awaiting (re)spawn
+        gen0 = jnp.ones((RT, LANES), jnp.int32)        # the initial spawn is gen 1
+        zeros = jnp.zeros((RT, LANES), f32)
+
+        def cond(carry):
+            (x, y, ter, tei, tmr, tmi, cos_th, gx, gy, state, gen, rng,
+             nb, it) = carry
+            exhausted = (state == 6) & (gen >= gens)
+            return (it < max_iters) & (jnp.sum((~exhausted).astype(jnp.int32)) > 0)
+
+        def body(carry):
+            (x, y, ter, tei, tmr, tmi, cos_th, gx, gy, state, gen, rng,
+             nb, it) = carry
+
+            # ---- respawn: dead slots with generations remaining re-enter init
+            rs = (state == 6) & (gen < gens)
+            gen = gen + rs.astype(jnp.int32)
+            state = jnp.where(rs, 7, state)
+            x = jnp.where(rs, x0, x)
+            y = jnp.where(rs, y0, y)
+            ter = jnp.where(rs, ter0, ter)
+            tei = jnp.where(rs, tei0, tei)
+            tmr = jnp.where(rs, tmr0, tmr)
+            tmi = jnp.where(rs, tmi0, tmi)
+
+            # ---- init (first IC interaction) for awaiting slots
+            m7 = state == 7
+
+            def init_block(args):
+                (x, y, ter, tei, tmr, tmi, cos_th, gx, gy, state, rng) = args
+                pa = _jones_scalar(c, _INIT_JA, ter, tei, tmr, tmi)
+                pb = _jones_scalar(c, _INIT_JB, ter, tei, tmr, tmi)
+                pw_a = pa[0] ** 2 + pa[1] ** 2 + pa[2] ** 2 + pa[3] ** 2
+                pw_b = pb[0] ** 2 + pb[1] ** 2 + pb[2] ** 2 + pb[3] ** 2
+                inv_cos0 = 1.0 / c(_INIT_COS0)
+                eff_a = pw_a * c(_INIT_SA) * inv_cos0
+                eff_b = pw_b * c(_INIT_SB) * inv_cos0
+                rng_new = _xorshift(rng)
+                u = ((rng_new >> 8).astype(jnp.int32).astype(f32)
+                     * f32(1.0 / 16777216.0))
+                rng = jnp.where(m7, rng_new, rng)
+                a = m7 & (u <= eff_a)
+                b = m7 & ~a & (u <= eff_a + eff_b)
+                ter1 = jnp.where(a, pa[0], pb[0])
+                tei1 = jnp.where(a, pa[1], pb[1])
+                tmr1 = jnp.where(a, pa[2], pb[2])
+                tmi1 = jnp.where(a, pa[3], pb[3])
+                pw = (ter1 * ter1 + tei1 * tei1 + tmr1 * tmr1 + tmi1 * tmi1)
+                inv = jax.lax.rsqrt(jnp.maximum(pw, 1e-30))
+                phr = jnp.where(a, c(_TIR_PH + 0), c(_TIR_PH + 4))
+                phi_ = jnp.where(a, c(_TIR_PH + 1), c(_TIR_PH + 5))
+                ter1, tei1 = ter1 * inv, tei1 * inv
+                tmr1, tmi1 = phase_mul(phr, phi_, tmr1 * inv, tmi1 * inv)
+                gxn = jnp.where(a, c(_GAPS + 0), c(_GAPS + 4))
+                gyn = jnp.where(a, c(_GAPS + 1), c(_GAPS + 5))
+                x1 = x + gxn
+                y1 = y + gyn
+                icin = in_ic(x1, y1)
+                st1 = jnp.where(
+                    a, jnp.where(icin, 0, 2), jnp.where(b & icin, 1, 6)
+                ).astype(jnp.int32)
+                live = (st1 < 6) & m7
+                cth1 = jnp.where(a, c(_IC_SA), c(_IC_SB))
+                return (
+                    jnp.where(live, x1, x), jnp.where(live, y1, y),
+                    jnp.where(live, ter1, ter), jnp.where(live, tei1, tei),
+                    jnp.where(live, tmr1, tmr), jnp.where(live, tmi1, tmi),
+                    jnp.where(m7, cth1, cos_th),
+                    jnp.where(live, gxn, gx), jnp.where(live, gyn, gy),
+                    jnp.where(m7, st1, state), rng,
+                )
+
+            args = (x, y, ter, tei, tmr, tmi, cos_th, gx, gy, state, rng)
+            if phase_gating:
+                (x, y, ter, tei, tmr, tmi, cos_th, gx, gy, state, rng) = (
+                    jax.lax.cond(jnp.any(m7), init_block, lambda a: a, args))
+            else:
+                (x, y, ter, tei, tmr, tmi, cos_th, gx, gy, state, rng) = (
+                    init_block(args))
+
+            # ---- one bounce for live slots
+            alive = state < 6
+            nb = nb + jnp.sum(alive.astype(jnp.int32))
+            in_r1 = _region_test(g, _G_R1, x, y)
+            state = jnp.where(alive & ~in_r1, 6, state)
+            alive = state < 6
+
+            grp_ic = alive & (state <= 1)
+            grp_fc = alive & ((state == 2) | (state == 3))
+            grp_oc = alive & (state >= 4)
+            bit = (state & 1) == 1
+
+            yrot = g(_G_FC_ROT) * x + g(_G_FC_ROT + 1) * y
+            in_hull = _region_test(g, _G_HULL, x, y)
+            fc_strip = jnp.clip(
+                jnp.floor((g(_G_FC_TOP) - yrot) * g(_G_FC_INVW)).astype(jnp.int32),
+                0, num_fc - 1)
+            yr = g(_G_OC_ROT) * x + g(_G_OC_ROT + 1) * y
+            in_rect = ((x >= g(_G_OC_B) - _EDGE_TOL)
+                       & (x <= g(_G_OC_B + 1) + _EDGE_TOL)
+                       & (y >= g(_G_OC_B + 2) - _EDGE_TOL)
+                       & (y <= g(_G_OC_B + 3) + _EDGE_TOL))
+            oc_strip = jnp.clip(
+                jnp.floor((g(_G_OC_TOP) - yr) * g(_G_OC_INVW)).astype(jnp.int32),
+                0, num_oc - 1)
+            hit_fc = grp_fc & in_hull
+            hit_oc = grp_oc & in_rect
+            interact = grp_ic | hit_fc | hit_oc
+
+            zero = jnp.zeros_like(x)
+
+            def ic_block(_):
+                ja = [_bitsel(c, _IC_BLK + j, _IC_BLK + 16 + j, bit)
+                      for j in range(8)]
+                jb = [_bitsel(c, _IC_BLK + 8 + j, _IC_BLK + 24 + j, bit)
+                      for j in range(8)]
+                pa = _jones_vec(ja, 0, ter, tei, tmr, tmi)
+                pb = _jones_vec(jb, 0, ter, tei, tmr, tmi)
+                zv = jnp.zeros_like(x)
+                return (*pa, *pb, zv + c(_IC_SA), zv + c(_IC_SB))
+
+            def fc_block(_):
+                p = _accum_params(c, _FC_BLK, _FC_STRIDE, num_fc, 34, fc_strip)
+                ja = [jnp.where(bit, p[16 + j], p[j]) for j in range(8)]
+                jb = [jnp.where(bit, p[24 + j], p[8 + j]) for j in range(8)]
+                pa = _jones_vec(ja, 0, ter, tei, tmr, tmi)
+                pb = _jones_vec(jb, 0, ter, tei, tmr, tmi)
+                return (*pa, *pb, p[32], p[33])
+
+            def oc_block(_):
+                p = _accum_params(c, _OC_BLK, _OC_STRIDE, num_oc, 50, oc_strip)
+                ja = [jnp.where(bit, p[24 + j], p[j]) for j in range(8)]
+                jb = [jnp.where(bit, p[32 + j], p[8 + j]) for j in range(8)]
+                jc = [jnp.where(bit, p[40 + j], p[16 + j]) for j in range(8)]
+                pa = _jones_vec(ja, 0, ter, tei, tmr, tmi)
+                pb = _jones_vec(jb, 0, ter, tei, tmr, tmi)
+                pc = _jones_vec(jc, 0, ter, tei, tmr, tmi)
+                return (*pa, *pb, *pc, p[48], p[49])
+
+            zeros10 = (zero,) * 10
+            zeros14 = (zero,) * 14
+            if phase_gating:
+                ic_out = jax.lax.cond(jnp.any(grp_ic), ic_block,
+                                      lambda _: zeros10, None)
+                fc_out = jax.lax.cond(jnp.any(hit_fc), fc_block,
+                                      lambda _: zeros10, None)
+                oc_out = jax.lax.cond(jnp.any(hit_oc), oc_block,
+                                      lambda _: zeros14, None)
+            else:
+                ic_out = ic_block(None)
+                fc_out = fc_block(None)
+                oc_out = oc_block(None)
+
+            gfc = grp_fc
+            goc = grp_oc
+
+            def sel3(i_ic, i_fc, i_oc):
+                return jnp.where(goc, i_oc, jnp.where(gfc, i_fc, i_ic))
+
+            pol_a = tuple(sel3(ic_out[j], fc_out[j], oc_out[j]) for j in range(4))
+            pol_b = tuple(sel3(ic_out[4 + j], fc_out[4 + j], oc_out[4 + j])
+                          for j in range(4))
+            pol_c = tuple(oc_out[8 + j] for j in range(4))
+            s_a = sel3(ic_out[8], fc_out[8], oc_out[12])
+            s_b = sel3(ic_out[9], fc_out[9], oc_out[13])
+            s_c = c(_OC_SOUT)
+
+            inv_cos = 1.0 / cos_th
+            eff_a = (pol_a[0] ** 2 + pol_a[1] ** 2 + pol_a[2] ** 2
+                     + pol_a[3] ** 2) * s_a * inv_cos
+            eff_b = (pol_b[0] ** 2 + pol_b[1] ** 2 + pol_b[2] ** 2
+                     + pol_b[3] ** 2) * s_b * inv_cos
+            eff_c = (pol_c[0] ** 2 + pol_c[1] ** 2 + pol_c[2] ** 2
+                     + pol_c[3] ** 2) * s_c * inv_cos
+
+            rng_new = _xorshift(rng)
+            u = ((rng_new >> 8).astype(jnp.int32).astype(f32)
+                 * f32(1.0 / 16777216.0))
+            rng = jnp.where(interact, rng_new, rng)
+            br_a = interact & (u <= eff_a) & (eff_a > 0)
+            br_b = interact & ~br_a & (u <= eff_a + eff_b) & (eff_b > 0)
+            br_c = (hit_oc & ~br_a & ~br_b
+                    & (u <= eff_a + eff_b + eff_c) & (eff_c > 0))
+            die = interact & ~(br_a | br_b | br_c)
+
+            accept = br_a | br_b
+            dir_a = jnp.where(goc, 1, 0)
+            dir_b = jnp.where(goc, 3, jnp.where(gfc, 1, 2))
+            dirs = jnp.where(br_a, dir_a, dir_b)
+            ter_n = jnp.where(br_a, pol_a[0], pol_b[0])
+            tei_n = jnp.where(br_a, pol_a[1], pol_b[1])
+            tmr_n = jnp.where(br_a, pol_a[2], pol_b[2])
+            tmi_n = jnp.where(br_a, pol_a[3], pol_b[3])
+            pw = ter_n ** 2 + tei_n ** 2 + tmr_n ** 2 + tmi_n ** 2
+            inv = jax.lax.rsqrt(jnp.maximum(pw, 1e-30))
+
+            def dir_gather(base, stride=2):
+                v0 = c(base + 0)
+                v1 = c(base + stride)
+                v2 = c(base + 2 * stride)
+                v3 = c(base + 3 * stride)
+                return jnp.where(
+                    dirs == 0, v0,
+                    jnp.where(dirs == 1, v1, jnp.where(dirs == 2, v2, v3)))
+
+            phr = dir_gather(_TIR_PH)
+            phi_ = dir_gather(_TIR_PH + 1)
+            ter_n, tei_n = ter_n * inv, tei_n * inv
+            tmr_n, tmi_n = phase_mul(phr, phi_, tmr_n * inv, tmi_n * inv)
+            cos_n = jnp.where(br_a, s_a, s_b)
+            gx_n = dir_gather(_GAPS)
+            gy_n = dir_gather(_GAPS + 1)
+            x_acc = x + gx_n
+            y_acc = y + gy_n
+            icin = in_ic(x_acc, y_acc)
+            st_a = jnp.where(goc, 4, jnp.where(gfc, 2, jnp.where(icin, 0, 2)))
+            st_b = jnp.where(goc, 5, jnp.where(gfc, 3, jnp.where(icin, 1, 6)))
+            st_acc = jnp.where(br_a, st_a, st_b)
+
+            # ---- deposit: accumulate into the per-cell VMEM histogram tile
+            from .trace_pallas import _EBR
+
+            ebx0 = c(_EBR)
+            ebx1 = c(_EBR + 1)
+            eby0 = c(_EBR + 2)
+            eby1 = c(_EBR + 3)
+            in_quad = ((x >= ebx0 - _EDGE_TOL) & (x <= ebx1 + _EDGE_TOL)
+                       & (y >= eby0 - _EDGE_TOL) & (y <= eby1 + _EDGE_TOL))
+            ix = jnp.clip(
+                jnp.floor((x - ebx0) * (nx / (ebx1 - ebx0))).astype(jnp.int32),
+                0, nx - 1)
+            iy = jnp.clip(
+                jnp.floor((y - eby0) * (ny / (eby1 - eby0))).astype(jnp.int32),
+                0, ny - 1)
+            depbin = jnp.where(br_c & in_quad, iy * nx + ix, -1)
+
+            def drain_deposits(_):
+                dscr[:] = depbin
+                n_dep = jnp.sum((depbin >= 0).astype(jnp.int32))
+
+                def drain(i, _):
+                    v = dscr[:]
+                    lin = jnp.where(v >= 0, lane_lin, -1)
+                    mx = jnp.max(lin)
+                    r = mx // LANES
+                    col = mx % LANES
+                    b = dscr[r, col]
+                    hist_ref[0, b // nx, b % nx] = (
+                        hist_ref[0, b // nx, b % nx] + 1.0)
+                    dscr[r, col] = -1
+                    return 0
+
+                jax.lax.fori_loop(0, n_dep, drain, 0)
+                return 0
+
+            if phase_gating:
+                jax.lax.cond(jnp.any(depbin >= 0), drain_deposits,
+                             lambda _: 0, None)
+            else:
+                drain_deposits(None)
+
+            # ---- misses
+            miss_fc2 = grp_fc & ~in_hull & (state == 2)
+            miss_fc3 = grp_fc & ~in_hull & (state == 3)
+            in_r2 = _region_test(g, _G_R2, x, y)
+            fc3_to_oc = miss_fc3 & ~in_r2
+            hop = (miss_fc2 | (miss_fc3 & in_r2)
+                   | (grp_oc & ~in_rect & (state == 4)))
+            miss_oc5 = grp_oc & ~in_rect & (state == 5)
+            h_phr = jnp.where(miss_fc2, c(_HOP2_PH + 0), c(_HOP2_PH + 2))
+            h_phi = jnp.where(miss_fc2, c(_HOP2_PH + 1), c(_HOP2_PH + 3))
+            hop_tmr, hop_tmi = phase_mul(h_phr, h_phi, tmr, tmi)
+
+            state = jnp.where(
+                accept, st_acc,
+                jnp.where(br_c | die | miss_oc5, 6,
+                          jnp.where(fc3_to_oc, 4, state))).astype(jnp.int32)
+            x = jnp.where(accept, x_acc, jnp.where(hop, x + gx, x))
+            y = jnp.where(accept, y_acc, jnp.where(hop, y + gy, y))
+            ter = jnp.where(accept, ter_n, ter)
+            tei = jnp.where(accept, tei_n, tei)
+            tmr = jnp.where(accept, tmr_n, jnp.where(hop, hop_tmr, tmr))
+            tmi = jnp.where(accept, tmi_n, jnp.where(hop, hop_tmi, tmi))
+            cos_th = jnp.where(accept, cos_n, cos_th)
+            gx = jnp.where(accept, gx_n, gx)
+            gy = jnp.where(accept, gy_n, gy)
+            return (x, y, ter, tei, tmr, tmi, cos_th, gx, gy, state, gen, rng,
+                    nb, it + 1)
+
+        carry = (x0, y0, ter0, tei0, tmr0, tmi0, jnp.ones((RT, LANES), f32),
+                 zeros, zeros, state0, gen0, rng_ref[0], jnp.int32(0),
+                 jnp.int32(0))
+        carry = jax.lax.while_loop(cond, body, carry)
+        nb_ref[0, 0, 0] = carry[12]
+
+    @jax.jit
+    def trace(cell_params, geom_row, rays_in, rng_in):
+        C = cell_params.shape[0]
+        out_shapes = (
+            jax.ShapeDtypeStruct((C, ny, NY_PAD), jnp.float32),
+            jax.ShapeDtypeStruct((C, 1, 1), jnp.int32),
+        )
+        hist, nb = pl.pallas_call(
+            kernel,
+            grid=(C,),
+            in_specs=[
+                pl.BlockSpec((1, PG), lambda i: (0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, 1, PC), lambda i: (i, 0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, 6, RT, LANES), lambda i: (i, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, RT, LANES), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=(
+                pl.BlockSpec((1, ny, NY_PAD), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, 1), lambda i: (i, 0, 0),
+                             memory_space=pltpu.SMEM),
+            ),
+            out_shape=out_shapes,
+            scratch_shapes=[pltpu.VMEM((RT, LANES), jnp.int32)],
+            interpret=interpret,
+        )(geom_row, cell_params[:, None, :], rays_in, rng_in)
+        return hist, nb.reshape(C, 1)
+
+    return trace
+
+
+def hist_tiles_to_histogram(hist_tiles: jnp.ndarray, cell_ids: np.ndarray,
+                            L: int, M: int, N: int, ny: int, nx: int):
+    """(C, ny, 128) per-cell tiles -> (L, N, M, ny, nx) eyebox histogram."""
+    tiles = np.asarray(hist_tiles)[:, :, :nx]
+    out = np.zeros((L, N, M, ny, nx), np.float32)
+    cid = np.asarray(cell_ids)
+    l = cid // (M * N)
+    mn = cid % (M * N)
+    m = mn // N
+    n = mn % N
+    out[l, n, m] = tiles
+    return out

@@ -1,0 +1,81 @@
+"""Persistent-slot respawn kernel vs monolithic kernel (interpret mode)."""
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+
+from gpu_ray_tracing_for_waveguide_based_ar_display_tpu.config import TraceConfig
+from gpu_ray_tracing_for_waveguide_based_ar_display_tpu.design import generate_geometry
+from gpu_ray_tracing_for_waveguide_based_ar_display_tpu.engine import (
+    seeding,
+    trace_pallas,
+    trace_pallas_persistent,
+)
+from gpu_ray_tracing_for_waveguide_based_ar_display_tpu.engine.trace_geometry import (
+    build_trace_geometry,
+)
+from gpu_ray_tracing_for_waveguide_based_ar_display_tpu.luts import make_synthetic_luts
+from gpu_ray_tracing_for_waveguide_based_ar_display_tpu.luts.packing import (
+    build_cell_tables,
+)
+
+M, N = 4, 3
+RPC = 128
+RT = 1
+
+
+@pytest.fixture(scope="module")
+def setup():
+    geom = generate_geometry(num_fov_x=M, num_fov_y=N)
+    luts = make_synthetic_luts(geom)
+    tables = build_cell_tables(geom, luts)
+    tgeom = build_trace_geometry(geom, simplify_tol=0.05)
+    cfg = TraceConfig(num_fov_x=M, num_fov_y=N, rays_per_fov=RPC, max_bounces=600,
+                      rng_mode="fast", ic_test="circle", seed=6)
+    n_cells = 3 * M * N
+    cp = trace_pallas.build_kernel_cell_params(tables, geom.eyebox_range)
+    gr = trace_pallas.build_kernel_geom(tgeom)[None, :]
+    batch = seeding.build_ray_batch(geom, cfg)
+    rays_in, rng_in = trace_pallas.pack_ray_blocks(batch, n_cells, RPC, RT)
+    return geom, tgeom, cfg, n_cells, cp, gr, rays_in, rng_in
+
+
+def _mono_hist(cfg, tgeom, cp, gr, rays_in, rng, n_cells):
+    mono = trace_pallas.make_pallas_trace_fn(
+        cfg, tgeom.num_fc, tgeom.num_oc, RT, interpret=True)
+    dep, nb, rays_out, st_out, rng_out = mono(cp, gr, rays_in, rng)
+    hist = np.asarray(trace_pallas.deposits_to_histogram_cells(
+        dep, np.arange(n_cells), 3, M, N, 80, 120))
+    return hist, int(np.asarray(nb).sum()), rng_out
+
+
+def test_persistent_gen1_matches_monolithic(setup):
+    geom, tgeom, cfg, n_cells, cp, gr, rays_in, rng_in = setup
+    hist_m, nb_m, _ = _mono_hist(cfg, tgeom, cp, gr, rays_in, rng_in, n_cells)
+
+    pers = trace_pallas_persistent.make_persistent_trace_fn(
+        cfg, tgeom.num_fc, tgeom.num_oc, RT, gens=1, interpret=True)
+    tiles, nb_p = pers(cp, gr, rays_in, rng_in)
+    hist_p = trace_pallas_persistent.hist_tiles_to_histogram(
+        tiles, np.arange(n_cells), 3, M, N, 80, 120)
+    np.testing.assert_array_equal(hist_m, hist_p)
+    assert nb_m == int(np.asarray(nb_p).sum())
+
+
+def test_persistent_gens_match_sequential_reruns(setup):
+    """gens=2 must equal two sequential monolithic passes with carried RNG
+    (the reference's num_iter re-launch semantics,
+    gpu_ray_tracing_pro_fullColor.py:169-177)."""
+    geom, tgeom, cfg, n_cells, cp, gr, rays_in, rng_in = setup
+    h1, nb1, rng_after = _mono_hist(cfg, tgeom, cp, gr, rays_in, rng_in, n_cells)
+    h2, nb2, _ = _mono_hist(cfg, tgeom, cp, gr, rays_in, rng_after, n_cells)
+
+    pers = trace_pallas_persistent.make_persistent_trace_fn(
+        cfg, tgeom.num_fc, tgeom.num_oc, RT, gens=2, interpret=True,
+        max_iters=1300)
+    tiles, nb_p = pers(cp, gr, rays_in, rng_in)
+    hist_p = trace_pallas_persistent.hist_tiles_to_histogram(
+        tiles, np.arange(n_cells), 3, M, N, 80, 120)
+    np.testing.assert_array_equal(h1 + h2, hist_p)
+    assert nb1 + nb2 == int(np.asarray(nb_p).sum())
