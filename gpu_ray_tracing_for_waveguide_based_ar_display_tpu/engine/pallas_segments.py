@@ -104,7 +104,7 @@ class SegmentedPallasTracer:
                 hist = _scatter_deps(hist, dp, hist_base)
             else:
                 deps.append(dp)
-            total += int(np.asarray(nb).sum())
+            total += int(np.asarray(nb[:, 0]).sum())
             max_alive = int(np.asarray(alive).max())
             if max_alive == 0 or budget <= 0:
                 break

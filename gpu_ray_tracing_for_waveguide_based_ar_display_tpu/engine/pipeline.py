@@ -167,7 +167,7 @@ class Simulator:
         )
         import jax.numpy as jnp
 
-        return hist, jnp.sum(nb), len(batch["x"])
+        return hist, jnp.sum(nb[:, 0]), len(batch["x"])
 
     def trace_batch_compacted(
         self, cell_ids: np.ndarray, rays_per_cell: int, iteration: int,

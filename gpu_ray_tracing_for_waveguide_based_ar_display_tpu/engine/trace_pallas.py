@@ -616,6 +616,7 @@ def make_pallas_trace_fn(cfg: TraceConfig, num_fc: int, num_oc: int,
         carry = jax.lax.while_loop(cond, body, carry)
         dep_ref[0] = carry[11]
         nb_ref[0, 0, 0] = carry[12]
+        nb_ref[0, 0, 1] = carry[13]   # iterations executed (diagnostics)
         for fi in range(9):
             ro_ref[0, fi] = carry[fi]
         so_ref[0] = carry[9]
@@ -628,7 +629,7 @@ def make_pallas_trace_fn(cfg: TraceConfig, num_fc: int, num_oc: int,
         C = cell_params.shape[0]
         out_shapes = (
             jax.ShapeDtypeStruct((C, RT, LANES), jnp.int32),
-            jax.ShapeDtypeStruct((C, 1, 1), jnp.int32),
+            jax.ShapeDtypeStruct((C, 1, 2), jnp.int32),
             jax.ShapeDtypeStruct((C, 9, RT, LANES), jnp.float32),
             jax.ShapeDtypeStruct((C, RT, LANES), jnp.int32),
             jax.ShapeDtypeStruct((C, RT, LANES), jnp.uint32),
@@ -654,7 +655,7 @@ def make_pallas_trace_fn(cfg: TraceConfig, num_fc: int, num_oc: int,
             out_specs=(
                 pl.BlockSpec((1, RT, LANES), lambda i: (i, 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 1, 1), lambda i: (i, 0, 0),
+                pl.BlockSpec((1, 1, 2), lambda i: (i, 0, 0),
                              memory_space=pltpu.SMEM),
                 pl.BlockSpec((1, 9, RT, LANES), lambda i: (i, 0, 0, 0),
                              memory_space=pltpu.VMEM),
@@ -666,7 +667,7 @@ def make_pallas_trace_fn(cfg: TraceConfig, num_fc: int, num_oc: int,
             out_shape=out_shapes,
             interpret=interpret,
         )(geom_row, cell_params[:, None, :], rays_in, *rest)
-        return dep, nb.reshape(C, 1), rays_out, st_out, rng_out
+        return dep, nb.reshape(C, 2), rays_out, st_out, rng_out
 
     return trace
 

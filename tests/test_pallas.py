@@ -71,7 +71,7 @@ def test_pallas_interpret_matches_jnp(setup):
     d2 = (dep2 >= 0).sum()
     assert abs(d1 - d2) <= max(3, 0.02 * d1)
     # bounce accounting comparable
-    bounces2 = int(np.asarray(nb2).sum())
+    bounces2 = int(np.asarray(nb2[:, 0]).sum())
     assert abs(int(bounces1) - bounces2) / max(int(bounces1), 1) < 0.02
 
 

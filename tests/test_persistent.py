@@ -47,7 +47,7 @@ def _mono_hist(cfg, tgeom, cp, gr, rays_in, rng, n_cells):
     dep, nb, rays_out, st_out, rng_out = mono(cp, gr, rays_in, rng)
     hist = np.asarray(trace_pallas.deposits_to_histogram_cells(
         dep, np.arange(n_cells), 3, M, N, 80, 120))
-    return hist, int(np.asarray(nb).sum()), rng_out
+    return hist, int(np.asarray(nb[:, 0]).sum()), rng_out
 
 
 def test_persistent_gen1_matches_monolithic(setup):
