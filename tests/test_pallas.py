@@ -133,7 +133,7 @@ def test_segmented_pallas_matches_monolithic(setup):
     dep_m, nb_m, *_ = mono(cp, gr, rays_in, rng_in)
     hist_m = np.asarray(trace_pallas.deposits_to_histogram_cells(
         dep_m, np.arange(n_cells), 3, M, N, 80, 120))
-    bounces_m = int(np.asarray(nb_m).sum())
+    bounces_m = int(np.asarray(nb_m[:, 0]).sum())
 
     seg = pallas_segments.SegmentedPallasTracer(
         cfg, tgeom.num_fc, tgeom.num_oc, segment_bounces=32, interpret=True)
