@@ -23,7 +23,13 @@ from ..eval import EvalResult, efficiencies, evaluate
 from ..luts.io import load_or_synthesize
 from ..luts.packing import build_cell_tables
 from ..luts.schema import RcwaLuts
-from . import seeding, trace_cellblock, trace_jnp, trace_pallas
+from . import (
+    seeding,
+    trace_cellblock,
+    trace_jnp,
+    trace_pallas,
+    trace_pallas_persistent,
+)
 from .trace_geometry import build_trace_geometry
 
 
@@ -60,8 +66,9 @@ class Simulator:
         interpret: bool = False,
         pallas_segmented: bool = False,
         segment_bounces: int = 24,
+        persistent_slots: int = 2048,
     ):
-        if engine not in ("jnp", "pallas", "cellblock"):
+        if engine not in ("jnp", "pallas", "pallas_persistent", "cellblock"):
             raise ValueError(f"unknown engine {engine!r}")
         self.engine = engine
         self.design = design
@@ -73,7 +80,8 @@ class Simulator:
             self.geom, directory=luts_dir, seed=cfg.seed + 1234
         )
         self.tables = build_cell_tables(self.geom, self.luts)
-        if engine == "pallas" and geometry_simplify_tol == 0.0:
+        self._persistent_slots = persistent_slots
+        if engine.startswith("pallas") and geometry_simplify_tol == 0.0:
             # the kernel holds regions as <= MAX_EDGES scalar half-planes
             geometry_simplify_tol = 0.05
         self.tgeom = build_trace_geometry(self.geom, simplify_tol=geometry_simplify_tol)
@@ -83,6 +91,13 @@ class Simulator:
         if engine == "jnp":
             self.trace_fn = trace_jnp.make_trace_fn(self.tables, self.tgeom, cfg)
             self._resume_fns = {}
+        elif engine == "pallas_persistent":
+            self._cp = trace_pallas.build_kernel_cell_params(
+                self.tables, self.geom.eyebox_range
+            )
+            self._gr = trace_pallas.build_kernel_geom(self.tgeom)[None, :]
+            self._pers_cache = {}
+            self._interpret = interpret
         elif engine == "cellblock":
             import jax.numpy as jnp
 
@@ -144,6 +159,40 @@ class Simulator:
         rays_in, rng_in = trace_pallas.pack_ray_blocks(
             batch, len(cell_ids), rays_per_cell, rt
         )
+        if self.engine == "pallas_persistent":
+            import jax.numpy as jnp
+
+            slots = min(self._persistent_slots, rays_per_cell)
+            slots = max(trace_pallas.LANES,
+                        (slots // trace_pallas.LANES) * trace_pallas.LANES)
+            gens = -(-rays_per_cell // slots)
+            rt = slots // trace_pallas.LANES
+            # seed `slots` rays per cell; generations reuse them (reference
+            # num_iter semantics with persistent RNG streams)
+            batch_s = seeding.build_ray_batch(
+                self.geom, self.cfg, cell_ids=cell_ids,
+                rays_per_cell=slots, iteration=iteration,
+            )
+            rays_in, rng_in = trace_pallas.pack_ray_blocks(
+                batch_s, len(cell_ids), slots, rt
+            )
+            key = (rt, gens)
+            if key not in self._pers_cache:
+                self._pers_cache[key] = (
+                    trace_pallas_persistent.make_persistent_trace_fn(
+                        self.cfg, self.tgeom.num_fc, self.tgeom.num_oc, rt,
+                        gens=gens, interpret=self._interpret,
+                        max_iters=self.cfg.max_bounces,
+                    )
+                )
+            tiles, nb = self._pers_cache[key](
+                self._cp[cell_ids], self._gr, rays_in, rng_in
+            )
+            hist = trace_pallas_persistent.hist_tiles_to_histogram(
+                tiles, cell_ids, self.L, self.M, self.N, ny, nx
+            )
+            return jnp.asarray(hist), jnp.sum(nb), slots * gens * len(cell_ids)
+
         if self._segmented:
             cid = np.asarray(cell_ids, np.int64)
             l = cid // (self.M * self.N)
@@ -305,10 +354,14 @@ class Simulator:
         histogram = np.asarray(jax.block_until_ready(hist_acc))
         trace_seconds = time.perf_counter() - t0
 
-        eff = efficiencies(histogram, rpf, iters)
+        # the persistent engine rounds per-cell sample counts up to slot multiples;
+        # normalize by the samples actually traced, not the requested count
+        cells_traced = len(all_cells) * iters
+        actual_rpf = total_rays / max(cells_traced, 1) if cells_traced else rpf
+        eff = efficiencies(histogram, actual_rpf, iters)
         met = None
         if evaluate_metrics:
-            met = evaluate(histogram / rpf / iters, eval_cfg)
+            met = evaluate(histogram / actual_rpf / iters, eval_cfg)
         return SimulationResult(
             histogram=histogram,
             efficiencies=eff,

@@ -278,7 +278,7 @@ def _xorshift(s):
 def make_pallas_trace_fn(cfg: TraceConfig, num_fc: int, num_oc: int,
                          rays_tile_rows: int, interpret: bool = False,
                          phase_gating: bool = True, mode: str = "full",
-                         hoist_params: bool = False):
+                         hoist_params: bool = False, cond_interval: int = 8):
     """Build the jitted cell-grid tracer.
 
     mode='full':   ``trace(cell_params, geom_row, rays_in, rng_in)`` with
@@ -613,7 +613,15 @@ def make_pallas_trace_fn(cfg: TraceConfig, num_fc: int, num_oc: int,
             return (x, y, ter, tei, tmr, tmi, cos_th, gx, gy, state, rng, dep,
                     nb, it + 1)
 
-        carry = jax.lax.while_loop(cond, body, carry)
+        # Evaluate the while condition only every ``cond_interval`` iterations:
+        # the any-alive reduce forces a vector->scalar sync that dominates the
+        # per-iteration cost on this hardware; extra masked iterations on dead
+        # rays are no-ops.
+        def chunk(carry):
+            return jax.lax.fori_loop(
+                0, cond_interval, lambda _, cc: body(cc), carry)
+
+        carry = jax.lax.while_loop(cond, chunk, carry)
         dep_ref[0] = carry[11]
         nb_ref[0, 0, 0] = carry[12]
         nb_ref[0, 0, 1] = carry[13]   # iterations executed (diagnostics)

@@ -47,7 +47,7 @@ def make_persistent_trace_fn(cfg: TraceConfig, num_fc: int, num_oc: int,
                              rays_tile_rows: int, gens: int,
                              interpret: bool = False,
                              phase_gating: bool = True,
-                             max_iters: int = 0):
+                             max_iters: int = 0, cond_interval: int = 8):
     """Build ``trace(cell_params, geom_row, rays_in, rng_in) -> (hist, bounces)``.
 
     - rays_in: (C, 6, RT, 128) initial fields (x, y, ter, tei, tmr, tmi); these are
@@ -382,7 +382,12 @@ def make_persistent_trace_fn(cfg: TraceConfig, num_fc: int, num_oc: int,
         carry = (x0, y0, ter0, tei0, tmr0, tmi0, jnp.ones((RT, LANES), f32),
                  zeros, zeros, state0, gen0, rng_ref[0], jnp.int32(0),
                  jnp.int32(0))
-        carry = jax.lax.while_loop(cond, body, carry)
+
+        def chunk(carry):
+            return jax.lax.fori_loop(
+                0, cond_interval, lambda _, cc: body(cc), carry)
+
+        carry = jax.lax.while_loop(cond, chunk, carry)
         nb_ref[0, 0, 0] = carry[12]
 
     @jax.jit

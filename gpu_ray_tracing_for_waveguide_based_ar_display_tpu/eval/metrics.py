@@ -132,7 +132,7 @@ def evaluate(matrix_eb: np.ndarray, cfg: EvalConfig = EvalConfig()) -> EvalResul
     )
 
 
-def efficiencies(matrix_eb: np.ndarray, rays_per_fov: int, num_iter: int) -> dict:
+def efficiencies(matrix_eb: np.ndarray, rays_per_fov: float, num_iter: int) -> dict:
     """Per-color system efficiency (gpu_ray_tracing_pro_fullColor.py:186-192).
 
     The x3 undoes the 1/3 wavelength split of the launched rays; wavelength index

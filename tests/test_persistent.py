@@ -79,3 +79,27 @@ def test_persistent_gens_match_sequential_reruns(setup):
         tiles, np.arange(n_cells), 3, M, N, 80, 120)
     np.testing.assert_array_equal(h1 + h2, hist_p)
     assert nb1 + nb2 == int(np.asarray(nb_p).sum())
+
+
+def test_simulator_persistent_engine(setup):
+    """Pipeline wiring: engine='pallas_persistent' reproduces the jnp engine's
+    statistics (identical seeds; generations reuse slot streams)."""
+    from gpu_ray_tracing_for_waveguide_based_ar_display_tpu.engine.pipeline import (
+        Simulator,
+    )
+
+    geom, tgeom, cfg, n_cells, cp, gr, rays_in, rng_in = setup
+    sim_p = Simulator(cfg=cfg, engine="pallas_persistent", geom=geom,
+                      interpret=True, persistent_slots=128)
+    sim_j = Simulator(cfg=cfg, engine="jnp", geom=geom,
+                      geometry_simplify_tol=0.05)
+    rp = sim_p.run(rays_per_fov=256, num_iter=1, evaluate_metrics=False,
+                   cells_per_batch=n_cells)
+    rj = sim_j.run(rays_per_fov=256, num_iter=1, evaluate_metrics=False)
+    assert rp.rays_traced == rj.rays_traced == 256 * n_cells
+    # different sampling interleave (gens vs flat) but same per-slot statistics;
+    # totals agree statistically
+    tp = rp.histogram.sum()
+    tj = rj.histogram.sum()
+    sigma = np.sqrt(max(tj, 1.0))
+    assert abs(tp - tj) < 6 * sigma + 10
