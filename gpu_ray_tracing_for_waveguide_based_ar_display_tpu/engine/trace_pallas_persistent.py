@@ -327,8 +327,12 @@ def make_persistent_trace_fn(cfg: TraceConfig, num_fc: int, num_oc: int,
             depbin = jnp.where(br_c & in_quad, iy * nx + ix, -1)
 
             def drain_deposits(_):
+                # scalar stores to VMEM are not allowed on TPU; every histogram
+                # update is a dynamic-row vector read-modify-write with a one-hot
+                # lane mask instead
                 dscr[:] = depbin
                 n_dep = jnp.sum((depbin >= 0).astype(jnp.int32))
+                lane1 = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
 
                 def drain(i, _):
                     v = dscr[:]
@@ -336,10 +340,14 @@ def make_persistent_trace_fn(cfg: TraceConfig, num_fc: int, num_oc: int,
                     mx = jnp.max(lin)
                     r = mx // LANES
                     col = mx % LANES
-                    b = dscr[r, col]
-                    hist_ref[0, b // nx, b % nx] = (
-                        hist_ref[0, b // nx, b % nx] + 1.0)
-                    dscr[r, col] = -1
+                    row = dscr[pl.ds(r, 1), :]
+                    b = jnp.sum(jnp.where(lane1 == col, row, 0))
+                    hr = b // nx
+                    hc = b % nx
+                    hrow = hist_ref[0, pl.ds(hr, 1), :]
+                    hist_ref[0, pl.ds(hr, 1), :] = (
+                        hrow + (lane1 == hc).astype(jnp.float32))
+                    dscr[pl.ds(r, 1), :] = jnp.where(lane1 == col, -1, row)
                     return 0
 
                 jax.lax.fori_loop(0, n_dep, drain, 0)
