@@ -90,9 +90,13 @@ def make_persistent_trace_fn(cfg: TraceConfig, num_fc: int, num_oc: int,
                     + jax.lax.broadcasted_iota(jnp.int32, (RT, LANES), 1))
 
         # carry: x, y, ter, tei, tmr, tmi, cos_th, gx, gy, state, gen, rng, nb, it
-        state0 = jnp.full((RT, LANES), 7, jnp.int32)   # 7 = awaiting (re)spawn
-        gen0 = jnp.ones((RT, LANES), jnp.int32)        # the initial spawn is gen 1
-        zeros = jnp.zeros((RT, LANES), f32)
+        # (anchor the constant initializers to iota so Mosaic assigns them concrete
+        # rather than replicated layouts -- replicated loop carries trip a relayout
+        # bug in the chunked fori_loop)
+        anchor = lane_lin * 0
+        state0 = anchor + 7   # 7 = awaiting (re)spawn
+        gen0 = anchor + 1     # the initial spawn is gen 1
+        zeros = anchor.astype(f32)
 
         def cond(carry):
             (x, y, ter, tei, tmr, tmi, cos_th, gx, gy, state, gen, rng,
@@ -387,7 +391,7 @@ def make_persistent_trace_fn(cfg: TraceConfig, num_fc: int, num_oc: int,
             return (x, y, ter, tei, tmr, tmi, cos_th, gx, gy, state, gen, rng,
                     nb, it + 1)
 
-        carry = (x0, y0, ter0, tei0, tmr0, tmi0, jnp.ones((RT, LANES), f32),
+        carry = (x0, y0, ter0, tei0, tmr0, tmi0, zeros + 1.0,
                  zeros, zeros, state0, gen0, rng_ref[0], jnp.int32(0),
                  jnp.int32(0))
 
