@@ -90,13 +90,15 @@ def make_persistent_trace_fn(cfg: TraceConfig, num_fc: int, num_oc: int,
                     + jax.lax.broadcasted_iota(jnp.int32, (RT, LANES), 1))
 
         # carry: x, y, ter, tei, tmr, tmi, cos_th, gx, gy, state, gen, rng, nb, it
-        # (anchor the constant initializers to iota so Mosaic assigns them concrete
-        # rather than replicated layouts -- replicated loop carries trip a relayout
-        # bug in the chunked fori_loop)
-        anchor = lane_lin * 0
-        state0 = anchor + 7   # 7 = awaiting (re)spawn
-        gen0 = anchor + 1     # the initial spawn is gen 1
-        zeros = anchor.astype(f32)
+        # The initializers must NOT fold to splat constants: Mosaic gives those a
+        # replicated layout, and a replicated loop carry cannot accept the body's
+        # concrete-layout outputs ("invalid relayout").  Multiplying loaded float
+        # data by 0.0 is not algebraically folded (NaN semantics), so this yields
+        # concrete-layout zeros.
+        zeros = x0 * 0.0
+        zero_i = zeros.astype(jnp.int32)
+        state0 = zero_i + 7   # 7 = awaiting (re)spawn
+        gen0 = zero_i + 1     # the initial spawn is gen 1
 
         def cond(carry):
             (x, y, ter, tei, tmr, tmi, cos_th, gx, gy, state, gen, rng,
