@@ -191,7 +191,8 @@ class Simulator:
             hist = trace_pallas_persistent.hist_tiles_to_histogram(
                 tiles, cell_ids, self.L, self.M, self.N, ny, nx
             )
-            return jnp.asarray(hist), jnp.sum(nb), slots * gens * len(cell_ids)
+            return (jnp.asarray(hist), jnp.sum(nb[:, 0]),
+                    slots * gens * len(cell_ids))
 
         if self._segmented:
             cid = np.asarray(cell_ids, np.int64)

@@ -403,13 +403,14 @@ def make_persistent_trace_fn(cfg: TraceConfig, num_fc: int, num_oc: int,
 
         carry = jax.lax.while_loop(cond, chunk, carry)
         nb_ref[0, 0, 0] = carry[12]
+        nb_ref[0, 0, 1] = carry[13]   # iterations (diagnostics)
 
     @jax.jit
     def trace(cell_params, geom_row, rays_in, rng_in):
         C = cell_params.shape[0]
         out_shapes = (
             jax.ShapeDtypeStruct((C, ny, NY_PAD), jnp.float32),
-            jax.ShapeDtypeStruct((C, 1, 1), jnp.int32),
+            jax.ShapeDtypeStruct((C, 1, 2), jnp.int32),
         )
         hist, nb = pl.pallas_call(
             kernel,
@@ -427,14 +428,14 @@ def make_persistent_trace_fn(cfg: TraceConfig, num_fc: int, num_oc: int,
             out_specs=(
                 pl.BlockSpec((1, ny, NY_PAD), lambda i: (i, 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 1, 1), lambda i: (i, 0, 0),
+                pl.BlockSpec((1, 1, 2), lambda i: (i, 0, 0),
                              memory_space=pltpu.SMEM),
             ),
             out_shape=out_shapes,
             scratch_shapes=[pltpu.VMEM((RT, LANES), jnp.int32)],
             interpret=interpret,
         )(geom_row, cell_params[:, None, :], rays_in, rng_in)
-        return hist, nb.reshape(C, 1)
+        return hist, nb.reshape(C, 2)
 
     return trace
 

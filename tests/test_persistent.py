@@ -60,7 +60,7 @@ def test_persistent_gen1_matches_monolithic(setup):
     hist_p = trace_pallas_persistent.hist_tiles_to_histogram(
         tiles, np.arange(n_cells), 3, M, N, 80, 120)
     np.testing.assert_array_equal(hist_m, hist_p)
-    assert nb_m == int(np.asarray(nb_p).sum())
+    assert nb_m == int(np.asarray(nb_p[:, 0]).sum())
 
 
 def test_persistent_gens_match_sequential_reruns(setup):
@@ -78,7 +78,7 @@ def test_persistent_gens_match_sequential_reruns(setup):
     hist_p = trace_pallas_persistent.hist_tiles_to_histogram(
         tiles, np.arange(n_cells), 3, M, N, 80, 120)
     np.testing.assert_array_equal(h1 + h2, hist_p)
-    assert nb1 + nb2 == int(np.asarray(nb_p).sum())
+    assert nb1 + nb2 == int(np.asarray(nb_p[:, 0]).sum())
 
 
 def test_simulator_persistent_engine(setup):
