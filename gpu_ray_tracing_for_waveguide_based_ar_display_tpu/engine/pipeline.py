@@ -128,9 +128,12 @@ class Simulator:
     # ------------------------------------------------------------------
     def trace_batch(self, cell_ids: np.ndarray, rays_per_cell: int, iteration: int):
         """Trace one batch; returns (histogram jnp array, bounce count, ray count)."""
+        seed_count = rays_per_cell
+        if self.engine == "pallas_persistent":
+            seed_count, _ = self._slots_gens(rays_per_cell)
         batch = seeding.build_ray_batch(
             self.geom, self.cfg, cell_ids=cell_ids,
-            rays_per_cell=rays_per_cell, iteration=iteration,
+            rays_per_cell=seed_count, iteration=iteration,
         )
         ny, nx = self.cfg.eyebox_bins
         if self.engine == "jnp":
@@ -160,39 +163,17 @@ class Simulator:
             batch, len(cell_ids), rays_per_cell, rt
         )
         if self.engine == "pallas_persistent":
+            tiles, nb, n = self._trace_batch_tiles(
+                batch, cell_ids, rays_per_cell
+            )
             import jax.numpy as jnp
 
-            slots = min(self._persistent_slots, rays_per_cell)
-            slots = max(trace_pallas.LANES,
-                        (slots // trace_pallas.LANES) * trace_pallas.LANES)
-            gens = -(-rays_per_cell // slots)
-            rt = slots // trace_pallas.LANES
-            # seed `slots` rays per cell; generations reuse them (reference
-            # num_iter semantics with persistent RNG streams)
-            batch_s = seeding.build_ray_batch(
-                self.geom, self.cfg, cell_ids=cell_ids,
-                rays_per_cell=slots, iteration=iteration,
-            )
-            rays_in, rng_in = trace_pallas.pack_ray_blocks(
-                batch_s, len(cell_ids), slots, rt
-            )
-            key = (rt, gens)
-            if key not in self._pers_cache:
-                self._pers_cache[key] = (
-                    trace_pallas_persistent.make_persistent_trace_fn(
-                        self.cfg, self.tgeom.num_fc, self.tgeom.num_oc, rt,
-                        gens=gens, interpret=self._interpret,
-                        max_iters=self.cfg.max_bounces,
-                    )
+            hist = jnp.asarray(
+                trace_pallas_persistent.hist_tiles_to_histogram(
+                    tiles, cell_ids, self.L, self.M, self.N, ny, nx
                 )
-            tiles, nb = self._pers_cache[key](
-                self._cp[cell_ids], self._gr, rays_in, rng_in
             )
-            hist = trace_pallas_persistent.hist_tiles_to_histogram(
-                tiles, cell_ids, self.L, self.M, self.N, ny, nx
-            )
-            return (jnp.asarray(hist), jnp.sum(nb[:, 0]),
-                    slots * gens * len(cell_ids))
+            return hist, jnp.sum(nb[:, 0]), n
 
         if self._segmented:
             cid = np.asarray(cell_ids, np.int64)
@@ -295,6 +276,37 @@ class Simulator:
             fn = resume_fn
         return hist, total_bounces, n_rays
 
+    def _slots_gens(self, rays_per_cell: int):
+        slots = min(self._persistent_slots, rays_per_cell)
+        slots = max(trace_pallas.LANES,
+                    (slots // trace_pallas.LANES) * trace_pallas.LANES)
+        return slots, -(-rays_per_cell // slots)
+
+    def _trace_batch_tiles(self, batch: dict, cell_ids: np.ndarray,
+                           rays_per_cell: int):
+        """Persistent-engine batch trace; returns *device* per-cell histogram
+        tiles (C, ny, 128) so the caller can defer host pulls (batches pipeline
+        asynchronously; a full-histogram device round trip per batch dominated
+        early bench runs)."""
+        slots, gens = self._slots_gens(rays_per_cell)
+        rt = slots // trace_pallas.LANES
+        rays_in, rng_in = trace_pallas.pack_ray_blocks(
+            batch, len(cell_ids), slots, rt
+        )
+        key = (rt, gens)
+        if key not in self._pers_cache:
+            self._pers_cache[key] = (
+                trace_pallas_persistent.make_persistent_trace_fn(
+                    self.cfg, self.tgeom.num_fc, self.tgeom.num_oc, rt,
+                    gens=gens, interpret=self._interpret,
+                    max_iters=self.cfg.max_bounces,
+                )
+            )
+        tiles, nb = self._pers_cache[key](
+            self._cp[cell_ids], self._gr, rays_in, rng_in
+        )
+        return tiles, nb, slots * gens * len(cell_ids)
+
     def run(
         self,
         rays_per_fov: Optional[int] = None,
@@ -333,26 +345,50 @@ class Simulator:
                 h0, start_iter, total_bounces = resumed
                 hist_acc = jax.numpy.asarray(h0)
         t0 = time.perf_counter()
-        for it in range(start_iter, iters):
-            for start in range(0, len(all_cells), cells_per_batch):
-                chunk = all_cells[start : start + cells_per_batch]
-                hist, bounces, n = self.trace_batch(chunk, rpf, it)
-                hist_acc = hist if hist_acc is None else hist_acc + hist
-                total_bounces += int(bounces)
-                total_rays += n
-                if verbose:
-                    print(
-                        f"iter {it} cells {start}-{start + len(chunk)}: "
-                        f"{int(bounces):,} bounces"
+        if self.engine == "pallas_persistent" and not checkpoint_path:
+            # async fast path: dispatch every batch, pull tiles afterwards
+            ny, nx = self.cfg.eyebox_bins
+            pending = []
+            for it in range(start_iter, iters):
+                for start in range(0, len(all_cells), cells_per_batch):
+                    chunk = all_cells[start : start + cells_per_batch]
+                    slots, _ = self._slots_gens(rpf)
+                    batch = seeding.build_ray_batch(
+                        self.geom, self.cfg, cell_ids=chunk,
+                        rays_per_cell=slots, iteration=it,
                     )
-            if checkpoint_path and (it + 1) % checkpoint_every == 0:
-                from ..utils.checkpoint import save_checkpoint
+                    tiles, nb, n = self._trace_batch_tiles(batch, chunk, rpf)
+                    pending.append((chunk, tiles, nb, n))
+            histogram = np.zeros(self._hist_shape, np.float32)
+            for chunk, tiles, nb, n in pending:
+                t_host = np.asarray(tiles)[:, :, :nx]
+                cid = np.asarray(chunk)
+                l = cid // (self.M * self.N)
+                mn = cid % (self.M * self.N)
+                histogram[l, mn % self.N, mn // self.N] += t_host
+                total_bounces += int(np.asarray(nb[:, 0]).sum())
+                total_rays += n
+        else:
+            for it in range(start_iter, iters):
+                for start in range(0, len(all_cells), cells_per_batch):
+                    chunk = all_cells[start : start + cells_per_batch]
+                    hist, bounces, n = self.trace_batch(chunk, rpf, it)
+                    hist_acc = hist if hist_acc is None else hist_acc + hist
+                    total_bounces += int(bounces)
+                    total_rays += n
+                    if verbose:
+                        print(
+                            f"iter {it} cells {start}-{start + len(chunk)}: "
+                            f"{int(bounces):,} bounces"
+                        )
+                if checkpoint_path and (it + 1) % checkpoint_every == 0:
+                    from ..utils.checkpoint import save_checkpoint
 
-                save_checkpoint(
-                    checkpoint_path, np.asarray(hist_acc), it + 1,
-                    self.design, self.cfg, total_bounces,
-                )
-        histogram = np.asarray(jax.block_until_ready(hist_acc))
+                    save_checkpoint(
+                        checkpoint_path, np.asarray(hist_acc), it + 1,
+                        self.design, self.cfg, total_bounces,
+                    )
+            histogram = np.asarray(jax.block_until_ready(hist_acc))
         trace_seconds = time.perf_counter() - t0
 
         # the persistent engine rounds per-cell sample counts up to slot multiples;

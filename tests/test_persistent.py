@@ -103,3 +103,17 @@ def test_simulator_persistent_engine(setup):
     tj = rj.histogram.sum()
     sigma = np.sqrt(max(tj, 1.0))
     assert abs(tp - tj) < 6 * sigma + 10
+
+
+def test_simulator_persistent_trace_batch_direct(setup):
+    """trace_batch (non-fast-path) must seed slot counts, not total samples."""
+    from gpu_ray_tracing_for_waveguide_based_ar_display_tpu.engine.pipeline import (
+        Simulator,
+    )
+
+    geom, tgeom, cfg, n_cells, cp, gr, rays_in, rng_in = setup
+    sim = Simulator(cfg=cfg, engine="pallas_persistent", geom=geom,
+                    interpret=True, persistent_slots=128)
+    hist, bounces, n = sim.trace_batch(np.arange(6), 256, 0)
+    assert n == 6 * 256
+    assert int(bounces) > 0
