@@ -158,10 +158,6 @@ class Simulator:
             )
             return hist, bounces, len(batch["x"])
 
-        rt = -(-rays_per_cell // trace_pallas.LANES)
-        rays_in, rng_in = trace_pallas.pack_ray_blocks(
-            batch, len(cell_ids), rays_per_cell, rt
-        )
         if self.engine == "pallas_persistent":
             tiles, nb, n = self._trace_batch_tiles(
                 batch, cell_ids, rays_per_cell
@@ -175,6 +171,10 @@ class Simulator:
             )
             return hist, jnp.sum(nb[:, 0]), n
 
+        rt = -(-rays_per_cell // trace_pallas.LANES)
+        rays_in, rng_in = trace_pallas.pack_ray_blocks(
+            batch, len(cell_ids), rays_per_cell, rt
+        )
         if self._segmented:
             cid = np.asarray(cell_ids, np.int64)
             l = cid // (self.M * self.N)
@@ -282,6 +282,40 @@ class Simulator:
                     (slots // trace_pallas.LANES) * trace_pallas.LANES)
         return slots, -(-rays_per_cell // slots)
 
+    def _device_ray_blocks(self, cell_ids: np.ndarray, slots: int,
+                           iteration: int):
+        """Build (C, 6, RT, 128) + rng blocks with minimal host->device traffic.
+
+        With shared pupil samples every cell's field tile is identical, so one
+        (6, RT, 128) tile uploads once per (slots, iteration) and broadcasts on
+        device; only the (C, slots) per-cell RNG seeds cross the link."""
+        import jax.numpy as jnp
+
+        rt = slots // trace_pallas.LANES
+        key = (slots, iteration)
+        if not hasattr(self, "_base_tiles"):
+            self._base_tiles = {}
+        if key not in self._base_tiles:
+            one = seeding.build_ray_batch(
+                self.geom, self.cfg, cell_ids=np.array([0]),
+                rays_per_cell=slots, iteration=iteration,
+            )
+            tile, _ = trace_pallas.pack_ray_blocks(one, 1, slots, rt)
+            self._base_tiles[key] = jnp.asarray(tile[0])  # (6, RT, 128)
+        base = self._base_tiles[key]
+        C = len(cell_ids)
+        rays_in = jnp.broadcast_to(base[None], (C,) + base.shape)
+        rp = rt * trace_pallas.LANES
+        total_cells = self.L * self.M * self.N
+        idx = (cell_ids.astype(np.uint64)[:, None] * np.uint64(slots)
+               + np.arange(rp, dtype=np.uint64)[None, :]
+               + np.uint64(iteration) * np.uint64(total_cells) * np.uint64(slots))
+        from ..ops import rng as rng_ops
+
+        rng = rng_ops.seed_fast(idx, self.cfg.seed)
+        rng[:, slots:] = 1  # padding slots (zero amplitude) die at init
+        return rays_in, jnp.asarray(rng.reshape(C, rt, trace_pallas.LANES))
+
     def _trace_batch_tiles(self, batch: dict, cell_ids: np.ndarray,
                            rays_per_cell: int):
         """Persistent-engine batch trace; returns *device* per-cell histogram
@@ -352,12 +386,30 @@ class Simulator:
             for it in range(start_iter, iters):
                 for start in range(0, len(all_cells), cells_per_batch):
                     chunk = all_cells[start : start + cells_per_batch]
-                    slots, _ = self._slots_gens(rpf)
-                    batch = seeding.build_ray_batch(
-                        self.geom, self.cfg, cell_ids=chunk,
-                        rays_per_cell=slots, iteration=it,
-                    )
-                    tiles, nb, n = self._trace_batch_tiles(batch, chunk, rpf)
+                    slots, gens = self._slots_gens(rpf)
+                    if self.cfg.shared_pupil_samples and self.cfg.rng_mode == "fast":
+                        rays_in, rng_in = self._device_ray_blocks(chunk, slots, it)
+                        rt = slots // trace_pallas.LANES
+                        key = (rt, gens)
+                        if key not in self._pers_cache:
+                            self._pers_cache[key] = (
+                                trace_pallas_persistent.make_persistent_trace_fn(
+                                    self.cfg, self.tgeom.num_fc,
+                                    self.tgeom.num_oc, rt, gens=gens,
+                                    interpret=self._interpret,
+                                    max_iters=self.cfg.max_bounces,
+                                )
+                            )
+                        tiles, nb = self._pers_cache[key](
+                            self._cp[chunk], self._gr, rays_in, rng_in
+                        )
+                        n = slots * gens * len(chunk)
+                    else:
+                        batch = seeding.build_ray_batch(
+                            self.geom, self.cfg, cell_ids=chunk,
+                            rays_per_cell=slots, iteration=it,
+                        )
+                        tiles, nb, n = self._trace_batch_tiles(batch, chunk, rpf)
                     pending.append((chunk, tiles, nb, n))
             histogram = np.zeros(self._hist_shape, np.float32)
             for chunk, tiles, nb, n in pending:

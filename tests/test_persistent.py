@@ -117,3 +117,22 @@ def test_simulator_persistent_trace_batch_direct(setup):
     hist, bounces, n = sim.trace_batch(np.arange(6), 256, 0)
     assert n == 6 * 256
     assert int(bounces) > 0
+
+
+def test_device_ray_blocks_match_host_path(setup):
+    """The broadcast+device path must equal the host pack path bit-for-bit."""
+    from gpu_ray_tracing_for_waveguide_based_ar_display_tpu.engine import seeding
+    from gpu_ray_tracing_for_waveguide_based_ar_display_tpu.engine.pipeline import (
+        Simulator,
+    )
+
+    geom, tgeom, cfg, n_cells, cp, gr, rays_in, rng_in = setup
+    sim = Simulator(cfg=cfg, engine="pallas_persistent", geom=geom,
+                    interpret=True, persistent_slots=128)
+    cells = np.array([2, 7, 11])
+    d_rays, d_rng = sim._device_ray_blocks(cells, 128, iteration=1)
+    batch = seeding.build_ray_batch(geom, cfg, cell_ids=cells,
+                                    rays_per_cell=128, iteration=1)
+    h_rays, h_rng = trace_pallas.pack_ray_blocks(batch, 3, 128, 1)
+    np.testing.assert_array_equal(np.asarray(d_rays), h_rays)
+    np.testing.assert_array_equal(np.asarray(d_rng), h_rng)
