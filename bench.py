@@ -58,7 +58,8 @@ def run(engine: str):
     jax.block_until_ready(out[0])
 
     res = sim.run(num_iter=1, cells_per_batch=cells_per_batch,
-                  evaluate_metrics=False)
+                  evaluate_metrics=False,
+                  histogram_device=(engine == "pallas_persistent"))
     return {
         "metric": "ray-bounces/sec/chip",
         "value": round(res.bounces_per_second),

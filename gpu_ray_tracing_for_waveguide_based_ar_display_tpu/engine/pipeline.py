@@ -35,7 +35,9 @@ from .trace_geometry import build_trace_geometry
 
 @dataclasses.dataclass
 class SimulationResult:
-    histogram: np.ndarray        # (L, FoVy, FoVx, eb_y, eb_x) raw deposit counts
+    histogram: object            # (L, FoVy, FoVx, eb_y, eb_x) raw deposit counts
+                                 # (numpy, or a device array when the caller asked
+                                 # to keep it resident)
     efficiencies: dict           # {"R","G","B"} system efficiency
     metrics: Optional[EvalResult]
     rays_traced: int
@@ -352,6 +354,7 @@ class Simulator:
         wavelengths: Optional[tuple] = None,
         checkpoint_path: Optional[str] = None,
         checkpoint_every: int = 1,
+        histogram_device: bool = False,
     ) -> SimulationResult:
         """Trace the full workload and reduce metrics.
 
@@ -359,6 +362,11 @@ class Simulator:
         ``(1,)`` for a green-only run); other cells receive no rays.
         ``checkpoint_path``: resumable additive-histogram checkpointing every
         ``checkpoint_every`` iterations (see utils/checkpoint.py).
+        ``histogram_device``: keep the assembled histogram on device (persistent
+        engine only); the device->host link of a relay-attached TPU makes the
+        ~1 GB histogram pull the dominant cost otherwise.  Efficiencies are
+        computed from per-cell sums either way; ``evaluate_metrics`` forces a
+        host pull.
         """
         rpf = rays_per_fov if rays_per_fov is not None else self.cfg.rays_per_fov
         iters = num_iter if num_iter is not None else self.cfg.num_iter
@@ -380,7 +388,9 @@ class Simulator:
                 hist_acc = jax.numpy.asarray(h0)
         t0 = time.perf_counter()
         if self.engine == "pallas_persistent" and not checkpoint_path:
-            # async fast path: dispatch every batch, pull tiles afterwards
+            # async fast path: dispatch every batch; tiles stay on device
+            import jax.numpy as jnp
+
             ny, nx = self.cfg.eyebox_bins
             pending = []
             for it in range(start_iter, iters):
@@ -411,15 +421,37 @@ class Simulator:
                         )
                         tiles, nb, n = self._trace_batch_tiles(batch, chunk, rpf)
                     pending.append((chunk, tiles, nb, n))
-            histogram = np.zeros(self._hist_shape, np.float32)
+            t_dispatch = time.perf_counter() - t0
+
+            # assemble the histogram on device: concatenate cid-ordered tiles,
+            # reshape (L, M, N, ...) and swap to the reference (L, N, M, ...)
+            per_iter = len(all_cells) // cells_per_batch + (
+                1 if len(all_cells) % cells_per_batch else 0)
+            tile_sets = [p[1] for p in pending]
+            if iters - start_iter > 1:
+                # sum tile sets across iterations batch-position-wise
+                summed = []
+                for b in range(per_iter):
+                    acc = tile_sets[b]
+                    for it2 in range(1, iters - start_iter):
+                        acc = acc + tile_sets[it2 * per_iter + b]
+                    summed.append(acc)
+                tile_sets = summed
+            all_tiles = jnp.concatenate(tile_sets, axis=0)
+            hist_dev = jnp.transpose(
+                all_tiles[:, :, :nx].reshape(self.L, self.M, self.N, ny, nx),
+                (0, 2, 1, 3, 4),
+            )
             for chunk, tiles, nb, n in pending:
-                t_host = np.asarray(tiles)[:, :, :nx]
-                cid = np.asarray(chunk)
-                l = cid // (self.M * self.N)
-                mn = cid % (self.M * self.N)
-                histogram[l, mn % self.N, mn // self.N] += t_host
                 total_bounces += int(np.asarray(nb[:, 0]).sum())
                 total_rays += n
+            if histogram_device and not evaluate_metrics:
+                histogram = jax.block_until_ready(hist_dev)
+            else:
+                histogram = np.asarray(hist_dev)
+            if verbose:
+                print(f"dispatch {t_dispatch:.2f}s, "
+                      f"assemble {time.perf_counter() - t0 - t_dispatch:.2f}s")
         else:
             for it in range(start_iter, iters):
                 for start in range(0, len(all_cells), cells_per_batch):
@@ -447,10 +479,19 @@ class Simulator:
         # normalize by the samples actually traced, not the requested count
         cells_traced = len(all_cells) * iters
         actual_rpf = total_rays / max(cells_traced, 1) if cells_traced else rpf
-        eff = efficiencies(histogram, actual_rpf, iters)
+        if isinstance(histogram, np.ndarray):
+            eff = efficiencies(histogram, actual_rpf, iters)
+        else:
+            # device histogram: reduce per-color sums on device (cheap pulls)
+            import jax.numpy as jnp
+
+            sums = np.asarray(jnp.sum(histogram, axis=(1, 2, 3, 4)))
+            num = actual_rpf * self.M * self.N * self.L * iters
+            eff = {"R": float(sums[2] / num * 3), "G": float(sums[1] / num * 3),
+                   "B": float(sums[0] / num * 3)}
         met = None
         if evaluate_metrics:
-            met = evaluate(histogram / actual_rpf / iters, eval_cfg)
+            met = evaluate(np.asarray(histogram) / actual_rpf / iters, eval_cfg)
         return SimulationResult(
             histogram=histogram,
             efficiencies=eff,
