@@ -100,6 +100,9 @@ class Simulator:
             self._gr = trace_pallas.build_kernel_geom(self.tgeom)[None, :]
             self._pers_cache = {}
             self._interpret = interpret
+            import jax.numpy as jnp
+
+            self._cp_dev = jnp.asarray(self._cp)
         elif engine == "cellblock":
             import jax.numpy as jnp
 
@@ -297,6 +300,7 @@ class Simulator:
         key = (slots, iteration)
         if not hasattr(self, "_base_tiles"):
             self._base_tiles = {}
+            self._rng_all = {}
         if key not in self._base_tiles:
             one = seeding.build_ray_batch(
                 self.geom, self.cfg, cell_ids=np.array([0]),
@@ -304,19 +308,30 @@ class Simulator:
             )
             tile, _ = trace_pallas.pack_ray_blocks(one, 1, slots, rt)
             self._base_tiles[key] = jnp.asarray(tile[0])  # (6, RT, 128)
+        if key not in self._rng_all:
+            # all-cell RNG seeds uploaded once per (slots, iteration); batches
+            # slice on device (contiguous cid chunks)
+            total_cells = self.L * self.M * self.N
+            idx = (np.arange(total_cells, dtype=np.uint64)[:, None]
+                   * np.uint64(slots)
+                   + np.arange(slots, dtype=np.uint64)[None, :]
+                   + np.uint64(iteration) * np.uint64(total_cells)
+                   * np.uint64(slots))
+            from ..ops import rng as rng_ops
+
+            self._rng_all[key] = jnp.asarray(
+                rng_ops.seed_fast(idx, self.cfg.seed)
+                .reshape(total_cells, rt, trace_pallas.LANES)
+            )
         base = self._base_tiles[key]
         C = len(cell_ids)
         rays_in = jnp.broadcast_to(base[None], (C,) + base.shape)
-        rp = rt * trace_pallas.LANES
-        total_cells = self.L * self.M * self.N
-        idx = (cell_ids.astype(np.uint64)[:, None] * np.uint64(slots)
-               + np.arange(rp, dtype=np.uint64)[None, :]
-               + np.uint64(iteration) * np.uint64(total_cells) * np.uint64(slots))
-        from ..ops import rng as rng_ops
-
-        rng = rng_ops.seed_fast(idx, self.cfg.seed)
-        rng[:, slots:] = 1  # padding slots (zero amplitude) die at init
-        return rays_in, jnp.asarray(rng.reshape(C, rt, trace_pallas.LANES))
+        c0 = int(cell_ids[0])
+        if np.array_equal(cell_ids, np.arange(c0, c0 + C)):
+            rng_in = jax.lax.dynamic_slice_in_dim(self._rng_all[key], c0, C)
+        else:
+            rng_in = self._rng_all[key][jnp.asarray(cell_ids)]
+        return rays_in, rng_in
 
     def _trace_batch_tiles(self, batch: dict, cell_ids: np.ndarray,
                            rays_per_cell: int):
@@ -410,8 +425,14 @@ class Simulator:
                                     max_iters=self.cfg.max_bounces,
                                 )
                             )
+                        c0 = int(chunk[0])
+                        if np.array_equal(chunk, np.arange(c0, c0 + len(chunk))):
+                            cp_sel = jax.lax.dynamic_slice_in_dim(
+                                self._cp_dev, c0, len(chunk))
+                        else:
+                            cp_sel = self._cp_dev[jnp.asarray(chunk)]
                         tiles, nb = self._pers_cache[key](
-                            self._cp[chunk], self._gr, rays_in, rng_in
+                            cp_sel, self._gr, rays_in, rng_in
                         )
                         n = slots * gens * len(chunk)
                     else:
