@@ -50,12 +50,11 @@ def run(engine: str):
         persistent_slots=int(os.environ.get("BENCH_SLOTS", 2048)),
     )
 
-    # warm-up (compile) on one batch
-    import numpy as np
-
-    warm = np.arange(min(cells_per_batch, 3 * num_fov_x * num_fov_y))
-    out = sim.trace_batch(warm, rays_per_fov, 0)
-    jax.block_until_ready(out[0])
+    # warm-up: a full pass compiles kernels and fills the RNG/table caches;
+    # the second pass is the measured one
+    sim.run(num_iter=1, cells_per_batch=cells_per_batch,
+            evaluate_metrics=False,
+            histogram_device=(engine == "pallas_persistent"))
 
     res = sim.run(num_iter=1, cells_per_batch=cells_per_batch,
                   evaluate_metrics=False,
