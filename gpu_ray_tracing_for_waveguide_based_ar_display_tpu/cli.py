@@ -120,7 +120,8 @@ def main(argv=None) -> int:
     p.add_argument("--simplify-tol", type=float, default=0.0)
     p.add_argument("--image", default="Eyebox Center View.png",
                    help="output PNG path ('' to skip)")
-    p.add_argument("--engine", default="jnp", choices=("jnp", "pallas"))
+    p.add_argument("--engine", default="jnp",
+                   choices=("jnp", "pallas", "pallas_persistent", "cellblock"))
     p.add_argument("--wavelengths", default=None,
                    help="comma-separated wavelength indices (e.g. '1' = green only)")
     p.add_argument("--checkpoint", default=None, help="resumable checkpoint path")
