@@ -34,8 +34,8 @@ def run(engine: str):
 
     num_fov_x = int(os.environ.get("BENCH_FOV_X", 100))
     num_fov_y = int(os.environ.get("BENCH_FOV_Y", 75))
-    rays_per_fov = int(os.environ.get("BENCH_RAYS_PER_FOV", 8192))
-    cells_per_batch = int(os.environ.get("BENCH_CELLS_PER_BATCH", 900))
+    rays_per_fov = int(os.environ.get("BENCH_RAYS_PER_FOV", 16384))
+    cells_per_batch = int(os.environ.get("BENCH_CELLS_PER_BATCH", 4500))
     max_bounces = int(os.environ.get("BENCH_MAX_BOUNCES", 4096))
 
     cfg = TraceConfig(
