@@ -69,6 +69,7 @@ class Simulator:
         pallas_segmented: bool = False,
         segment_bounces: int = 24,
         persistent_slots: int = 2048,
+        cond_interval: int = 8,
     ):
         if engine not in ("jnp", "pallas", "pallas_persistent", "cellblock"):
             raise ValueError(f"unknown engine {engine!r}")
@@ -83,6 +84,7 @@ class Simulator:
         )
         self.tables = build_cell_tables(self.geom, self.luts)
         self._persistent_slots = persistent_slots
+        self._cond_interval = cond_interval
         if engine.startswith("pallas") and geometry_simplify_tol == 0.0:
             # the kernel holds regions as <= MAX_EDGES scalar half-planes
             geometry_simplify_tol = 0.05
@@ -350,6 +352,7 @@ class Simulator:
                 trace_pallas_persistent.make_persistent_trace_fn(
                     self.cfg, self.tgeom.num_fc, self.tgeom.num_oc, rt,
                     gens=gens, interpret=self._interpret,
+                    cond_interval=self._cond_interval,
                     max_iters=self.cfg.max_bounces,
                 )
             )
@@ -422,6 +425,7 @@ class Simulator:
                                     self.cfg, self.tgeom.num_fc,
                                     self.tgeom.num_oc, rt, gens=gens,
                                     interpret=self._interpret,
+                                    cond_interval=self._cond_interval,
                                     max_iters=self.cfg.max_bounces,
                                 )
                             )

@@ -136,3 +136,18 @@ def test_device_ray_blocks_match_host_path(setup):
     h_rays, h_rng = trace_pallas.pack_ray_blocks(batch, 3, 128, 1)
     np.testing.assert_array_equal(np.asarray(d_rays), h_rays)
     np.testing.assert_array_equal(np.asarray(d_rng), h_rng)
+
+
+def test_cond_interval_invariance(setup):
+    """cond_interval only changes sync cadence; results must be identical."""
+    geom, tgeom, cfg, n_cells, cp, gr, rays_in, rng_in = setup
+    outs = []
+    for ci in (1, 5, 8):
+        pers = trace_pallas_persistent.make_persistent_trace_fn(
+            cfg, tgeom.num_fc, tgeom.num_oc, RT, gens=2, interpret=True,
+            max_iters=1300, cond_interval=ci)
+        tiles, nb = pers(cp, gr, rays_in, rng_in)
+        outs.append((np.asarray(tiles), np.asarray(nb[:, 0])))
+    for tiles, nb in outs[1:]:
+        np.testing.assert_array_equal(outs[0][0], tiles)
+        np.testing.assert_array_equal(outs[0][1], nb)
