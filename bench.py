@@ -10,7 +10,7 @@ full-color tracing of the paper design over a 100x75 FoV grid,
 gpu_ray_tracing_pro_fullColor.py:16-17,60-63).
 
 Env knobs: BENCH_ENGINE (pallas|jnp), BENCH_FOV_X/Y, BENCH_RAYS_PER_FOV,
-BENCH_CELLS_PER_BATCH, BENCH_MAX_BOUNCES, BENCH_SLOTS, BENCH_COND_INTERVAL.
+BENCH_CELLS_PER_BATCH, BENCH_MAX_BOUNCES, BENCH_SLOTS, BENCH_COND_INTERVAL, BENCH_SPAWN_ITERS.
 """
 
 import json
@@ -49,6 +49,7 @@ def run(engine: str):
         pallas_segmented=(engine == "pallas" and segmented),
         persistent_slots=int(os.environ.get("BENCH_SLOTS", 2048)),
         cond_interval=int(os.environ.get("BENCH_COND_INTERVAL", 8)),
+        spawn_iters=int(os.environ.get("BENCH_SPAWN_ITERS", 0)),
     )
 
     # warm-up: a full pass compiles kernels and fills the RNG/table caches;

@@ -70,6 +70,7 @@ class Simulator:
         segment_bounces: int = 24,
         persistent_slots: int = 2048,
         cond_interval: int = 8,
+        spawn_iters: int = 0,
     ):
         if engine not in ("jnp", "pallas", "pallas_persistent", "cellblock"):
             raise ValueError(f"unknown engine {engine!r}")
@@ -85,6 +86,10 @@ class Simulator:
         self.tables = build_cell_tables(self.geom, self.luts)
         self._persistent_slots = persistent_slots
         self._cond_interval = cond_interval
+        # saturating-spawn iteration budget (persistent engine): 0 = off; >0
+        # keeps every lane respawning fresh generations until the budget, then
+        # drains; per-cell histograms are renormalized by nominal/actual spawns
+        self._spawn_iters = spawn_iters
         if engine.startswith("pallas") and geometry_simplify_tol == 0.0:
             # the kernel holds regions as <= MAX_EDGES scalar half-planes
             geometry_simplify_tol = 0.05
@@ -346,20 +351,39 @@ class Simulator:
         rays_in, rng_in = trace_pallas.pack_ray_blocks(
             batch, len(cell_ids), slots, rt
         )
-        key = (rt, gens)
-        if key not in self._pers_cache:
-            self._pers_cache[key] = (
+        tiles, nb = self._pers_fn(rt)(
+            self._cp[cell_ids], self._gr, rays_in, rng_in,
+            self._pers_ctrl(gens),
+        )
+        tiles = self._renorm_tiles(tiles, nb, slots * gens)
+        return tiles, nb, slots * gens * len(cell_ids)
+
+    def _pers_fn(self, rt: int):
+        # gens/spawn_iters are runtime scalars; one compile per RT serves all
+        if rt not in self._pers_cache:
+            self._pers_cache[rt] = (
                 trace_pallas_persistent.make_persistent_trace_fn(
                     self.cfg, self.tgeom.num_fc, self.tgeom.num_oc, rt,
-                    gens=gens, interpret=self._interpret,
+                    gens=1, interpret=self._interpret,
                     cond_interval=self._cond_interval,
                     max_iters=self.cfg.max_bounces,
                 )
             )
-        tiles, nb = self._pers_cache[key](
-            self._cp[cell_ids], self._gr, rays_in, rng_in
-        )
-        return tiles, nb, slots * gens * len(cell_ids)
+        return self._pers_cache[rt]
+
+    def _pers_ctrl(self, gens: int):
+        import jax.numpy as jnp
+
+        return jnp.asarray([gens, self._spawn_iters], jnp.int32)
+
+    def _renorm_tiles(self, tiles, nb, nominal_per_cell: int):
+        # saturating-spawn mode: scale per-cell tiles to nominal-sample units
+        if self._spawn_iters <= 0:
+            return tiles
+        import jax.numpy as jnp
+
+        factor = nominal_per_cell / jnp.maximum(nb[:, 2], 1).astype(jnp.float32)
+        return tiles * factor[:, None, None]
 
     def run(
         self,
@@ -418,26 +442,17 @@ class Simulator:
                     if self.cfg.shared_pupil_samples and self.cfg.rng_mode == "fast":
                         rays_in, rng_in = self._device_ray_blocks(chunk, slots, it)
                         rt = slots // trace_pallas.LANES
-                        key = (rt, gens)
-                        if key not in self._pers_cache:
-                            self._pers_cache[key] = (
-                                trace_pallas_persistent.make_persistent_trace_fn(
-                                    self.cfg, self.tgeom.num_fc,
-                                    self.tgeom.num_oc, rt, gens=gens,
-                                    interpret=self._interpret,
-                                    cond_interval=self._cond_interval,
-                                    max_iters=self.cfg.max_bounces,
-                                )
-                            )
                         c0 = int(chunk[0])
                         if np.array_equal(chunk, np.arange(c0, c0 + len(chunk))):
                             cp_sel = jax.lax.dynamic_slice_in_dim(
                                 self._cp_dev, c0, len(chunk))
                         else:
                             cp_sel = self._cp_dev[jnp.asarray(chunk)]
-                        tiles, nb = self._pers_cache[key](
-                            cp_sel, self._gr, rays_in, rng_in
+                        tiles, nb = self._pers_fn(rt)(
+                            cp_sel, self._gr, rays_in, rng_in,
+                            self._pers_ctrl(gens),
                         )
+                        tiles = self._renorm_tiles(tiles, nb, slots * gens)
                         n = slots * gens * len(chunk)
                     else:
                         batch = seeding.build_ray_batch(
@@ -467,8 +482,11 @@ class Simulator:
                 all_tiles[:, :, :nx].reshape(self.L, self.M, self.N, ny, nx),
                 (0, 2, 1, 3, 4),
             )
+            total_spawned = 0
             for chunk, tiles, nb, n in pending:
-                total_bounces += int(np.asarray(nb[:, 0]).sum())
+                nbh = np.asarray(nb)
+                total_bounces += int(nbh[:, 0].sum())
+                total_spawned += int(nbh[:, 2].sum()) if nbh.shape[1] > 2 else n
                 total_rays += n
             if histogram_device and not evaluate_metrics:
                 histogram = jax.block_until_ready(hist_dev)
@@ -517,11 +535,15 @@ class Simulator:
         met = None
         if evaluate_metrics:
             met = evaluate(np.asarray(histogram) / actual_rpf / iters, eval_cfg)
+        rays_traced = total_rays
+        if self._spawn_iters > 0 and self.engine == "pallas_persistent" \
+                and not checkpoint_path:
+            rays_traced = total_spawned
         return SimulationResult(
             histogram=histogram,
             efficiencies=eff,
             metrics=met,
-            rays_traced=total_rays,
+            rays_traced=rays_traced,
             total_bounces=total_bounces,
             trace_seconds=trace_seconds,
         )

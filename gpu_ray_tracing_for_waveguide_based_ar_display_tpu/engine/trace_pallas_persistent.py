@@ -48,12 +48,25 @@ def make_persistent_trace_fn(cfg: TraceConfig, num_fc: int, num_oc: int,
                              interpret: bool = False,
                              phase_gating: bool = True,
                              max_iters: int = 0, cond_interval: int = 8):
-    """Build ``trace(cell_params, geom_row, rays_in, rng_in) -> (hist, bounces)``.
+    """Build ``trace(cell_params, geom_row, rays_in, rng_in[, ctrl]) -> (hist, nb)``.
 
     - rays_in: (C, 6, RT, 128) initial fields (x, y, ter, tei, tmr, tmi); these are
       also the respawn values for every generation.
     - hist: (C, ny, 128) float32 per-cell eyebox tiles (x-bins padded to 128).
-    - total Monte-Carlo samples per cell = live_slots x ``gens``.
+    - nb: (C, 3) int32 [bounces, iterations, rays spawned] per cell.
+    - ctrl: optional (2,) int32 runtime knobs ``[gens, spawn_iters]`` (defaults to
+      ``[gens, 0]``).  A dead slot respawns while ``gen < gens`` OR the iteration
+      counter is ``< spawn_iters``.  ``spawn_iters > 0`` is *saturating spawn*
+      mode: lanes keep launching fresh generations at ~full utilization until the
+      iteration budget, then the block drains; the per-cell sample count becomes
+      data-dependent (reported in nb[:, 2]) and the caller renormalizes the
+      histogram by nominal/actual.  Stopping depends only on *past* lifetimes, so
+      by Wald's identity the renormalized histogram stays an unbiased estimator
+      (ratio-estimator bias is O(1/spawns), far below Monte-Carlo noise).
+    - total nominal samples per cell in gens mode = live_slots x ``gens``.
+
+    Both knobs are runtime scalars: one compiled kernel serves every
+    (gens, spawn_iters) setting for a given RT.
     """
     RT = rays_tile_rows
     ny, nx = cfg.eyebox_bins
@@ -61,7 +74,7 @@ def make_persistent_trace_fn(cfg: TraceConfig, num_fc: int, num_oc: int,
     if max_iters <= 0:
         max_iters = cfg.max_bounces
 
-    def kernel(g_ref, c_ref, rays_ref, rng_ref, hist_ref, nb_ref, dscr):
+    def kernel(ctrl_ref, g_ref, c_ref, rays_ref, rng_ref, hist_ref, nb_ref, dscr):
         def g(j):
             return g_ref[0, j]
 
@@ -103,7 +116,8 @@ def make_persistent_trace_fn(cfg: TraceConfig, num_fc: int, num_oc: int,
         def cond(carry):
             (x, y, ter, tei, tmr, tmi, cos_th, gx, gy, state, gen, rng,
              nb, it) = carry
-            exhausted = (state == 6) & (gen >= gens)
+            exhausted = ((state == 6) & (gen >= ctrl_ref[0, 0])
+                         & (it >= ctrl_ref[0, 1]))
             return (it < max_iters) & (jnp.sum((~exhausted).astype(jnp.int32)) > 0)
 
         def body(carry):
@@ -111,7 +125,7 @@ def make_persistent_trace_fn(cfg: TraceConfig, num_fc: int, num_oc: int,
              nb, it) = carry
 
             # ---- respawn: dead slots with generations remaining re-enter init
-            rs = (state == 6) & (gen < gens)
+            rs = (state == 6) & ((gen < ctrl_ref[0, 0]) | (it < ctrl_ref[0, 1]))
             gen = gen + rs.astype(jnp.int32)
             state = jnp.where(rs, 7, state)
             x = jnp.where(rs, x0, x)
@@ -404,18 +418,24 @@ def make_persistent_trace_fn(cfg: TraceConfig, num_fc: int, num_oc: int,
         carry = jax.lax.while_loop(cond, chunk, carry)
         nb_ref[0, 0, 0] = carry[12]
         nb_ref[0, 0, 1] = carry[13]   # iterations (diagnostics)
+        nb_ref[0, 0, 2] = jnp.sum(carry[10])  # rays spawned (gen counters)
+        nb_ref[0, 0, 3] = 0
 
     @jax.jit
-    def trace(cell_params, geom_row, rays_in, rng_in):
+    def trace(cell_params, geom_row, rays_in, rng_in, ctrl=None):
+        if ctrl is None:
+            ctrl = jnp.array([gens, 0], jnp.int32)
         C = cell_params.shape[0]
         out_shapes = (
             jax.ShapeDtypeStruct((C, ny, NY_PAD), jnp.float32),
-            jax.ShapeDtypeStruct((C, 1, 2), jnp.int32),
+            jax.ShapeDtypeStruct((C, 1, 4), jnp.int32),
         )
         hist, nb = pl.pallas_call(
             kernel,
             grid=(C,),
             in_specs=[
+                pl.BlockSpec((1, 2), lambda i: (0, 0),
+                             memory_space=pltpu.SMEM),
                 pl.BlockSpec((1, PG), lambda i: (0, 0),
                              memory_space=pltpu.SMEM),
                 pl.BlockSpec((1, 1, PC), lambda i: (i, 0, 0),
@@ -428,14 +448,15 @@ def make_persistent_trace_fn(cfg: TraceConfig, num_fc: int, num_oc: int,
             out_specs=(
                 pl.BlockSpec((1, ny, NY_PAD), lambda i: (i, 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 1, 2), lambda i: (i, 0, 0),
+                pl.BlockSpec((1, 1, 4), lambda i: (i, 0, 0),
                              memory_space=pltpu.SMEM),
             ),
             out_shape=out_shapes,
             scratch_shapes=[pltpu.VMEM((RT, LANES), jnp.int32)],
             interpret=interpret,
-        )(geom_row, cell_params[:, None, :], rays_in, rng_in)
-        return hist, nb.reshape(C, 2)
+        )(ctrl.reshape(1, 2), geom_row, cell_params[:, None, :],
+          rays_in, rng_in)
+        return hist, nb.reshape(C, 4)[:, :3]
 
     return trace
 
