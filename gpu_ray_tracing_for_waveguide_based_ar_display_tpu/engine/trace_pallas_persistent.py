@@ -13,9 +13,9 @@ persistent-threads pattern:
   same rays re-traced with persistent ``rng_states``), interleaved instead of
   sequential;
 - deposits accumulate into a per-cell VMEM histogram tile inside the kernel via a
-  drain loop over the (rare, ~2% of rays) deposit events — extract the next
-  depositing lane with an argmax reduce, scalar-update the histogram, repeat — so
-  no per-ray terminal outputs and no XLA scatter afterwards;
+  one-hot matmul on the MXU (bin-row one-hot x bin-col one-hot, exact 0/1 bf16
+  inputs with f32 accumulation) — no per-ray terminal outputs, no XLA scatter
+  afterwards, and no serial per-deposit work;
 - lane utilization stays near 100% until the last generation's tail.
 
 The per-cell histograms are disjoint (cells own their (lambda, FoV) slice), so the
@@ -74,7 +74,7 @@ def make_persistent_trace_fn(cfg: TraceConfig, num_fc: int, num_oc: int,
     if max_iters <= 0:
         max_iters = cfg.max_bounces
 
-    def kernel(ctrl_ref, g_ref, c_ref, rays_ref, rng_ref, hist_ref, nb_ref, dscr):
+    def kernel(ctrl_ref, g_ref, c_ref, rays_ref, rng_ref, hist_ref, nb_ref):
         def g(j):
             return g_ref[0, j]
 
@@ -98,9 +98,6 @@ def make_persistent_trace_fn(cfg: TraceConfig, num_fc: int, num_oc: int,
             dx = px - g(_G_IC)
             dy = py - g(_G_IC + 1)
             return dx * dx + dy * dy <= g(_G_IC + 2)
-
-        lane_lin = (jax.lax.broadcasted_iota(jnp.int32, (RT, LANES), 0) * LANES
-                    + jax.lax.broadcasted_iota(jnp.int32, (RT, LANES), 1))
 
         # carry: x, y, ter, tei, tmr, tmi, cos_th, gx, gy, state, gen, rng, nb, it
         # The initializers must NOT fold to splat constants: Mosaic gives those a
@@ -344,40 +341,41 @@ def make_persistent_trace_fn(cfg: TraceConfig, num_fc: int, num_oc: int,
             iy = jnp.clip(
                 jnp.floor((y - eby0) * (ny / (eby1 - eby0))).astype(jnp.int32),
                 0, ny - 1)
-            depbin = jnp.where(br_c & in_quad, iy * nx + ix, -1)
+            dep_valid = br_c & in_quad
 
-            def drain_deposits(_):
-                # scalar stores to VMEM are not allowed on TPU; every histogram
-                # update is a dynamic-row vector read-modify-write with a one-hot
-                # lane mask instead
-                dscr[:] = depbin
-                n_dep = jnp.sum((depbin >= 0).astype(jnp.int32))
-                lane1 = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
+            def deposit_update(_):
+                # Histogram update as a one-hot matmul on the MXU: for each ray
+                # row t, A[r, l] = [iy_l == r] & valid_l and B[c, l] = [ix_l == c]
+                # give P = A @ B^T with P[r, c] = #deposits into bin (r, c).
+                # Inputs are exact in bf16 (0/1), accumulation is f32, so counts
+                # are exact.  This replaces a serial per-deposit drain loop whose
+                # ~0.5 us/deposit dominated once deposits became per-iteration
+                # events (saturating-spawn mode).
+                bf16 = jnp.bfloat16
+                row_r = jax.lax.broadcasted_iota(jnp.int32, (ny, LANES), 0)
+                col_c = jax.lax.broadcasted_iota(jnp.int32, (NY_PAD, LANES), 0)
 
-                def drain(i, _):
-                    v = dscr[:]
-                    lin = jnp.where(v >= 0, lane_lin, -1)
-                    mx = jnp.max(lin)
-                    r = mx // LANES
-                    col = mx % LANES
-                    row = dscr[pl.ds(r, 1), :]
-                    b = jnp.sum(jnp.where(lane1 == col, row, 0))
-                    hr = b // nx
-                    hc = b % nx
-                    hrow = hist_ref[0, pl.ds(hr, 1), :]
-                    hist_ref[0, pl.ds(hr, 1), :] = (
-                        hrow + (lane1 == hc).astype(jnp.float32))
-                    dscr[pl.ds(r, 1), :] = jnp.where(lane1 == col, -1, row)
-                    return 0
+                def one_row(t, acc):
+                    iy_t = jax.lax.dynamic_slice_in_dim(iy, t, 1, 0)
+                    ix_t = jax.lax.dynamic_slice_in_dim(ix, t, 1, 0)
+                    v_t = jax.lax.dynamic_slice_in_dim(
+                        dep_valid.astype(jnp.float32), t, 1, 0)
+                    a = ((row_r == iy_t).astype(jnp.float32) * v_t).astype(bf16)
+                    b = (col_c == ix_t).astype(bf16)
+                    p = jax.lax.dot_general(
+                        a, b, (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                    return acc + p
 
-                jax.lax.fori_loop(0, n_dep, drain, 0)
+                hist_ref[0] = jax.lax.fori_loop(
+                    0, RT, one_row, hist_ref[0])
                 return 0
 
             if phase_gating:
-                jax.lax.cond(jnp.any(depbin >= 0), drain_deposits,
+                jax.lax.cond(jnp.any(dep_valid), deposit_update,
                              lambda _: 0, None)
             else:
-                drain_deposits(None)
+                deposit_update(None)
 
             # ---- misses
             miss_fc2 = grp_fc & ~in_hull & (state == 2)
@@ -452,7 +450,6 @@ def make_persistent_trace_fn(cfg: TraceConfig, num_fc: int, num_oc: int,
                              memory_space=pltpu.SMEM),
             ),
             out_shape=out_shapes,
-            scratch_shapes=[pltpu.VMEM((RT, LANES), jnp.int32)],
             interpret=interpret,
         )(ctrl.reshape(1, 2), geom_row, cell_params[:, None, :],
           rays_in, rng_in)
