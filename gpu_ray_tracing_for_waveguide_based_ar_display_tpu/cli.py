@@ -52,6 +52,11 @@ def cmd_simulate(args) -> int:
     if args.image and res.metrics is not None:
         save_eyebox_center_view(args.image, res.metrics.output_image)
         print(f"Eyebox center view written to {args.image}")
+    if args.heatmaps:
+        from .eval.image import save_fov_efficiency_heatmaps
+
+        save_fov_efficiency_heatmaps(args.heatmaps, np.asarray(res.histogram))
+        print(f"FoV efficiency heatmaps written to {args.heatmaps}")
     if args.json:
         out = {
             "efficiencies": res.efficiencies,
@@ -120,6 +125,8 @@ def main(argv=None) -> int:
     p.add_argument("--simplify-tol", type=float, default=0.0)
     p.add_argument("--image", default="Eyebox Center View.png",
                    help="output PNG path ('' to skip)")
+    p.add_argument("--heatmaps", default="",
+                   help="write 3-panel per-FoV efficiency heatmaps PNG")
     p.add_argument("--engine", default="jnp",
                    choices=("jnp", "pallas", "pallas_persistent", "cellblock"))
     p.add_argument("--wavelengths", default=None,

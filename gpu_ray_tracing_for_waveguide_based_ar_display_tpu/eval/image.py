@@ -31,3 +31,34 @@ def save_png(path: str, rgb_uint8: np.ndarray) -> None:
 
 def save_eyebox_center_view(path: str, output_image: np.ndarray) -> None:
     save_png(path, eye_view_uint8(output_image))
+
+
+def save_fov_efficiency_heatmaps(path: str, histogram: np.ndarray) -> None:
+    """3-panel normalized per-FoV efficiency heatmaps, one per color.
+
+    Mirrors the reference driver's final figure
+    (gpu_ray_tracing_pro_fullColor.py:213-237): per-FoV deposit totals summed
+    over the eyebox, normalized to each panel's maximum, rendered R/G/B.
+    ``histogram`` is the (L, FoVy, FoVx, eb_y, eb_x) eyebox histogram in
+    wavelength order (B, G, R).
+    """
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    per_fov = histogram.sum(axis=(-2, -1))  # (L, FoVy, FoVx)
+    names = [("Red", 2), ("Green", 1), ("Blue", 0)]
+    fig, axes = plt.subplots(1, 3, figsize=(15, 4))
+    for ax, (name, l) in zip(axes, names):
+        img = per_fov[l]
+        mx = img.max()
+        im = ax.imshow(img / mx if mx > 0 else img, origin="lower",
+                       aspect="auto", cmap="viridis", vmin=0.0, vmax=1.0)
+        ax.set_title(f"{name} normalized FoV efficiency")
+        ax.set_xlabel("FoV x")
+        ax.set_ylabel("FoV y")
+        fig.colorbar(im, ax=ax)
+    fig.tight_layout()
+    fig.savefig(path, dpi=120)
+    plt.close(fig)

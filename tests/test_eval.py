@@ -116,3 +116,17 @@ def test_efficiencies():
     eff = metrics.efficiencies(eb * num_iter * 3, rays_per_fov, num_iter)
     assert eff["R"] == 0.0 and eff["B"] == 0.0
     assert abs(eff["G"] - 1.0) < 1e-9
+
+
+def test_fov_efficiency_heatmaps(tmp_path):
+    from gpu_ray_tracing_for_waveguide_based_ar_display_tpu.eval.image import (
+        save_fov_efficiency_heatmaps,
+    )
+
+    rng = np.random.default_rng(0)
+    hist = rng.uniform(size=(3, 5, 4, 8, 12)).astype(np.float32)
+    path = str(tmp_path / "heat.png")
+    save_fov_efficiency_heatmaps(path, hist)
+    import os
+
+    assert os.path.getsize(path) > 1000
