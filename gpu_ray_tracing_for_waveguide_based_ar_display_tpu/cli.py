@@ -46,8 +46,12 @@ def cmd_simulate(args) -> int:
                     engine=args.engine)
     wl = (tuple(int(w) for w in args.wavelengths.split(","))
           if args.wavelengths else None)
-    res = sim.run(cells_per_batch=args.cells_per_batch, verbose=args.verbose,
-                  wavelengths=wl, checkpoint_path=args.checkpoint)
+    from .utils import xla_trace
+
+    with xla_trace(args.profile_dir or None):
+        res = sim.run(cells_per_batch=args.cells_per_batch,
+                      verbose=args.verbose, wavelengths=wl,
+                      checkpoint_path=args.checkpoint)
     print(format_report(res))
     if args.image and res.metrics is not None:
         save_eyebox_center_view(args.image, res.metrics.output_image)
@@ -127,6 +131,8 @@ def main(argv=None) -> int:
                    help="output PNG path ('' to skip)")
     p.add_argument("--heatmaps", default="",
                    help="write 3-panel per-FoV efficiency heatmaps PNG")
+    p.add_argument("--profile-dir", default="",
+                   help="capture a jax.profiler trace of the run to this dir")
     p.add_argument("--engine", default="jnp",
                    choices=("jnp", "pallas", "pallas_persistent", "cellblock"))
     p.add_argument("--wavelengths", default=None,
