@@ -74,7 +74,7 @@ def make_persistent_trace_fn(cfg: TraceConfig, num_fc: int, num_oc: int,
     if max_iters <= 0:
         max_iters = cfg.max_bounces
 
-    def kernel(ctrl_ref, g_ref, c_ref, rays_ref, rng_ref, hist_ref, nb_ref):
+    def kernel(ctrl_ref, g_ref, c_ref, rays_ref, rng_ref, hist_ref, nb_ref, dscr):
         def g(j):
             return g_ref[0, j]
 
@@ -350,17 +350,20 @@ def make_persistent_trace_fn(cfg: TraceConfig, num_fc: int, num_oc: int,
                 # Inputs are exact in bf16 (0/1), accumulation is f32, so counts
                 # are exact.  This replaces a serial per-deposit drain loop whose
                 # ~0.5 us/deposit dominated once deposits became per-iteration
-                # events (saturating-spawn mode).
+                # events (saturating-spawn mode).  Deposit bins are staged through
+                # a VMEM scratch because Mosaic supports dynamic row slices of
+                # *refs* but not of values; invalid lanes carry -1, whose
+                # arithmetic-shift row index (-1) matches no histogram row.
                 bf16 = jnp.bfloat16
+                dscr[:] = jnp.where(dep_valid, iy * NY_PAD + ix, -1)
                 row_r = jax.lax.broadcasted_iota(jnp.int32, (ny, LANES), 0)
                 col_c = jax.lax.broadcasted_iota(jnp.int32, (NY_PAD, LANES), 0)
 
                 def one_row(t, acc):
-                    iy_t = jax.lax.dynamic_slice_in_dim(iy, t, 1, 0)
-                    ix_t = jax.lax.dynamic_slice_in_dim(ix, t, 1, 0)
-                    v_t = jax.lax.dynamic_slice_in_dim(
-                        dep_valid.astype(jnp.float32), t, 1, 0)
-                    a = ((row_r == iy_t).astype(jnp.float32) * v_t).astype(bf16)
+                    code = dscr[pl.ds(t, 1), :]
+                    iy_t = code >> 7          # NY_PAD == 128
+                    ix_t = code & (NY_PAD - 1)
+                    a = (row_r == iy_t).astype(bf16)
                     b = (col_c == ix_t).astype(bf16)
                     p = jax.lax.dot_general(
                         a, b, (((1,), (1,)), ((), ())),
@@ -450,6 +453,7 @@ def make_persistent_trace_fn(cfg: TraceConfig, num_fc: int, num_oc: int,
                              memory_space=pltpu.SMEM),
             ),
             out_shape=out_shapes,
+            scratch_shapes=[pltpu.VMEM((RT, LANES), jnp.int32)],
             interpret=interpret,
         )(ctrl.reshape(1, 2), geom_row, cell_params[:, None, :],
           rays_in, rng_in)
