@@ -89,8 +89,6 @@ def cmd_plot_design(args) -> int:
 
 def cmd_sweep(args) -> int:
     from .sweep import run_design_sweep
-    from .config import WaveguideDesign
-    import math
 
     base = presets.get(args.design)
     periods = np.linspace(args.period_min, args.period_max, args.num_designs)

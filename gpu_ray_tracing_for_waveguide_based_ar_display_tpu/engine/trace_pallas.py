@@ -27,7 +27,6 @@ atomics anywhere, bit-identical accumulation.
 
 from __future__ import annotations
 
-import functools
 from typing import Tuple
 
 import jax
@@ -38,7 +37,6 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..config import TraceConfig
 from ..design import convex
-from ..design.geometry import DesignGeometry
 from ..luts.packing import CellTables
 from .trace_geometry import TraceGeometry
 
