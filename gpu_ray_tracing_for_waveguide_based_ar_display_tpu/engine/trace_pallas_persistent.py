@@ -40,7 +40,8 @@ from .trace_pallas import (
     _accum_params, _bitsel, _jones_scalar, _jones_vec, _region_test, _xorshift,
 )
 
-NY_PAD = 128  # eyebox x bins padded to the lane width
+NY_PAD = 128   # eyebox x bins padded to the lane width
+_FLUSH_W = 4   # deposit-buffer flush period (iterations); divides cond_interval
 
 
 def make_persistent_trace_fn(cfg: TraceConfig, num_fc: int, num_oc: int,
@@ -90,6 +91,27 @@ def make_persistent_trace_fn(cfg: TraceConfig, num_fc: int, num_oc: int,
         tmi0 = rays_ref[0, 5]
 
         hist_ref[0] = jnp.zeros((ny, NY_PAD), f32)
+        dscr[:] = jnp.zeros((RT, LANES), jnp.int32) - 1
+
+        def drain_scratch(_):
+            bf16 = jnp.bfloat16
+            row_r = jax.lax.broadcasted_iota(jnp.int32, (ny, LANES), 0)
+            col_c = jax.lax.broadcasted_iota(jnp.int32, (NY_PAD, LANES), 0)
+
+            def one_row(t, acc):
+                code = dscr[pl.ds(t, 1), :]
+                iy_t = code >> 7          # NY_PAD == 128
+                ix_t = code & (NY_PAD - 1)
+                a = (row_r == iy_t).astype(bf16)
+                b = (col_c == ix_t).astype(bf16)
+                p = jax.lax.dot_general(
+                    a, b, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                return acc + p
+
+            hist_ref[0] = jax.lax.fori_loop(0, RT, one_row, hist_ref[0])
+            dscr[:] = jnp.zeros((RT, LANES), jnp.int32) - 1
+            return 0
 
         def phase_mul(phr, phi_, re, im):
             return phr * re - phi_ * im, phr * im + phi_ * re
@@ -343,42 +365,30 @@ def make_persistent_trace_fn(cfg: TraceConfig, num_fc: int, num_oc: int,
                 0, ny - 1)
             dep_valid = br_c & in_quad
 
-            def deposit_update(_):
-                # Histogram update as a one-hot matmul on the MXU: for each ray
-                # row t, A[r, l] = [iy_l == r] & valid_l and B[c, l] = [ix_l == c]
-                # give P = A @ B^T with P[r, c] = #deposits into bin (r, c).
-                # Inputs are exact in bf16 (0/1), accumulation is f32, so counts
-                # are exact.  This replaces a serial per-deposit drain loop whose
-                # ~0.5 us/deposit dominated once deposits became per-iteration
-                # events (saturating-spawn mode).  Deposit bins are staged through
-                # a VMEM scratch because Mosaic supports dynamic row slices of
-                # *refs* but not of values; invalid lanes carry -1, whose
-                # arithmetic-shift row index (-1) matches no histogram row.
-                bf16 = jnp.bfloat16
-                dscr[:] = jnp.where(dep_valid, iy * NY_PAD + ix, -1)
-                row_r = jax.lax.broadcasted_iota(jnp.int32, (ny, LANES), 0)
-                col_c = jax.lax.broadcasted_iota(jnp.int32, (NY_PAD, LANES), 0)
-
-                def one_row(t, acc):
-                    code = dscr[pl.ds(t, 1), :]
-                    iy_t = code >> 7          # NY_PAD == 128
-                    ix_t = code & (NY_PAD - 1)
-                    a = (row_r == iy_t).astype(bf16)
-                    b = (col_c == ix_t).astype(bf16)
-                    p = jax.lax.dot_general(
-                        a, b, (((1,), (1,)), ((), ())),
-                        preferred_element_type=jnp.float32)
-                    return acc + p
-
-                hist_ref[0] = jax.lax.fori_loop(
-                    0, RT, one_row, hist_ref[0])
-                return 0
-
-            if phase_gating:
-                jax.lax.cond(jnp.any(dep_valid), deposit_update,
-                             lambda _: 0, None)
-            else:
-                deposit_update(None)
+            # Deposits drain into the per-cell histogram tile via a one-hot
+            # matmul on the MXU: for buffered code row t, A[r, l] = [iy_l == r]
+            # and B[c, l] = [ix_l == c] give P = A @ B^T with P[r, c] =
+            # #deposits into bin (r, c).  Inputs are exact in bf16 (0/1),
+            # accumulation is f32, so counts are exact.  This replaces a serial
+            # per-deposit drain loop (~0.5 us/deposit) that dominated once
+            # deposits became per-iteration events (saturating-spawn mode).
+            #
+            # Deposit codes are *buffered* in a VMEM scratch (Mosaic supports
+            # dynamic row slices of refs, not of values) and flushed every
+            # ``_FLUSH_W`` iterations, quartering the MXU work: a lane deposits
+            # at most once per generation and a fresh generation needs >=4
+            # iterations (init -> FC -> fold -> OC) to reach the out-coupler,
+            # so one pending code per lane suffices between flushes.
+            # Correctness does NOT rely on that timing: a colliding deposit
+            # (lane already holding a pending code) triggers an emergency
+            # flush first.  Invalid lanes carry -1, whose arithmetic-shift row
+            # index (-1) matches no histogram row.
+            code_new = jnp.where(dep_valid, iy * NY_PAD + ix, -1)
+            collide = dep_valid & (dscr[:] >= 0)
+            jax.lax.cond(jnp.any(collide), drain_scratch, lambda _: 0, None)
+            dscr[:] = jnp.where(dep_valid, code_new, dscr[:])
+            jax.lax.cond((it & (_FLUSH_W - 1)) == (_FLUSH_W - 1), drain_scratch,
+                         lambda _: 0, None)
 
             # ---- misses
             miss_fc2 = grp_fc & ~in_hull & (state == 2)
@@ -417,6 +427,7 @@ def make_persistent_trace_fn(cfg: TraceConfig, num_fc: int, num_oc: int,
                 0, cond_interval, lambda _, cc: body(cc), carry)
 
         carry = jax.lax.while_loop(cond, chunk, carry)
+        drain_scratch(None)   # safety: flush any codes still buffered
         nb_ref[0, 0, 0] = carry[12]
         nb_ref[0, 0, 1] = carry[13]   # iterations (diagnostics)
         nb_ref[0, 0, 2] = jnp.sum(carry[10])  # rays spawned (gen counters)
