@@ -71,6 +71,7 @@ class Simulator:
         persistent_slots: int = 2048,
         cond_interval: int = 8,
         spawn_iters: int = 0,
+        pers_phase_gating: bool = True,
     ):
         if engine not in ("jnp", "pallas", "pallas_persistent", "cellblock"):
             raise ValueError(f"unknown engine {engine!r}")
@@ -90,6 +91,7 @@ class Simulator:
         # keeps every lane respawning fresh generations until the budget, then
         # drains; per-cell histograms are renormalized by nominal/actual spawns
         self._spawn_iters = spawn_iters
+        self._pers_phase_gating = pers_phase_gating
         if engine.startswith("pallas") and geometry_simplify_tol == 0.0:
             # the kernel holds regions as <= MAX_EDGES scalar half-planes
             geometry_simplify_tol = 0.05
@@ -366,6 +368,7 @@ class Simulator:
                     self.cfg, self.tgeom.num_fc, self.tgeom.num_oc, rt,
                     gens=1, interpret=self._interpret,
                     cond_interval=self._cond_interval,
+                    phase_gating=self._pers_phase_gating,
                     max_iters=self.cfg.max_bounces,
                 )
             )
