@@ -34,7 +34,7 @@ def run(engine: str):
 
     num_fov_x = int(os.environ.get("BENCH_FOV_X", 100))
     num_fov_y = int(os.environ.get("BENCH_FOV_Y", 75))
-    rays_per_fov = int(os.environ.get("BENCH_RAYS_PER_FOV", 16384))
+    rays_per_fov = int(os.environ.get("BENCH_RAYS_PER_FOV", 2048))
     cells_per_batch = int(os.environ.get("BENCH_CELLS_PER_BATCH", 4500))
     max_bounces = int(os.environ.get("BENCH_MAX_BOUNCES", 4096))
 
@@ -49,7 +49,7 @@ def run(engine: str):
         pallas_segmented=(engine == "pallas" and segmented),
         persistent_slots=int(os.environ.get("BENCH_SLOTS", 2048)),
         cond_interval=int(os.environ.get("BENCH_COND_INTERVAL", 8)),
-        spawn_iters=int(os.environ.get("BENCH_SPAWN_ITERS", 0)),
+        spawn_iters=int(os.environ.get("BENCH_SPAWN_ITERS", 512)),
         pers_phase_gating=os.environ.get("BENCH_PHASE_GATING", "1") != "0",
     )
 
