@@ -50,7 +50,8 @@ def run(engine: str):
         persistent_slots=int(os.environ.get("BENCH_SLOTS", 2048)),
         cond_interval=int(os.environ.get("BENCH_COND_INTERVAL", 8)),
         spawn_iters=int(os.environ.get("BENCH_SPAWN_ITERS", 512)),
-        pers_phase_gating=os.environ.get("BENCH_PHASE_GATING", "1") != "0",
+        pers_phase_gating=(None if "BENCH_PHASE_GATING" not in os.environ
+                           else os.environ["BENCH_PHASE_GATING"] != "0"),
     )
 
     # warm-up: a full pass compiles kernels and fills the RNG/table caches;

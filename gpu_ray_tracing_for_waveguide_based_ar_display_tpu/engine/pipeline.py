@@ -71,7 +71,7 @@ class Simulator:
         persistent_slots: int = 2048,
         cond_interval: int = 8,
         spawn_iters: int = 0,
-        pers_phase_gating: bool = True,
+        pers_phase_gating: Optional[bool] = None,
     ):
         if engine not in ("jnp", "pallas", "pallas_persistent", "cellblock"):
             raise ValueError(f"unknown engine {engine!r}")
@@ -91,6 +91,10 @@ class Simulator:
         # keeps every lane respawning fresh generations until the budget, then
         # drains; per-cell histograms are renormalized by nominal/actual spawns
         self._spawn_iters = spawn_iters
+        # saturating-spawn keeps every phase populated, so the per-phase
+        # lax.cond gates (scalar any() reduces) are pure overhead there
+        if pers_phase_gating is None:
+            pers_phase_gating = spawn_iters <= 0
         self._pers_phase_gating = pers_phase_gating
         if engine.startswith("pallas") and geometry_simplify_tol == 0.0:
             # the kernel holds regions as <= MAX_EDGES scalar half-planes
