@@ -41,7 +41,7 @@ from .trace_pallas import (
 )
 
 NY_PAD = 128   # eyebox x bins padded to the lane width
-_FLUSH_W = 4   # deposit-buffer flush period (iterations); divides cond_interval
+_FLUSH_W = 8   # deposit-buffer flush period (iterations)
 
 
 def make_persistent_trace_fn(cfg: TraceConfig, num_fc: int, num_oc: int,
@@ -54,7 +54,8 @@ def make_persistent_trace_fn(cfg: TraceConfig, num_fc: int, num_oc: int,
     - rays_in: (C, 6, RT, 128) initial fields (x, y, ter, tei, tmr, tmi); these are
       also the respawn values for every generation.
     - hist: (C, ny, 128) float32 per-cell eyebox tiles (x-bins padded to 128).
-    - nb: (C, 3) int32 [bounces, iterations, rays spawned] per cell.
+    - nb: (C, 4) int32 [bounces, iterations, rays spawned, deposit-buffer
+      overflows (always 0; diagnostic)] per cell.
     - ctrl: optional (2,) int32 runtime knobs ``[gens, spawn_iters]`` (defaults to
       ``[gens, 0]``).  A dead slot respawns while ``gen < gens`` OR the iteration
       counter is ``< spawn_iters``.  ``spawn_iters > 0`` is *saturating spawn*
@@ -75,7 +76,8 @@ def make_persistent_trace_fn(cfg: TraceConfig, num_fc: int, num_oc: int,
     if max_iters <= 0:
         max_iters = cfg.max_bounces
 
-    def kernel(ctrl_ref, g_ref, c_ref, rays_ref, rng_ref, hist_ref, nb_ref, dscr):
+    def kernel(ctrl_ref, g_ref, c_ref, rays_ref, rng_ref, hist_ref,
+               nb_ref, dscr, dscr2):
         def g(j):
             return g_ref[0, j]
 
@@ -92,14 +94,15 @@ def make_persistent_trace_fn(cfg: TraceConfig, num_fc: int, num_oc: int,
 
         hist_ref[0] = jnp.zeros((ny, NY_PAD), f32)
         dscr[:] = jnp.zeros((RT, LANES), jnp.int32) - 1
+        dscr2[:] = jnp.zeros((RT, LANES), jnp.int32) - 1
 
-        def drain_scratch(_):
+        def _drain_one(buf):
             bf16 = jnp.bfloat16
             row_r = jax.lax.broadcasted_iota(jnp.int32, (ny, LANES), 0)
             col_c = jax.lax.broadcasted_iota(jnp.int32, (NY_PAD, LANES), 0)
 
             def one_row(t, acc):
-                code = dscr[pl.ds(t, 1), :]
+                code = buf[pl.ds(t, 1), :]
                 iy_t = code >> 7          # NY_PAD == 128
                 ix_t = code & (NY_PAD - 1)
                 a = (row_r == iy_t).astype(bf16)
@@ -110,7 +113,16 @@ def make_persistent_trace_fn(cfg: TraceConfig, num_fc: int, num_oc: int,
                 return acc + p
 
             hist_ref[0] = jax.lax.fori_loop(0, RT, one_row, hist_ref[0])
-            dscr[:] = jnp.zeros((RT, LANES), jnp.int32) - 1
+            buf[:] = jnp.zeros((RT, LANES), jnp.int32) - 1
+            return 0
+
+        def drain_scratch(_):
+            _drain_one(dscr)
+            # the spill buffer is only populated when one lane deposits twice
+            # within a flush window (possible at _FLUSH_W=8: deposits are >=4
+            # iterations apart); gate its matmuls on actual use
+            jax.lax.cond(jnp.any(dscr2[:] >= 0),
+                         lambda _: _drain_one(dscr2), lambda _: 0, None)
             return 0
 
         def phase_mul(phr, phi_, re, im):
@@ -134,14 +146,14 @@ def make_persistent_trace_fn(cfg: TraceConfig, num_fc: int, num_oc: int,
 
         def cond(carry):
             (x, y, ter, tei, tmr, tmi, cos_th, gx, gy, state, gen, rng,
-             nb, it) = carry
+             nb, it, ov) = carry
             exhausted = ((state == 6) & (gen >= ctrl_ref[0, 0])
                          & (it >= ctrl_ref[0, 1]))
             return (it < max_iters) & (jnp.sum((~exhausted).astype(jnp.int32)) > 0)
 
         def body(carry):
             (x, y, ter, tei, tmr, tmi, cos_th, gx, gy, state, gen, rng,
-             nb, it) = carry
+             nb, it, ov) = carry
 
             # ---- respawn: dead slots with generations remaining re-enter init
             rs = (state == 6) & ((gen < ctrl_ref[0, 0]) | (it < ctrl_ref[0, 1]))
@@ -373,20 +385,26 @@ def make_persistent_trace_fn(cfg: TraceConfig, num_fc: int, num_oc: int,
             # per-deposit drain loop (~0.5 us/deposit) that dominated once
             # deposits became per-iteration events (saturating-spawn mode).
             #
-            # Deposit codes are *buffered* in a VMEM scratch (Mosaic supports
+            # Deposit codes are *buffered* in VMEM scratches (Mosaic supports
             # dynamic row slices of refs, not of values) and flushed every
-            # ``_FLUSH_W`` iterations, quartering the MXU work: a lane deposits
-            # at most once per generation and a fresh generation needs >=4
-            # iterations (init -> FC -> fold -> OC) to reach the out-coupler,
-            # so one pending code per lane suffices between flushes.
-            # Correctness does NOT rely on that timing: a colliding deposit
-            # (lane already holding a pending code) triggers an emergency
-            # flush first.  Invalid lanes carry -1, whose arithmetic-shift row
-            # index (-1) matches no histogram row.
+            # ``_FLUSH_W`` iterations, cutting the MXU work 8x.  A lane
+            # deposits at most once per generation and a fresh generation
+            # needs >=4 iterations (init -> FC -> fold -> OC) to reach the
+            # out-coupler, so a lane deposits at most twice per 8-iteration
+            # window: the primary buffer plus one spill buffer hold every
+            # case with pure vector ops (no per-iteration scalar reduce).  A
+            # third same-window deposit is impossible by that timing; it is
+            # nonetheless *counted* (nb[:, 3]) so callers can assert it never
+            # happened rather than trust the argument.  Invalid lanes carry
+            # -1, whose arithmetic-shift row index (-1) matches no histogram
+            # row.
             code_new = jnp.where(dep_valid, iy * NY_PAD + ix, -1)
-            collide = dep_valid & (dscr[:] >= 0)
-            jax.lax.cond(jnp.any(collide), drain_scratch, lambda _: 0, None)
-            dscr[:] = jnp.where(dep_valid, code_new, dscr[:])
+            occ_a = dscr[:] >= 0
+            spill = dep_valid & occ_a
+            lost = spill & (dscr2[:] >= 0)
+            ov = ov + jnp.sum(lost.astype(jnp.int32))
+            dscr[:] = jnp.where(dep_valid & ~occ_a, code_new, dscr[:])
+            dscr2[:] = jnp.where(spill, code_new, dscr2[:])
             jax.lax.cond((it & (_FLUSH_W - 1)) == (_FLUSH_W - 1), drain_scratch,
                          lambda _: 0, None)
 
@@ -416,11 +434,11 @@ def make_persistent_trace_fn(cfg: TraceConfig, num_fc: int, num_oc: int,
             gx = jnp.where(accept, gx_n, gx)
             gy = jnp.where(accept, gy_n, gy)
             return (x, y, ter, tei, tmr, tmi, cos_th, gx, gy, state, gen, rng,
-                    nb, it + 1)
+                    nb, it + 1, ov)
 
         carry = (x0, y0, ter0, tei0, tmr0, tmi0, zeros + 1.0,
                  zeros, zeros, state0, gen0, rng_ref[0], jnp.int32(0),
-                 jnp.int32(0))
+                 jnp.int32(0), jnp.int32(0))
 
         def chunk(carry):
             return jax.lax.fori_loop(
@@ -431,7 +449,7 @@ def make_persistent_trace_fn(cfg: TraceConfig, num_fc: int, num_oc: int,
         nb_ref[0, 0, 0] = carry[12]
         nb_ref[0, 0, 1] = carry[13]   # iterations (diagnostics)
         nb_ref[0, 0, 2] = jnp.sum(carry[10])  # rays spawned (gen counters)
-        nb_ref[0, 0, 3] = 0
+        nb_ref[0, 0, 3] = carry[14]           # spill-buffer overflows (must be 0)
 
     @jax.jit
     def trace(cell_params, geom_row, rays_in, rng_in, ctrl=None):
@@ -464,11 +482,12 @@ def make_persistent_trace_fn(cfg: TraceConfig, num_fc: int, num_oc: int,
                              memory_space=pltpu.SMEM),
             ),
             out_shape=out_shapes,
-            scratch_shapes=[pltpu.VMEM((RT, LANES), jnp.int32)],
+            scratch_shapes=[pltpu.VMEM((RT, LANES), jnp.int32),
+                            pltpu.VMEM((RT, LANES), jnp.int32)],
             interpret=interpret,
         )(ctrl.reshape(1, 2), geom_row, cell_params[:, None, :],
           rays_in, rng_in)
-        return hist, nb.reshape(C, 4)[:, :3]
+        return hist, nb.reshape(C, 4)
 
     return trace
 

@@ -214,3 +214,15 @@ def test_simulator_spawn_iters(setup):
     assert rs.rays_traced > r0.rays_traced  # actual spawns reported
     ts, t0_ = rs.histogram.sum(), r0.histogram.sum()
     assert abs(ts - t0_) / max(t0_, 1e-12) < 0.25  # nominal-unit histograms
+
+
+def test_no_deposit_buffer_overflow(setup):
+    """nb[:, 3] counts third-deposit-in-window events; must be zero."""
+    import jax.numpy as jnp
+
+    geom, tgeom, cfg, n_cells, cp, gr, rays_in, rng_in = setup
+    fn = trace_pallas_persistent.make_persistent_trace_fn(
+        cfg, tgeom.num_fc, tgeom.num_oc, RT, gens=1, interpret=True,
+        max_iters=1300)
+    _, nb = fn(cp, gr, rays_in, rng_in, jnp.asarray([1, 200], jnp.int32))
+    assert np.all(np.asarray(nb)[:, 3] == 0)
