@@ -49,7 +49,7 @@ def run(engine: str):
         pallas_segmented=(engine == "pallas" and segmented),
         persistent_slots=int(os.environ.get("BENCH_SLOTS", 2048)),
         cond_interval=int(os.environ.get("BENCH_COND_INTERVAL", 8)),
-        spawn_iters=int(os.environ.get("BENCH_SPAWN_ITERS", 512)),
+        spawn_iters=int(os.environ.get("BENCH_SPAWN_ITERS", 1024)),
         pers_phase_gating=(None if "BENCH_PHASE_GATING" not in os.environ
                            else os.environ["BENCH_PHASE_GATING"] != "0"),
     )
