@@ -1,0 +1,62 @@
+"""Disk round-trip of the reference's lut_*_fullColor.npy layout (luts/io.py)."""
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+
+from gpu_ray_tracing_for_waveguide_based_ar_display_tpu.config import TraceConfig
+from gpu_ray_tracing_for_waveguide_based_ar_display_tpu.design import generate_geometry
+from gpu_ray_tracing_for_waveguide_based_ar_display_tpu.luts import make_synthetic_luts
+from gpu_ray_tracing_for_waveguide_based_ar_display_tpu.luts.io import (
+    _FILES,
+    load_luts,
+    load_or_synthesize,
+    luts_available,
+)
+
+
+def _write_files(luts, d):
+    for key, fname in _FILES.items():
+        np.save(d / fname, getattr(luts, key))
+
+
+def test_round_trip(tmp_path):
+    geom = generate_geometry(num_fov_x=4, num_fov_y=3)
+    luts = make_synthetic_luts(geom)
+    assert not luts_available(str(tmp_path))
+    _write_files(luts, tmp_path)
+    assert luts_available(str(tmp_path))
+    loaded = load_luts(str(tmp_path))
+    for key in _FILES:
+        np.testing.assert_array_equal(getattr(loaded, key), getattr(luts, key))
+
+
+def test_load_or_synthesize_prefers_files(tmp_path):
+    geom = generate_geometry(num_fov_x=4, num_fov_y=3)
+    luts = make_synthetic_luts(geom, seed=7)
+    _write_files(luts, tmp_path)
+    # different seed would give different synthetic tables; files must win
+    got = load_or_synthesize(geom, directory=str(tmp_path), seed=999)
+    np.testing.assert_array_equal(got.ic1, luts.ic1)
+    # absent directory -> synthetic with the given seed
+    synth = load_or_synthesize(geom, directory=None, seed=7)
+    np.testing.assert_array_equal(synth.ic1, luts.ic1)
+
+
+def test_simulator_luts_dir_equals_direct(tmp_path):
+    from gpu_ray_tracing_for_waveguide_based_ar_display_tpu.engine.pipeline import (
+        Simulator,
+    )
+
+    geom = generate_geometry(num_fov_x=4, num_fov_y=3)
+    luts = make_synthetic_luts(geom, seed=11)
+    _write_files(luts, tmp_path)
+    cfg = TraceConfig(num_fov_x=4, num_fov_y=3, rays_per_fov=64, max_bounces=400,
+                      rng_mode="fast", ic_test="circle", seed=3)
+    sim_a = Simulator(cfg=cfg, geom=geom, luts=luts)
+    sim_b = Simulator(cfg=cfg, geom=geom, luts_dir=str(tmp_path))
+    ra = sim_a.run(rays_per_fov=64, num_iter=1, evaluate_metrics=False)
+    rb = sim_b.run(rays_per_fov=64, num_iter=1, evaluate_metrics=False)
+    np.testing.assert_array_equal(np.asarray(ra.histogram),
+                                  np.asarray(rb.histogram))
