@@ -104,3 +104,40 @@ def shard_ray_batch(rays: dict, mesh: Mesh) -> dict:
     """Device-put a host SoA batch with the ray axis sharded over the whole mesh."""
     sharding = NamedSharding(mesh, P(mesh.axis_names))
     return {k: jax.device_put(jnp.asarray(v), sharding) for k, v in rays.items()}
+
+
+def make_sharded_cell_trace_fn(pers_fn, mesh: Mesh, axis: str = "rays"):
+    """Shard the *cell* axis of the persistent Pallas tracer over a mesh.
+
+    The persistent kernel already grids over (wavelength, FoV) cells on one
+    chip; across chips the same axis is simply partitioned — each device runs
+    the kernel on its cell subset and keeps its histogram tiles local (cells
+    own disjoint histogram slices, so no collective is needed; assembly
+    concatenates).  ``pers_fn`` is a
+    :func:`..engine.trace_pallas_persistent.make_persistent_trace_fn` result.
+
+    The number of cells must divide the mesh size.  Works on a virtual CPU
+    mesh with ``interpret=True`` kernels and on real TPU slices compiled.
+    """
+
+    def _local(cp, geom_row, rays, rng, ctrl):
+        return pers_fn(cp, geom_row, rays, rng, ctrl)
+
+    sharded = shard_map(
+        _local,
+        mesh=mesh,
+        in_specs=(P(axis), P(), P(axis), P(axis), P()),
+        out_specs=(P(axis), P(axis)),
+        check_vma=False,
+    )
+
+    def trace(cell_params, geom_row, rays_in, rng_in, ctrl):
+        n_dev = mesh.devices.size
+        if cell_params.shape[0] % n_dev:
+            raise ValueError(
+                f"{cell_params.shape[0]} cells do not divide over {n_dev} devices")
+        return sharded(jnp.asarray(cell_params), jnp.asarray(geom_row),
+                       jnp.asarray(rays_in), jnp.asarray(rng_in),
+                       jnp.asarray(ctrl))
+
+    return trace
