@@ -51,7 +51,8 @@ def cmd_simulate(args) -> int:
     with xla_trace(args.profile_dir or None):
         res = sim.run(cells_per_batch=args.cells_per_batch,
                       verbose=args.verbose, wavelengths=wl,
-                      checkpoint_path=args.checkpoint)
+                      checkpoint_path=args.checkpoint,
+                      histogram_device=(args.engine == "pallas_persistent"))
     print(format_report(res))
     if args.image and res.metrics is not None:
         save_eyebox_center_view(args.image, res.metrics.output_image)
@@ -59,7 +60,7 @@ def cmd_simulate(args) -> int:
     if args.heatmaps:
         from .eval.image import save_fov_efficiency_heatmaps
 
-        save_fov_efficiency_heatmaps(args.heatmaps, np.asarray(res.histogram))
+        save_fov_efficiency_heatmaps(args.heatmaps, res.histogram)
         print(f"FoV efficiency heatmaps written to {args.heatmaps}")
     if args.json:
         out = {

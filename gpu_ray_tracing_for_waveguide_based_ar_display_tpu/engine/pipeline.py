@@ -495,7 +495,10 @@ class Simulator:
                 total_bounces += int(nbh[:, 0].sum())
                 total_spawned += int(nbh[:, 2].sum()) if nbh.shape[1] > 2 else n
                 total_rays += n
-            if histogram_device and not evaluate_metrics:
+            if histogram_device:
+                # metrics, efficiencies, and heatmaps all reduce on device;
+                # pulling the ~0.9 GB histogram over a relay link dominates
+                # the whole run otherwise
                 histogram = jax.block_until_ready(hist_dev)
             else:
                 histogram = np.asarray(hist_dev)
@@ -541,7 +544,14 @@ class Simulator:
                    "B": float(sums[0] / num * 3)}
         met = None
         if evaluate_metrics:
-            met = evaluate(np.asarray(histogram) / actual_rpf / iters, eval_cfg)
+            if isinstance(histogram, np.ndarray):
+                met = evaluate(histogram / actual_rpf / iters, eval_cfg)
+            else:
+                from ..eval.metrics import eye_perceived_jnp
+
+                perc = np.asarray(eye_perceived_jnp(histogram, eval_cfg))
+                met = evaluate(None, eval_cfg,
+                               perceive=perc / actual_rpf / iters)
         rays_traced = total_rays
         if self._spawn_iters > 0 and self.engine == "pallas_persistent" \
                 and not checkpoint_path:

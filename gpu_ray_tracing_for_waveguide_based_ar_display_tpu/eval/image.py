@@ -47,7 +47,7 @@ def save_fov_efficiency_heatmaps(path: str, histogram: np.ndarray) -> None:
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
 
-    per_fov = histogram.sum(axis=(-2, -1))  # (L, FoVy, FoVx)
+    per_fov = np.asarray(histogram.sum(axis=(-2, -1)))  # (L, FoVy, FoVx)
     names = [("Red", 2), ("Green", 1), ("Blue", 0)]
     fig, axes = plt.subplots(1, 3, figsize=(15, 4))
     for ax, (name, l) in zip(axes, names):

@@ -11,7 +11,7 @@ once-per-run post-processing pass, not a hot path.
 from __future__ import annotations
 
 import dataclasses
-from typing import Tuple
+from typing import Optional, Tuple
 
 import numpy as np
 
@@ -74,14 +74,48 @@ def eye_perceived(matrix_eb: np.ndarray, cfg: EvalConfig) -> np.ndarray:
     return out
 
 
-def evaluate(matrix_eb: np.ndarray, cfg: EvalConfig = EvalConfig()) -> EvalResult:
+def eye_perceived_jnp(matrix_eb, cfg: EvalConfig = EvalConfig()):
+    """Device-side :func:`eye_perceived` for a jnp histogram.
+
+    The eyebox histogram is ~0.9 GB fp32 at reference resolution; on a
+    relay-attached TPU pulling it to the host dominates everything else, while
+    the pupil-integrated perception stack is only (L, fy, fx, 7, 8) ~ 2 MB.
+    Slices are static, so this jits to one fused reduction pass.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    mask = jnp.asarray(pupil_mask(cfg.pupil_mask_bins), matrix_eb.dtype)
+    msize = cfg.pupil_mask_bins
+    n_eby, n_ebx = matrix_eb.shape[-2:]
+    y0s = range(0, n_eby - msize + 1, cfg.eye_step_y)
+    x0s = range(0, n_ebx - msize + 1, cfg.eye_step_x)
+
+    @jax.jit
+    def _perceive(m):
+        cols = []
+        for y0 in y0s:
+            row = [jnp.einsum("...yx,yx->...",
+                              m[..., y0:y0 + msize, x0:x0 + msize], mask)
+                   for x0 in x0s]
+            cols.append(jnp.stack(row, axis=-1))
+        return jnp.stack(cols, axis=-2)
+
+    return _perceive(matrix_eb)
+
+
+def evaluate(matrix_eb: Optional[np.ndarray], cfg: EvalConfig = EvalConfig(),
+             perceive: Optional[np.ndarray] = None) -> EvalResult:
     """Compute the four display metrics from a (L, FoVy, FoVx, eb_y, eb_x) histogram.
 
     ``matrix_eb`` should be normalized to per-ray units exactly as the reference
     driver does (histogram / rays_per_fov / num_iter,
-    gpu_ray_tracing_pro_fullColor.py:197).
+    gpu_ray_tracing_pro_fullColor.py:197).  Alternatively pass ``perceive`` (an
+    already pupil-integrated (L, fy, fx, n_epy, n_epx) stack, e.g. from
+    :func:`eye_perceived_jnp`) and omit the histogram.
     """
-    perceive = eye_perceived(matrix_eb, cfg)
+    if perceive is None:
+        perceive = eye_perceived(matrix_eb, cfg)
     n_l, n_fy, n_fx, n_epy, n_epx = perceive.shape
 
     # pure-white sRGB drive mapped to per-wavelength intensities (:113-118)

@@ -130,3 +130,31 @@ def test_fov_efficiency_heatmaps(tmp_path):
     import os
 
     assert os.path.getsize(path) > 1000
+
+
+def test_evaluate_perceive_kwarg_equivalent():
+    from gpu_ray_tracing_for_waveguide_based_ar_display_tpu.config import EvalConfig
+    from gpu_ray_tracing_for_waveguide_based_ar_display_tpu.eval import metrics
+
+    rng = np.random.default_rng(1)
+    m = rng.uniform(size=(3, 5, 4, 40, 60)).astype(np.float64)
+    cfg = EvalConfig(pupil_mask_bins=10, eye_step_y=10, eye_step_x=10)
+    a = metrics.evaluate(m, cfg)
+    b = metrics.evaluate(None, cfg, perceive=metrics.eye_perceived(m, cfg))
+    assert a.delta_e == b.delta_e
+    assert a.u_fov == b.u_fov
+    assert a.u_eyebox == b.u_eyebox
+
+
+def test_eye_perceived_jnp_matches_numpy():
+    import jax.numpy as jnp
+
+    from gpu_ray_tracing_for_waveguide_based_ar_display_tpu.config import EvalConfig
+    from gpu_ray_tracing_for_waveguide_based_ar_display_tpu.eval import metrics
+
+    rng = np.random.default_rng(2)
+    m = rng.uniform(size=(2, 4, 3, 40, 60)).astype(np.float32)
+    cfg = EvalConfig(pupil_mask_bins=10, eye_step_y=10, eye_step_x=10)
+    a = metrics.eye_perceived(m, cfg)
+    b = np.asarray(metrics.eye_perceived_jnp(jnp.asarray(m), cfg))
+    np.testing.assert_allclose(b, a, rtol=2e-6)
