@@ -43,7 +43,7 @@ def cmd_simulate(args) -> int:
     sim = Simulator(design=presets.get(args.design), cfg=cfg,
                     luts_dir=args.luts_dir,
                     geometry_simplify_tol=args.simplify_tol,
-                    engine=args.engine)
+                    engine=args.engine, spawn_iters=args.spawn_iters)
     wl = (tuple(int(w) for w in args.wavelengths.split(","))
           if args.wavelengths else None)
     from .utils import xla_trace
@@ -134,6 +134,9 @@ def main(argv=None) -> int:
                    help="capture a jax.profiler trace of the run to this dir")
     p.add_argument("--engine", default="jnp",
                    choices=("jnp", "pallas", "pallas_persistent", "cellblock"))
+    p.add_argument("--spawn-iters", type=int, default=0,
+                   help="saturating-spawn iteration budget (pallas_persistent; "
+                        "0 = fixed generations)")
     p.add_argument("--wavelengths", default=None,
                    help="comma-separated wavelength indices (e.g. '1' = green only)")
     p.add_argument("--checkpoint", default=None, help="resumable checkpoint path")
