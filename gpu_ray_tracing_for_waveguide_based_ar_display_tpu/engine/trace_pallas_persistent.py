@@ -77,7 +77,7 @@ def make_persistent_trace_fn(cfg: TraceConfig, num_fc: int, num_oc: int,
         max_iters = cfg.max_bounces
 
     def kernel(ctrl_ref, g_ref, c_ref, rays_ref, rng_ref, hist_ref,
-               nb_ref, dscr, dscr2):
+               nb_ref, dscr):
         def g(j):
             return g_ref[0, j]
 
@@ -93,8 +93,6 @@ def make_persistent_trace_fn(cfg: TraceConfig, num_fc: int, num_oc: int,
         tmi0 = rays_ref[0, 5]
 
         hist_ref[0] = jnp.zeros((ny, NY_PAD), f32)
-        dscr[:] = jnp.zeros((RT, LANES), jnp.int32) - 1
-        dscr2[:] = jnp.zeros((RT, LANES), jnp.int32) - 1
 
         def _drain_one(buf):
             bf16 = jnp.bfloat16
@@ -117,13 +115,7 @@ def make_persistent_trace_fn(cfg: TraceConfig, num_fc: int, num_oc: int,
             return 0
 
         def drain_scratch(_):
-            _drain_one(dscr)
-            # the spill buffer is only populated when one lane deposits twice
-            # within a flush window (possible at _FLUSH_W=8: deposits are >=4
-            # iterations apart); gate its matmuls on actual use
-            jax.lax.cond(jnp.any(dscr2[:] >= 0),
-                         lambda _: _drain_one(dscr2), lambda _: 0, None)
-            return 0
+            return _drain_one(dscr)
 
         def phase_mul(phr, phi_, re, im):
             return phr * re - phi_ * im, phr * im + phi_ * re
@@ -146,14 +138,14 @@ def make_persistent_trace_fn(cfg: TraceConfig, num_fc: int, num_oc: int,
 
         def cond(carry):
             (x, y, ter, tei, tmr, tmi, cos_th, gx, gy, state, gen, rng,
-             nb, it, ov) = carry
+             nb, it, ov, dcode, scode) = carry
             exhausted = ((state == 6) & (gen >= ctrl_ref[0, 0])
                          & (it >= ctrl_ref[0, 1]))
             return (it < max_iters) & (jnp.sum((~exhausted).astype(jnp.int32)) > 0)
 
         def body(carry):
             (x, y, ter, tei, tmr, tmi, cos_th, gx, gy, state, gen, rng,
-             nb, it, ov) = carry
+             nb, it, ov, dcode, scode) = carry
 
             # ---- respawn: dead slots with generations remaining re-enter init
             rs = (state == 6) & ((gen < ctrl_ref[0, 0]) | (it < ctrl_ref[0, 1]))
@@ -385,28 +377,50 @@ def make_persistent_trace_fn(cfg: TraceConfig, num_fc: int, num_oc: int,
             # per-deposit drain loop (~0.5 us/deposit) that dominated once
             # deposits became per-iteration events (saturating-spawn mode).
             #
-            # Deposit codes are *buffered* in VMEM scratches (Mosaic supports
-            # dynamic row slices of refs, not of values) and flushed every
-            # ``_FLUSH_W`` iterations, cutting the MXU work 8x.  A lane
+            # Deposit codes are *staged in loop-carry registers* and flushed
+            # every ``_FLUSH_W`` iterations, cutting the MXU work 8x and
+            # keeping the per-iteration path free of VMEM read-modify-writes
+            # (the codes only touch the VMEM scratch inside the flush, where
+            # Mosaic's ref row slicing feeds the drain matmuls).  A lane
             # deposits at most once per generation and a fresh generation
             # needs >=4 iterations (init -> FC -> fold -> OC) to reach the
             # out-coupler, so a lane deposits at most twice per 8-iteration
-            # window: the primary buffer plus one spill buffer hold every
-            # case with pure vector ops (no per-iteration scalar reduce).  A
-            # third same-window deposit is impossible by that timing; it is
+            # window: the primary code plus one spill code hold every case
+            # with pure vector ops (no per-iteration scalar reduce).  A third
+            # same-window deposit is impossible by that timing; it is
             # nonetheless *counted* (nb[:, 3]) so callers can assert it never
             # happened rather than trust the argument.  Invalid lanes carry
             # -1, whose arithmetic-shift row index (-1) matches no histogram
             # row.
             code_new = jnp.where(dep_valid, iy * NY_PAD + ix, -1)
-            occ_a = dscr[:] >= 0
+            occ_a = dcode >= 0
             spill = dep_valid & occ_a
-            lost = spill & (dscr2[:] >= 0)
+            lost = spill & (scode >= 0)
             ov = ov + jnp.sum(lost.astype(jnp.int32))
-            dscr[:] = jnp.where(dep_valid & ~occ_a, code_new, dscr[:])
-            dscr2[:] = jnp.where(spill, code_new, dscr2[:])
-            jax.lax.cond((it & (_FLUSH_W - 1)) == (_FLUSH_W - 1), drain_scratch,
-                         lambda _: 0, None)
+            dcode = jnp.where(dep_valid & ~occ_a, code_new, dcode)
+            scode = jnp.where(spill & (scode < 0), code_new, scode)
+
+            def do_flush(codes):
+                dc, sc = codes
+                dscr[:] = dc
+                drain_scratch(None)
+
+                def spill_flush(sc2):
+                    dscr[:] = sc2
+                    drain_scratch(None)
+                    return 0
+
+                jax.lax.cond(jnp.any(sc >= 0), spill_flush,
+                             lambda _: 0, sc)
+                # int x*0 can fold to a replicated-layout splat; derive the
+                # reset codes from concrete float data instead (cf. the carry
+                # initializers above)
+                empty = (x * 0.0).astype(jnp.int32) - 1
+                return empty, empty
+
+            dcode, scode = jax.lax.cond(
+                (it & (_FLUSH_W - 1)) == (_FLUSH_W - 1), do_flush,
+                lambda codes: codes, (dcode, scode))
 
             # ---- misses
             miss_fc2 = grp_fc & ~in_hull & (state == 2)
@@ -434,22 +448,26 @@ def make_persistent_trace_fn(cfg: TraceConfig, num_fc: int, num_oc: int,
             gx = jnp.where(accept, gx_n, gx)
             gy = jnp.where(accept, gy_n, gy)
             return (x, y, ter, tei, tmr, tmi, cos_th, gx, gy, state, gen, rng,
-                    nb, it + 1, ov)
+                    nb, it + 1, ov, dcode, scode)
 
         carry = (x0, y0, ter0, tei0, tmr0, tmi0, zeros + 1.0,
                  zeros, zeros, state0, gen0, rng_ref[0], jnp.int32(0),
-                 jnp.int32(0), jnp.int32(0))
+                 jnp.int32(0), jnp.int32(0), zero_i - 1, zero_i - 1)
 
         def chunk(carry):
             return jax.lax.fori_loop(
                 0, cond_interval, lambda _, cc: body(cc), carry)
 
         carry = jax.lax.while_loop(cond, chunk, carry)
-        drain_scratch(None)   # safety: flush any codes still buffered
+        # safety: flush codes still staged in the carries at exit
+        dscr[:] = carry[15]
+        drain_scratch(None)
+        dscr[:] = carry[16]
+        drain_scratch(None)
         nb_ref[0, 0, 0] = carry[12]
         nb_ref[0, 0, 1] = carry[13]   # iterations (diagnostics)
         nb_ref[0, 0, 2] = jnp.sum(carry[10])  # rays spawned (gen counters)
-        nb_ref[0, 0, 3] = carry[14]           # spill-buffer overflows (must be 0)
+        nb_ref[0, 0, 3] = carry[14]           # spill-code overflows (must be 0)
 
     @jax.jit
     def trace(cell_params, geom_row, rays_in, rng_in, ctrl=None):
@@ -482,8 +500,7 @@ def make_persistent_trace_fn(cfg: TraceConfig, num_fc: int, num_oc: int,
                              memory_space=pltpu.SMEM),
             ),
             out_shape=out_shapes,
-            scratch_shapes=[pltpu.VMEM((RT, LANES), jnp.int32),
-                            pltpu.VMEM((RT, LANES), jnp.int32)],
+            scratch_shapes=[pltpu.VMEM((RT, LANES), jnp.int32)],
             interpret=interpret,
         )(ctrl.reshape(1, 2), geom_row, cell_params[:, None, :],
           rays_in, rng_in)
