@@ -123,3 +123,25 @@ def test_cli_sweep_small(capsys):
     ])
     assert rc == 0
     assert "best mean efficiency" in capsys.readouterr().out
+
+
+def test_presets_generate_and_trace():
+    """Every preset must produce valid geometry and transport energy."""
+    from gpu_ray_tracing_for_waveguide_based_ar_display_tpu.config import TraceConfig
+    from gpu_ray_tracing_for_waveguide_based_ar_display_tpu.design import (
+        generate_geometry,
+    )
+    from gpu_ray_tracing_for_waveguide_based_ar_display_tpu.engine.pipeline import (
+        Simulator,
+    )
+
+    for name in presets.PRESETS:
+        d = presets.get(name)
+        geom = generate_geometry(d, num_fov_x=3, num_fov_y=2)
+        assert geom.fc_strips and geom.oc_strips
+        cfg = TraceConfig(num_fov_x=3, num_fov_y=2, rays_per_fov=64,
+                          max_bounces=400, seed=1)
+        sim = Simulator(design=d, cfg=cfg, geom=geom)
+        res = sim.run(rays_per_fov=64, num_iter=1, evaluate_metrics=False)
+        assert res.total_bounces > 0, name
+        assert res.histogram.sum() > 0, name
