@@ -78,6 +78,21 @@ def plot_layout(geom: DesignGeometry, path: str) -> str:
                          geom.eyebox_quad.shape[1] // 2]
     ax.plot(np.append(q[:, 0], q[0, 0]), np.append(q[:, 1], q[0, 1]),
             "m-", lw=1.5, label="center-FoV eyebox footprint")
+    # eyeglass-lens superellipse outline with a nasal notch, sized to enclose
+    # the couplers (the reference decorates its layout the same way,
+    # plot_design_fullColor.py:89-139)
+    pts = np.concatenate([geom.eff_reg1, geom.ic])
+    cx, cy = pts.mean(axis=0)
+    a = 1.25 * np.abs(pts[:, 0] - cx).max()
+    b = 1.35 * np.abs(pts[:, 1] - cy).max()
+    t = np.linspace(0.0, 2.0 * np.pi, 400)
+    n = 3.0
+    lx = cx + a * np.sign(np.cos(t)) * np.abs(np.cos(t)) ** (2.0 / n)
+    ly = cy + b * np.sign(np.sin(t)) * np.abs(np.sin(t)) ** (2.0 / n)
+    nose = (lx > cx + 0.75 * a) & (ly < cy - 0.35 * b)
+    lx = lx.copy()
+    lx[nose] -= 0.18 * a * np.cos(4.0 * (ly[nose] - cy) / b)
+    ax.plot(lx, ly, color="0.3", lw=1.2, label="lens outline")
     ax.set_aspect("equal")
     ax.set_xlabel("x (mm)")
     ax.set_ylabel("y (mm)")
