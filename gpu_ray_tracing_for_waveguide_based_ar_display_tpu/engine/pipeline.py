@@ -72,6 +72,7 @@ class Simulator:
         cond_interval: int = 8,
         spawn_iters: int = 0,
         pers_phase_gating: Optional[bool] = None,
+        mesh=None,
     ):
         if engine not in ("jnp", "pallas", "pallas_persistent", "cellblock"):
             raise ValueError(f"unknown engine {engine!r}")
@@ -96,6 +97,9 @@ class Simulator:
         if pers_phase_gating is None:
             pers_phase_gating = spawn_iters <= 0
         self._pers_phase_gating = pers_phase_gating
+        # optional jax.sharding.Mesh: the persistent engine shards its cell
+        # axis over it (disjoint histogram tiles; no collective needed)
+        self._mesh = mesh
         if engine.startswith("pallas") and geometry_simplify_tol == 0.0:
             # the kernel holds regions as <= MAX_EDGES scalar half-planes
             geometry_simplify_tol = 0.05
@@ -367,15 +371,19 @@ class Simulator:
     def _pers_fn(self, rt: int):
         # gens/spawn_iters are runtime scalars; one compile per RT serves all
         if rt not in self._pers_cache:
-            self._pers_cache[rt] = (
-                trace_pallas_persistent.make_persistent_trace_fn(
-                    self.cfg, self.tgeom.num_fc, self.tgeom.num_oc, rt,
-                    gens=1, interpret=self._interpret,
-                    cond_interval=self._cond_interval,
-                    phase_gating=self._pers_phase_gating,
-                    max_iters=self.cfg.max_bounces,
-                )
+            fn = trace_pallas_persistent.make_persistent_trace_fn(
+                self.cfg, self.tgeom.num_fc, self.tgeom.num_oc, rt,
+                gens=1, interpret=self._interpret,
+                cond_interval=self._cond_interval,
+                phase_gating=self._pers_phase_gating,
+                max_iters=self.cfg.max_bounces,
             )
+            if self._mesh is not None:
+                from ..parallel.shard import make_sharded_cell_trace_fn
+
+                fn = make_sharded_cell_trace_fn(
+                    fn, self._mesh, axis=self._mesh.axis_names[0])
+            self._pers_cache[rt] = fn
         return self._pers_cache[rt]
 
     def _pers_ctrl(self, gens: int):

@@ -140,3 +140,30 @@ def test_sharded_persistent_cells_bitwise():
     t_shard, nb_shard = sharded(cp, gr, rays_in, rng_in, ctrl)
     np.testing.assert_array_equal(np.asarray(t_single), np.asarray(t_shard))
     np.testing.assert_array_equal(np.asarray(nb_single), np.asarray(nb_shard))
+
+
+def test_simulator_mesh_persistent():
+    """Simulator(mesh=...) shards the persistent engine's cell axis."""
+    from gpu_ray_tracing_for_waveguide_based_ar_display_tpu.engine.pipeline import (
+        Simulator,
+    )
+    from gpu_ray_tracing_for_waveguide_based_ar_display_tpu.parallel.shard import (
+        make_mesh,
+    )
+
+    M, N = 4, 2
+    geom = generate_geometry(num_fov_x=M, num_fov_y=N)
+    cfg = TraceConfig(num_fov_x=M, num_fov_y=N, rays_per_fov=128,
+                      max_bounces=500, rng_mode="fast", ic_test="circle", seed=5)
+    n_cells = 3 * M * N
+    sim_m = Simulator(cfg=cfg, engine="pallas_persistent", geom=geom,
+                      interpret=True, persistent_slots=128, mesh=make_mesh())
+    sim_1 = Simulator(cfg=cfg, engine="pallas_persistent", geom=geom,
+                      interpret=True, persistent_slots=128)
+    rm = sim_m.run(rays_per_fov=128, num_iter=1, evaluate_metrics=False,
+                   cells_per_batch=n_cells)
+    r1 = sim_1.run(rays_per_fov=128, num_iter=1, evaluate_metrics=False,
+                   cells_per_batch=n_cells)
+    np.testing.assert_array_equal(np.asarray(rm.histogram),
+                                  np.asarray(r1.histogram))
+    assert rm.total_bounces == r1.total_bounces
