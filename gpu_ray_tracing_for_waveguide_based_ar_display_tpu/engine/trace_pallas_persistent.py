@@ -125,7 +125,8 @@ def make_persistent_trace_fn(cfg: TraceConfig, num_fc: int, num_oc: int,
             dy = py - g(_G_IC + 1)
             return dx * dx + dy * dy <= g(_G_IC + 2)
 
-        # carry: x, y, ter, tei, tmr, tmi, cos_th, gx, gy, state, gen, rng, nb, it
+        # carry: x, y, ter, tei, tmr, tmi, cos_th, gx, gy, state, gen,
+        # rng, nb, it, ov, dcode, scode
         # The initializers must NOT fold to splat constants: Mosaic gives those a
         # replicated layout, and a replicated loop carry cannot accept the body's
         # concrete-layout outputs ("invalid relayout").  Multiplying loaded float
