@@ -104,16 +104,27 @@ def plot_layout(geom: DesignGeometry, path: str) -> str:
 
 
 def plot_angular_response(geom: DesignGeometry, path: str) -> str:
-    """Guided-direction (theta, phi) clouds for the four propagation stages."""
-    fig, axes = plt.subplots(2, 2, figsize=(10, 8))
+    """Guided-direction (theta, phi) clouds for the five propagation stages
+    (the reference's five panels, plot_design_fullColor.py:141-228; the fifth
+    is the out-coupled air-side direction, which the grating closure returns
+    to the input FoV grid)."""
+    d = geom.design
+    L = geom.th_out_ic.shape[0]
+    # air-side output = input FoV direction for every wavelength
+    hx = np.tan(np.linspace(-d.fov_x / 2, d.fov_x / 2, geom.th_out_ic.shape[1]))
+    hy = np.tan(np.linspace(-d.fov_y / 2, d.fov_y / 2, geom.th_out_ic.shape[2]))
+    gx, gy = np.meshgrid(hx, hy, indexing="ij")
+    th_air = np.broadcast_to(np.arctan(np.hypot(gx, gy)), (L,) + gx.shape)
+    phi_air = np.broadcast_to(np.arctan2(gy, gx), (L,) + gx.shape)
+    fig, axes = plt.subplots(2, 3, figsize=(14, 8))
     stages = [
         ("after IC (dir-1)", geom.th_out_ic, geom.phi_out_ic),
         ("after IC (dir-2)", geom.th_out_ic2, geom.phi_out_ic2),
         ("after fold", geom.th_out_fc, geom.phi_out_fc),
         ("after OC reversal", geom.th_out_oc, geom.phi_out_oc),
+        ("out-coupled (air) = input FoV", th_air, phi_air),
     ]
     colors = ["tab:blue", "tab:green", "tab:red"]
-    d = geom.design
     th_min = np.degrees(np.arcsin(d.n_air / d.n_glass))
     for ax, (name, th, phi) in zip(axes.flat, stages):
         for li, c in enumerate(colors):
@@ -121,10 +132,12 @@ def plot_angular_response(geom: DesignGeometry, path: str) -> str:
                        s=2, color=c, alpha=0.4,
                        label=f"{d.wavelengths[li]:.0f} nm" if name == stages[0][0]
                        else None)
-        ax.axhline(th_min, color="k", ls=":", lw=1)
+        if name != stages[-1][0]:
+            ax.axhline(th_min, color="k", ls=":", lw=1)
         ax.set_title(name, fontsize=9)
         ax.set_xlabel("azimuth (deg)")
         ax.set_ylabel("polar (deg)")
+    axes.flat[-1].axis("off")
     axes.flat[0].legend(fontsize=7)
     fig.suptitle("angular response per stage (dotted line = TIR critical angle)")
     fig.tight_layout()
