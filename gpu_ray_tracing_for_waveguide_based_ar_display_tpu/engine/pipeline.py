@@ -492,9 +492,21 @@ class Simulator:
                         acc = acc + tile_sets[it2 * per_iter + b]
                     summed.append(acc)
                 tile_sets = summed
-            all_tiles = jnp.concatenate(tile_sets, axis=0)
+            all_tiles = jnp.concatenate(tile_sets, axis=0)[:, :, :nx]
+            n_total = self.L * self.M * self.N
+            if len(all_cells) != n_total:
+                # cell subset (e.g. a wavelength selection): place each maximal
+                # contiguous cid run into a zero grid with a device slice copy
+                flat = jnp.zeros((n_total, ny, nx), all_tiles.dtype)
+                breaks = np.where(np.diff(all_cells) != 1)[0] + 1
+                pos = 0
+                for run in np.split(all_cells, breaks):
+                    flat = jax.lax.dynamic_update_slice_in_dim(
+                        flat, all_tiles[pos : pos + len(run)], int(run[0]), 0)
+                    pos += len(run)
+                all_tiles = flat
             hist_dev = jnp.transpose(
-                all_tiles[:, :, :nx].reshape(self.L, self.M, self.N, ny, nx),
+                all_tiles.reshape(self.L, self.M, self.N, ny, nx),
                 (0, 2, 1, 3, 4),
             )
             total_spawned = 0

@@ -226,3 +226,21 @@ def test_no_deposit_buffer_overflow(setup):
         max_iters=1300)
     _, nb = fn(cp, gr, rays_in, rng_in, jnp.asarray([1, 200], jnp.int32))
     assert np.all(np.asarray(nb)[:, 3] == 0)
+
+
+def test_persistent_wavelength_subset(setup):
+    """The fast path must handle non-contiguous cell subsets (gather branch of
+    _device_ray_blocks) — e.g. a green-only run."""
+    from gpu_ray_tracing_for_waveguide_based_ar_display_tpu.engine.pipeline import (
+        Simulator,
+    )
+
+    geom, tgeom, cfg, n_cells, cp, gr, rays_in, rng_in = setup
+    sim = Simulator(cfg=cfg, engine="pallas_persistent", geom=geom,
+                    interpret=True, persistent_slots=128)
+    res = sim.run(rays_per_fov=128, num_iter=1, evaluate_metrics=False,
+                  wavelengths=(1,), cells_per_batch=5)  # 12 cells in batches of 5
+    assert res.histogram[1].sum() > 0
+    assert res.histogram[0].sum() == 0
+    assert res.histogram[2].sum() == 0
+    assert res.rays_traced == 128 * M * N
