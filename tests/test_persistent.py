@@ -244,3 +244,29 @@ def test_persistent_wavelength_subset(setup):
     assert res.histogram[0].sum() == 0
     assert res.histogram[2].sum() == 0
     assert res.rays_traced == 128 * M * N
+
+
+def test_persistent_parity_rng_branch(setup):
+    """rng_mode='parity' bypasses the precomputed-RNG fast path; the host
+    seeding branch must produce equivalent statistics to the jnp engine on
+    identical streams."""
+    from gpu_ray_tracing_for_waveguide_based_ar_display_tpu.engine.pipeline import (
+        Simulator,
+    )
+
+    geom, tgeom, cfg_fast, n_cells, *_ = setup
+    import dataclasses
+
+    cfg = dataclasses.replace(cfg_fast, rng_mode="parity")
+    sim_p = Simulator(cfg=cfg, engine="pallas_persistent", geom=geom,
+                      interpret=True, persistent_slots=128)
+    sim_j = Simulator(cfg=cfg, engine="jnp", geom=geom,
+                      geometry_simplify_tol=0.05)
+    rp = sim_p.run(rays_per_fov=128, num_iter=1, evaluate_metrics=False,
+                   cells_per_batch=n_cells)
+    rj = sim_j.run(rays_per_fov=128, num_iter=1, evaluate_metrics=False)
+    assert rp.rays_traced == rj.rays_traced
+    # identical xorshift streams -> near-identical outcomes
+    tp, tj = rp.histogram.sum(), rj.histogram.sum()
+    assert abs(tp - tj) <= max(3.0, 0.02 * tj)
+    assert abs(rp.total_bounces - rj.total_bounces) <= 0.01 * rj.total_bounces
