@@ -270,3 +270,24 @@ def test_persistent_parity_rng_branch(setup):
     tp, tj = rp.histogram.sum(), rj.histogram.sum()
     assert abs(tp - tj) <= max(3.0, 0.02 * tj)
     assert abs(rp.total_bounces - rj.total_bounces) <= 0.01 * rj.total_bounces
+
+
+def test_device_metrics_path_matches_host(setup):
+    """histogram_device=True evaluates metrics from device-side pupil
+    integration; results must match the host-histogram evaluation."""
+    from gpu_ray_tracing_for_waveguide_based_ar_display_tpu.engine.pipeline import (
+        Simulator,
+    )
+
+    geom, tgeom, cfg, n_cells, *_ = setup
+    sim = Simulator(cfg=cfg, engine="pallas_persistent", geom=geom,
+                    interpret=True, persistent_slots=128)
+    rd = sim.run(rays_per_fov=128, num_iter=1, evaluate_metrics=True,
+                 cells_per_batch=n_cells, histogram_device=True)
+    rh = sim.run(rays_per_fov=128, num_iter=1, evaluate_metrics=True,
+                 cells_per_batch=n_cells, histogram_device=False)
+    assert isinstance(rh.histogram, np.ndarray)
+    np.testing.assert_array_equal(np.asarray(rd.histogram), rh.histogram)
+    assert abs(rd.metrics.delta_e - rh.metrics.delta_e) < 1e-3
+    assert abs(rd.metrics.u_fov - rh.metrics.u_fov) < 1e-6
+    assert abs(rd.metrics.u_eyebox - rh.metrics.u_eyebox) < 1e-6
