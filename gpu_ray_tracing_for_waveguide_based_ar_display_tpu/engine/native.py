@@ -18,12 +18,20 @@ import numpy as np
 _NATIVE_DIR = os.path.join(os.path.dirname(__file__), "..", "..", "native")
 _LIB_PATH = os.path.abspath(os.path.join(_NATIVE_DIR, "libhostsampler.so"))
 _lib: Optional[ctypes.CDLL] = None
+_build_attempted = False
 
 
 def build(force: bool = False) -> bool:
-    """Compile the shared library; returns success."""
-    if os.path.exists(_LIB_PATH) and not force:
-        return True
+    """Compile the shared library; returns success.
+
+    Always invokes make (a no-op when the library is newer than the source, per
+    the Makefile dependency), so edits to host_sampler.cpp are never shadowed by
+    a stale binary.  The result is cached per process unless ``force``.
+    """
+    global _build_attempted
+    if _build_attempted and not force:
+        return os.path.exists(_LIB_PATH)
+    _build_attempted = True
     try:
         subprocess.run(
             ["make", "-C", os.path.abspath(_NATIVE_DIR)],
@@ -31,14 +39,14 @@ def build(force: bool = False) -> bool:
         )
         return os.path.exists(_LIB_PATH)
     except (subprocess.CalledProcessError, FileNotFoundError):
-        return False
+        return os.path.exists(_LIB_PATH)
 
 
 def _load() -> Optional[ctypes.CDLL]:
     global _lib
     if _lib is not None:
         return _lib
-    if not os.path.exists(_LIB_PATH) and not build():
+    if not build():
         return None
     lib = ctypes.CDLL(_LIB_PATH)
     lib.sample_points_in_polygon.restype = ctypes.c_long

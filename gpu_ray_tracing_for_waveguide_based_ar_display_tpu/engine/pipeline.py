@@ -445,13 +445,19 @@ class Simulator:
                 hist_acc = jax.numpy.asarray(h0)
         t0 = time.perf_counter()
         if self.engine == "pallas_persistent" and not checkpoint_path:
-            # async fast path: dispatch every batch; tiles stay on device
+            # async fast path: dispatch every batch; tiles stay on device.
+            # Tiles are summed into one accumulator per batch position *inside*
+            # the dispatch loop (the adds stay async), so device memory holds
+            # one iteration's worth of tiles regardless of num_iter instead of
+            # every iteration's full tile set.
             import jax.numpy as jnp
 
             ny, nx = self.cfg.eyebox_bins
-            pending = []
+            tile_acc = {}   # batch position -> device tile accumulator
+            nb_pending = []  # (nb, n) per dispatched batch, pulled after dispatch
             for it in range(start_iter, iters):
-                for start in range(0, len(all_cells), cells_per_batch):
+                for b, start in enumerate(
+                        range(0, len(all_cells), cells_per_batch)):
                     chunk = all_cells[start : start + cells_per_batch]
                     slots, gens = self._slots_gens(rpf)
                     if self.cfg.shared_pupil_samples and self.cfg.rng_mode == "fast":
@@ -475,23 +481,13 @@ class Simulator:
                             rays_per_cell=slots, iteration=it,
                         )
                         tiles, nb, n = self._trace_batch_tiles(batch, chunk, rpf)
-                    pending.append((chunk, tiles, nb, n))
+                    tile_acc[b] = tiles if b not in tile_acc else tile_acc[b] + tiles
+                    nb_pending.append((nb, n))
             t_dispatch = time.perf_counter() - t0
 
             # assemble the histogram on device: concatenate cid-ordered tiles,
             # reshape (L, M, N, ...) and swap to the reference (L, N, M, ...)
-            per_iter = len(all_cells) // cells_per_batch + (
-                1 if len(all_cells) % cells_per_batch else 0)
-            tile_sets = [p[1] for p in pending]
-            if iters - start_iter > 1:
-                # sum tile sets across iterations batch-position-wise
-                summed = []
-                for b in range(per_iter):
-                    acc = tile_sets[b]
-                    for it2 in range(1, iters - start_iter):
-                        acc = acc + tile_sets[it2 * per_iter + b]
-                    summed.append(acc)
-                tile_sets = summed
+            tile_sets = [tile_acc[b] for b in sorted(tile_acc)]
             all_tiles = jnp.concatenate(tile_sets, axis=0)[:, :, :nx]
             n_total = self.L * self.M * self.N
             if len(all_cells) != n_total:
@@ -510,7 +506,7 @@ class Simulator:
                 (0, 2, 1, 3, 4),
             )
             total_spawned = 0
-            for chunk, tiles, nb, n in pending:
+            for nb, n in nb_pending:
                 nbh = np.asarray(nb)
                 total_bounces += int(nbh[:, 0].sum())
                 total_spawned += int(nbh[:, 2].sum()) if nbh.shape[1] > 2 else n
@@ -558,10 +554,13 @@ class Simulator:
             # device histogram: reduce per-color sums on device (cheap pulls)
             import jax.numpy as jnp
 
+            from ..eval.metrics import wavelength_channel_names
+
             sums = np.asarray(jnp.sum(histogram, axis=(1, 2, 3, 4)))
             num = actual_rpf * self.M * self.N * self.L * iters
-            eff = {"R": float(sums[2] / num * 3), "G": float(sums[1] / num * 3),
-                   "B": float(sums[0] / num * 3)}
+            names = wavelength_channel_names(self.L)
+            eff = {names[i]: float(sums[i] / num * self.L)
+                   for i in range(self.L)}
         met = None
         if evaluate_metrics:
             if isinstance(histogram, np.ndarray):
@@ -595,10 +594,16 @@ def format_report(result: SimulationResult) -> str:
         f"Trace wall-clock     : {result.trace_seconds:.2f} s",
         f"Throughput           : {result.rays_per_second:,.0f} rays/s, "
         f"{result.bounces_per_second:,.0f} bounces/s",
-        f"Efficiency (Red)     : {result.efficiencies['R'] * 100:8.3f} %",
-        f"Efficiency (Green)   : {result.efficiencies['G'] * 100:8.3f} %",
-        f"Efficiency (Blue)    : {result.efficiencies['B'] * 100:8.3f} %",
     ]
+    long_name = {"R": "Red", "G": "Green", "B": "Blue"}
+    for key in ("R", "G", "B"):
+        if key in result.efficiencies:
+            lines.append(
+                f"Efficiency ({long_name[key]:<5})   : "
+                f"{result.efficiencies[key] * 100:8.3f} %")
+    for key, val in result.efficiencies.items():
+        if key not in ("R", "G", "B"):
+            lines.append(f"Efficiency ({key})    : {val * 100:8.3f} %")
     if result.metrics is not None:
         lines += [
             f"Color dispersion     : {result.metrics.delta_e:8.2f}",

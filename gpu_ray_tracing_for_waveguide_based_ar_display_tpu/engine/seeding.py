@@ -96,6 +96,19 @@ def build_ray_batch(
     within = np.tile(np.arange(rpc, dtype=np.uint64), n_cells)
     total_cells = L * M * N
     if cfg.rng_mode == "parity":
+        # Parity mode is single-iteration-only: the reference's num_iter loop
+        # re-launches the kernel with the *same* ray arrays and RNG states that
+        # carried over from the previous launch
+        # (gpu_ray_tracing_pro_fullColor.py:169-177); reproducing that would
+        # require threading final per-ray xorshift states across iterations.
+        # Restarting the stream each iteration would silently duplicate samples,
+        # so reject it instead.
+        if iteration != 0:
+            raise ValueError(
+                "rng_mode='parity' supports a single iteration only "
+                "(the reference carries RNG states across its re-launch loop); "
+                "use num_iter=1 or rng_mode='fast'"
+            )
         l = cell_ids // (M * N)
         mn = cell_ids % (M * N)
         ref_cell = (mn * L + l).astype(np.uint64)  # (m*N + n)*L + l

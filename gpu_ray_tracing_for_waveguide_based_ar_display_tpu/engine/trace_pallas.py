@@ -614,10 +614,19 @@ def make_pallas_trace_fn(cfg: TraceConfig, num_fc: int, num_oc: int,
         # Evaluate the while condition only every ``cond_interval`` iterations:
         # the any-alive reduce forces a vector->scalar sync that dominates the
         # per-iteration cost on this hardware; extra masked iterations on dead
-        # rays are no-ops.
-        def chunk(carry):
-            return jax.lax.fori_loop(
-                0, cond_interval, lambda _, cc: body(cc), carry)
+        # rays are no-ops.  When the budget is not a multiple of the interval,
+        # the final chunk is shortened (dynamic trip count) so no ray ever
+        # executes past ``max_bounces`` — matching the jnp engine exactly.
+        if max_bounces % cond_interval == 0:
+            def chunk(carry):
+                return jax.lax.fori_loop(
+                    0, cond_interval, lambda _, cc: body(cc), carry)
+        else:
+            def chunk(carry):
+                n = jnp.minimum(jnp.int32(cond_interval),
+                                jnp.int32(max_bounces) - carry[13])
+                return jax.lax.fori_loop(
+                    0, n, lambda _, cc: body(cc), carry)
 
         carry = jax.lax.while_loop(cond, chunk, carry)
         dep_ref[0] = carry[11]

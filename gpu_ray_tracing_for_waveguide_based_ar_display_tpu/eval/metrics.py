@@ -166,16 +166,22 @@ def evaluate(matrix_eb: Optional[np.ndarray], cfg: EvalConfig = EvalConfig(),
     )
 
 
+def wavelength_channel_names(n_wavelengths: int) -> list:
+    """Display names per wavelength index: (B, G, R) for the standard 3-channel
+    layout (couplers_coor.py:132), generic ``lmd{i}`` otherwise."""
+    if n_wavelengths == 3:
+        return ["B", "G", "R"]
+    return [f"lmd{i}" for i in range(n_wavelengths)]
+
+
 def efficiencies(matrix_eb: np.ndarray, rays_per_fov: float, num_iter: int) -> dict:
     """Per-color system efficiency (gpu_ray_tracing_pro_fullColor.py:186-192).
 
-    The x3 undoes the 1/3 wavelength split of the launched rays; wavelength index
-    order is (B, G, R).
+    The xL factor undoes the 1/L wavelength split of the launched rays (x3 in
+    the reference); wavelength index order is (B, G, R) for L=3.
     """
-    num_rays = rays_per_fov * matrix_eb.shape[1] * matrix_eb.shape[2] * matrix_eb.shape[0]
+    L = matrix_eb.shape[0]
+    num_rays = rays_per_fov * matrix_eb.shape[1] * matrix_eb.shape[2] * L
     per_fov = matrix_eb.sum(axis=(-2, -1)) / num_rays / num_iter
-    return {
-        "R": float(per_fov[2].sum() * 3),
-        "G": float(per_fov[1].sum() * 3),
-        "B": float(per_fov[0].sum() * 3),
-    }
+    names = wavelength_channel_names(L)
+    return {names[i]: float(per_fov[i].sum() * L) for i in range(L)}

@@ -75,6 +75,40 @@ def test_pallas_interpret_matches_jnp(setup):
     assert abs(int(bounces1) - bounces2) / max(int(bounces1), 1) < 0.02
 
 
+def test_pallas_enforces_exact_bounce_budget(setup):
+    """max_bounces not a multiple of cond_interval: the final chunk must be
+    shortened so no ray executes past the budget (the jnp engine enforces the
+    bound exactly)."""
+    import dataclasses
+
+    geom, tables, tgeom, cfg, batch = setup
+    n_cells = 3 * M * N
+    cfg13 = dataclasses.replace(cfg, max_bounces=13)
+
+    rays = trace_jnp.make_ray_state(
+        batch["x"], batch["y"], batch["te"], batch["tm"],
+        batch["cid"], batch["idx"], batch["rng"],
+    )
+    rays_f, bounces1 = trace_jnp.make_trace_fn(tables, tgeom, cfg13)(rays)
+    dep1 = np.asarray(rays_f["dep"]).reshape(n_cells, RPC)
+
+    cp = trace_pallas.build_kernel_cell_params(tables, geom.eyebox_range)
+    gr = trace_pallas.build_kernel_geom(tgeom)[None, :]
+    rays_in, rng_in = trace_pallas.pack_ray_blocks(batch, n_cells, RPC, RT)
+    trace2 = trace_pallas.make_pallas_trace_fn(
+        cfg13, tgeom.num_fc, tgeom.num_oc, RT, interpret=True, cond_interval=8
+    )
+    dep2, nb2, *_ = trace2(cp, gr, rays_in, rng_in)
+    dep2 = np.asarray(dep2).reshape(n_cells, RT * trace_pallas.LANES)[:, :RPC]
+
+    # per-cell iteration counters must never exceed the budget
+    iters_run = np.asarray(nb2[:, 1])
+    assert iters_run.max() <= 13, f"ran {iters_run.max()} iters > budget 13"
+    # and results agree with the jnp engine at the same budget
+    agree = (dep1 == dep2).mean()
+    assert agree > 0.995, f"agreement {agree}"
+
+
 def test_pallas_histogram_matches(setup):
     geom, tables, tgeom, cfg, batch = setup
     n_cells = 3 * M * N
