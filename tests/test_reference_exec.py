@@ -1,0 +1,265 @@
+"""Parity against the *executed* reference source (/root/reference).
+
+Round 1 validated everything against a re-implementation (engine/oracle.py) minted
+from the same reading of the reference.  These tests close that circularity: the
+actual reference functions run here (via the numba/shapely stand-ins in
+tests/refexec/) on identical inputs, so a shared misreading of the CUDA kernels or
+the geometry pipeline would fail loudly.
+
+- test_reference_kernel_*: ``process_rays_kernel_pro_fullColor``
+  (GPU_ray_tracing_functions.py:833-1247) executed scalar on a few hundred rays with
+  identical xorshift32 streams must reproduce the oracle bitwise: same final RNG
+  state per ray (= identical draw/branch sequence) and identical histogram.
+- test_reference_geometry_*: ``couplers_coor_full_color`` (couplers_coor.py:122-750)
+  executed once must match ``generate_geometry`` array-for-array.
+"""
+
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, str(Path(__file__).parent))
+
+from refexec import load_reference  # noqa: E402
+
+from gpu_ray_tracing_for_waveguide_based_ar_display_tpu.config import (  # noqa: E402
+    TraceConfig,
+)
+from gpu_ray_tracing_for_waveguide_based_ar_display_tpu.design import (  # noqa: E402
+    generate_geometry,
+)
+from gpu_ray_tracing_for_waveguide_based_ar_display_tpu.engine import (  # noqa: E402
+    seeding,
+)
+from gpu_ray_tracing_for_waveguide_based_ar_display_tpu.engine.oracle import (  # noqa: E402
+    OracleTracer,
+)
+from gpu_ray_tracing_for_waveguide_based_ar_display_tpu.luts import (  # noqa: E402
+    make_synthetic_luts,
+)
+
+M, N = 6, 5
+
+
+# ----------------------------------------------------------------------------
+# kernel parity
+# ----------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def kernel_setup():
+    grtf = load_reference("GPU_ray_tracing_functions")
+    geom = generate_geometry(num_fov_x=M, num_fov_y=N)
+    luts = make_synthetic_luts(geom)
+    return grtf, geom, luts
+
+
+def _reference_geometry_args(geom):
+    """Pack our DesignGeometry into the reference kernel's array layout
+    (gpu_ray_tracing_pro_fullColor.py:40-57)."""
+    FC = np.concatenate(geom.fc_strips, axis=0).astype(np.float64)
+    FC_offset = np.cumsum([0] + [len(s) for s in geom.fc_strips]).astype(np.int64)
+    OC = np.concatenate(geom.oc_strips, axis=0).astype(np.float64)
+    OC_offset = np.cumsum([0] + [len(s) for s in geom.oc_strips]).astype(np.int64)
+    return dict(
+        IC=np.asarray(geom.ic, np.float64),
+        FC=FC, FC_offset=FC_offset, OC=OC, OC_offset=OC_offset,
+        n_g=float(geom.design.n_glass),
+        eff_reg1=np.asarray(geom.eff_reg1, np.float64),
+        eff_reg2=np.asarray(geom.eff_reg2, np.float64),
+        eff_reg_FOV=np.asarray(geom.eyebox_quad, np.float64),
+        eff_reg_FOV_range=np.asarray(geom.eyebox_range, np.float64),
+    )
+
+
+def test_reference_kernel_matches_oracle_bitwise(kernel_setup):
+    grtf, geom, luts = kernel_setup
+    cfg = TraceConfig(num_fov_x=M, num_fov_y=N, rays_per_fov=50, max_bounces=500,
+                      rng_mode="parity", ic_test="polygon")
+    cells = np.array(
+        [(l * M + m) * N + n
+         for l in range(3) for m in (0, M // 2, M - 1) for n in (0, N - 1)]
+    )
+    batch = seeding.build_ray_batch(geom, cfg, cell_ids=cells)
+    n_rays = len(batch["x"])
+    cid = batch["cid"]
+    l = cid // (M * N)
+    m = (cid % (M * N)) // N
+    n = cid % N
+
+    # --- oracle ---
+    oracle = OracleTracer(geom, luts, max_bounces=500)
+    o_states = batch["rng"].astype(np.int64).copy()
+    o_hist = oracle.trace(
+        dict(x=batch["x"], y=batch["y"], m=m, n=n, lmd=l,
+             te=np.abs(batch["te"]).astype(float),
+             tm=np.abs(batch["tm"]).astype(float),
+             delta=np.zeros(n_rays)),
+        o_states,
+    )
+
+    # --- the actual reference kernel, launched over a serial grid ---
+    g = _reference_geometry_args(geom)
+    rng_states = batch["rng"].astype(np.uint32).copy()
+    matrix_EB = np.zeros((3, N, M, 80, 120), dtype=np.float32)
+    zeros = np.zeros(n_rays, dtype=np.float64)
+    threads = 128
+    blocks = -(-n_rays // threads)
+    # the bounce budget is the kernel's own range(1e5); our 500-bounce oracle cap
+    # is far beyond any surviving ray in this workload (verified below)
+    grtf.process_rays_kernel_pro_fullColor[blocks, threads](
+        batch["x"].astype(np.float64).copy(), batch["y"].astype(np.float64).copy(),
+        zeros.copy(), zeros.copy(), zeros.copy(), zeros.copy(),
+        m.astype(np.float64), n.astype(np.float64), l.astype(np.float64),
+        np.abs(batch["te"]).astype(np.float64),
+        np.abs(batch["tm"]).astype(np.float64),
+        zeros.copy(),
+        rng_states,
+        g["IC"], g["FC"], g["FC_offset"], g["OC"], g["OC_offset"], g["n_g"],
+        g["eff_reg1"], g["eff_reg2"], g["eff_reg_FOV"], g["eff_reg_FOV_range"],
+        np.asarray(luts.ic1), np.asarray(luts.ic2), np.asarray(luts.ic3),
+        np.asarray(luts.fc1), np.asarray(luts.fc2),
+        np.asarray(luts.oc1), np.asarray(luts.oc2),
+        np.asarray(geom.lut_tir, np.float64), np.asarray(geom.lut_gap, np.float64),
+        matrix_EB,
+    )
+
+    # identical final RNG state per ray == identical number of draws == the
+    # oracle followed the reference's control flow exactly
+    same_stream = (o_states.astype(np.uint32) == rng_states)
+    assert same_stream.all(), (
+        f"{(~same_stream).sum()}/{n_rays} rays diverged from the reference "
+        f"kernel's RNG stream"
+    )
+    # and the deposits agree bin-for-bin
+    np.testing.assert_array_equal(
+        o_hist.astype(np.float32), matrix_EB,
+        err_msg="oracle histogram != executed reference kernel histogram",
+    )
+    assert matrix_EB.sum() > 0, "workload produced no deposits; test is vacuous"
+    # no oracle ray may have been cut off by its smaller bounce budget
+    assert oracle.stats["budget"] == 0 if "budget" in oracle.stats else True
+
+
+def test_reference_rng_device_function(kernel_setup):
+    """xorshift32 stream of the executed reference vs the oracle's twin
+    (including the zero-state reseed path, index 4 below)."""
+    grtf, _, _ = kernel_setup
+    from gpu_ray_tracing_for_waveguide_based_ar_display_tpu.engine.oracle import (
+        uniform_from_state,
+    )
+
+    states = np.array([1, 2, 0xDEADBEEF, 0x9E3779B9, 0, 12345], dtype=np.uint32)
+    ref_states = states.copy()
+    our_states = [int(s) for s in states]
+    for _ in range(8):
+        for i in range(len(states)):
+            ref_u = grtf.get_uniform_random_number(ref_states, i)
+            our_u, our_states[i] = uniform_from_state(our_states[i], i)
+            assert float(ref_u) == our_u, (i, ref_u, our_u)
+    np.testing.assert_array_equal(
+        ref_states, np.array(our_states, dtype=np.uint32))
+
+
+# ----------------------------------------------------------------------------
+# geometry parity
+# ----------------------------------------------------------------------------
+
+def _canonical_ring(ring, dedup_tol=1e-9, collinear_tol=1e-9):
+    """Normalize a polygon ring for comparison: drop the closing duplicate,
+    merge consecutive duplicates, drop collinear vertices, orient CCW, rotate
+    to start at the lexicographically smallest vertex."""
+    r = np.asarray(ring, dtype=np.float64)
+    if len(r) > 1 and np.allclose(r[0], r[-1], atol=dedup_tol):
+        r = r[:-1]
+    keep = [0]
+    for i in range(1, len(r)):
+        if not np.allclose(r[i], r[keep[-1]], atol=dedup_tol):
+            keep.append(i)
+    if len(keep) > 1 and np.allclose(r[keep[0]], r[keep[-1]], atol=dedup_tol):
+        keep.pop()
+    r = r[keep]
+    # drop collinear vertices
+    out = []
+    n = len(r)
+    for i in range(n):
+        a, b, c = r[i - 1], r[i], r[(i + 1) % n]
+        cross = (b[0] - a[0]) * (c[1] - a[1]) - (b[1] - a[1]) * (c[0] - a[0])
+        if abs(cross) > collinear_tol:
+            out.append(r[i])
+    r = np.asarray(out)
+    # orient CCW
+    x, y = r[:, 0], r[:, 1]
+    area = 0.5 * np.sum(x * np.roll(y, -1) - np.roll(x, -1) * y)
+    if area < 0:
+        r = r[::-1]
+    start = np.lexsort((r[:, 1], r[:, 0]))[0]
+    return np.roll(r, -start, axis=0)
+
+
+def _assert_rings_equal(a, b, name, atol=1e-8):
+    ca, cb = _canonical_ring(a), _canonical_ring(b)
+    assert len(ca) == len(cb), (
+        f"{name}: vertex counts differ after canonicalization "
+        f"({len(ca)} vs {len(cb)})\n{ca}\n{cb}"
+    )
+    np.testing.assert_allclose(ca, cb, atol=atol, err_msg=name)
+
+
+@pytest.fixture(scope="module")
+def geometry_pair():
+    cc = load_reference("couplers_coor")
+    ref = cc.couplers_coor_full_color(10, 8)
+    ours = generate_geometry(num_fov_x=10, num_fov_y=8)
+    return ref, ours
+
+
+def test_reference_geometry_polygons(geometry_pair):
+    ref, ours = geometry_pair
+    (IC, FC, FC_offset, OC, OC_offset, eff_reg1, eff_reg2,
+     eff_reg_FOV, eff_reg_FOV_range) = ref[:9]
+
+    np.testing.assert_allclose(np.asarray(ours.ic), IC, atol=1e-12,
+                               err_msg="IC pupil circle")
+    _assert_rings_equal(eff_reg1, ours.eff_reg1, "eff_reg1")
+    _assert_rings_equal(eff_reg2, ours.eff_reg2, "eff_reg2")
+
+    ref_fc = [FC[FC_offset[i]:FC_offset[i + 1]] for i in range(len(FC_offset) - 1)]
+    assert len(ref_fc) == len(ours.fc_strips), "FC strip count"
+    for i, (a, b) in enumerate(zip(ref_fc, ours.fc_strips)):
+        _assert_rings_equal(a, b, f"FC strip {i}")
+
+    ref_oc = [OC[OC_offset[i]:OC_offset[i + 1]] for i in range(len(OC_offset) - 1)]
+    assert len(ref_oc) == len(ours.oc_strips), "OC strip count"
+    for i, (a, b) in enumerate(zip(ref_oc, ours.oc_strips)):
+        _assert_rings_equal(a, b, f"OC strip {i}")
+
+    np.testing.assert_allclose(ours.eyebox_quad, eff_reg_FOV, atol=1e-10,
+                               err_msg="eff_reg_FOV")
+    np.testing.assert_allclose(ours.eyebox_range, eff_reg_FOV_range, atol=1e-10,
+                               err_msg="eff_reg_FOV_range")
+
+
+def test_reference_geometry_luts_and_angles(geometry_pair):
+    ref, ours = geometry_pair
+    lut_TIR, lut_gap, lut_Fresnel = ref[9:12]
+    np.testing.assert_allclose(ours.lut_tir, lut_TIR, atol=1e-12, err_msg="lut_TIR")
+    np.testing.assert_allclose(ours.lut_gap, lut_gap, atol=1e-12, err_msg="lut_gap")
+    np.testing.assert_allclose(ours.lut_fresnel, lut_Fresnel, atol=1e-12,
+                               err_msg="lut_Fresnel")
+
+    (Lambda_ic, phi_ic, Lambda_fc, phi_fc, Lambda_oc, phi_oc, n_g, lmd) = ref[12:20]
+    d = ours.design
+    assert d.lambda_ic == Lambda_ic and d.lambda_oc == Lambda_oc
+    np.testing.assert_allclose(ours.lambda_fc, Lambda_fc, rtol=1e-12)
+    np.testing.assert_allclose(ours.phi_fc, phi_fc, rtol=1e-12)
+    assert d.n_glass == n_g
+    np.testing.assert_allclose(np.asarray(d.wavelengths), lmd)
+
+    names = ["th_in_ic", "phi_in_ic", "th_out_ic", "phi_out_ic", "th_out_fc",
+             "phi_out_fc", "th_out_ic2", "phi_out_ic2", "th_out_oc", "phi_out_oc",
+             "th_out_oc_glow"]
+    for name, arr in zip(names, ref[20:31]):
+        np.testing.assert_allclose(getattr(ours, name), arr, atol=1e-12,
+                                   err_msg=name)
