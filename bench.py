@@ -77,6 +77,41 @@ def run(engine: str):
     }
 
 
+def run_reference_workload():
+    """The reference's exact default workload (gpu_ray_tracing_pro_fullColor.py:
+    16-17,60-63,905): 100x75x3 cells, 5,000 rays/FoV, num_iter=4, 1e5 bounce
+    bound, full metric evaluation — reported as wall-clock seconds so the
+    headline throughput figure cannot be accused of workload shopping."""
+    from gpu_ray_tracing_for_waveguide_based_ar_display_tpu.config import TraceConfig
+    from gpu_ray_tracing_for_waveguide_based_ar_display_tpu.engine.pipeline import (
+        Simulator,
+    )
+
+    cfg = TraceConfig(num_fov_x=100, num_fov_y=75, rays_per_fov=5000,
+                      max_bounces=100000, seed=0, rng_mode="fast",
+                      ic_test="circle")
+    sim = Simulator(
+        cfg=cfg, engine="pallas_persistent", geometry_simplify_tol=0.05,
+        persistent_slots=int(os.environ.get("BENCH_SLOTS", 2048)),
+        spawn_iters=int(os.environ.get("BENCH_SPAWN_ITERS", 1024)),
+    )
+    t0 = time.perf_counter()
+    res = sim.run(num_iter=4, cells_per_batch=4500, evaluate_metrics=True,
+                  histogram_device=True)
+    wall = time.perf_counter() - t0
+    return {
+        "wall_s": round(wall, 2),
+        "trace_s": round(res.trace_seconds, 2),
+        "rays_traced": res.rays_traced,
+        "total_bounces": res.total_bounces,
+        "bounces_per_sec": round(res.bounces_per_second),
+        "efficiency": {k: round(v, 6) for k, v in res.efficiencies.items()},
+        "delta_e": round(res.metrics.delta_e, 3),
+        "u_fov": round(res.metrics.u_fov, 5),
+        "u_eyebox": round(res.metrics.u_eyebox, 5),
+    }
+
+
 def main():
     engine = os.environ.get("BENCH_ENGINE", "pallas_persistent")
     fallbacks = {"pallas_persistent": "pallas", "pallas": "jnp"}
@@ -93,6 +128,12 @@ def main():
             engine = fallbacks[engine]
     if err is not None:
         out["fallback_reason"] = err
+    if engine == "pallas_persistent" and os.environ.get("BENCH_REF_WORKLOAD",
+                                                        "1") != "0":
+        try:
+            out["ref_workload"] = run_reference_workload()
+        except Exception as e:
+            out["ref_workload_error"] = f"{type(e).__name__}: {str(e)[:120]}"
     print(json.dumps(out))
 
 

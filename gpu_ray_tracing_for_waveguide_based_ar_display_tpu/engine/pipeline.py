@@ -377,6 +377,8 @@ class Simulator:
                 cond_interval=self._cond_interval,
                 phase_gating=self._pers_phase_gating,
                 max_iters=self.cfg.max_bounces,
+                edge_counts=(len(self.tgeom.hull_hp), len(self.tgeom.r1_hp),
+                             len(self.tgeom.r2_hp)),
             )
             if self._mesh is not None:
                 from ..parallel.shard import make_sharded_cell_trace_fn
@@ -390,6 +392,53 @@ class Simulator:
         import jax.numpy as jnp
 
         return jnp.asarray([gens, self._spawn_iters], jnp.int32)
+
+    def _assemble_hist_dev(self, tile_acc: dict, all_cells: np.ndarray):
+        """Per-batch tile accumulators -> (L, N, M, ny, nx) device histogram.
+
+        Concatenates cid-ordered tiles, reshapes (L, M, N, ...) and swaps to the
+        reference (L, N, M, ...) layout.  Pure reads: ``tile_acc`` stays valid
+        for further accumulation (checkpointing assembles mid-run)."""
+        import jax.numpy as jnp
+
+        ny, nx = self.cfg.eyebox_bins
+        tile_sets = [tile_acc[b] for b in sorted(tile_acc)]
+        all_tiles = jnp.concatenate(tile_sets, axis=0)[:, :, :nx]
+        n_total = self.L * self.M * self.N
+        if len(all_cells) != n_total:
+            # cell subset (e.g. a wavelength selection): place each maximal
+            # contiguous cid run into a zero grid with a device slice copy
+            flat = jnp.zeros((n_total, ny, nx), all_tiles.dtype)
+            breaks = np.where(np.diff(all_cells) != 1)[0] + 1
+            pos = 0
+            for run in np.split(all_cells, breaks):
+                flat = jax.lax.dynamic_update_slice_in_dim(
+                    flat, all_tiles[pos : pos + len(run)], int(run[0]), 0)
+                pos += len(run)
+            all_tiles = flat
+        return jnp.transpose(
+            all_tiles.reshape(self.L, self.M, self.N, ny, nx),
+            (0, 2, 1, 3, 4),
+        )
+
+    def _tiles_from_hist(self, hist, all_cells: np.ndarray,
+                         cells_per_batch: int) -> dict:
+        """Inverse of :meth:`_assemble_hist_dev`: split a (L, N, M, ny, nx)
+        histogram back into per-batch-position (C, ny, NY_PAD) tile
+        accumulators (exact — permutation plus zero-padding of the unused
+        x-bin columns, which the kernel never writes)."""
+        import jax.numpy as jnp
+
+        ny, nx = self.cfg.eyebox_bins
+        pad = trace_pallas_persistent.NY_PAD
+        flat = jnp.transpose(jnp.asarray(hist), (0, 2, 1, 3, 4)).reshape(
+            self.L * self.M * self.N, ny, nx)
+        flat = flat[jnp.asarray(all_cells)]
+        flat = jnp.pad(flat, ((0, 0), (0, 0), (0, pad - nx)))
+        return {
+            b: flat[start : start + cells_per_batch]
+            for b, start in enumerate(range(0, len(all_cells), cells_per_batch))
+        }
 
     def _renorm_tiles(self, tiles, nb, nominal_per_cell: int):
         # saturating-spawn mode: scale per-cell tiles to nominal-sample units
@@ -435,26 +484,48 @@ class Simulator:
         hist_acc = None
         total_bounces = 0
         total_rays = 0
+        total_spawned = 0
         start_iter = 0
         if checkpoint_path:
-            from ..utils.checkpoint import load_checkpoint
+            from ..utils.checkpoint import load_checkpoint, save_checkpoint
 
-            resumed = load_checkpoint(checkpoint_path, self.design, self.cfg)
+            resumed = load_checkpoint(checkpoint_path, self.design, self.cfg,
+                                      with_extras=True)
             if resumed is not None:
-                h0, start_iter, total_bounces = resumed
+                h0, start_iter, total_bounces, ck_extras = resumed
                 hist_acc = jax.numpy.asarray(h0)
+                total_rays = ck_extras.get("total_rays", 0)
+                total_spawned = ck_extras.get("total_spawned", 0)
         t0 = time.perf_counter()
-        if self.engine == "pallas_persistent" and not checkpoint_path:
+        if self.engine == "pallas_persistent":
             # async fast path: dispatch every batch; tiles stay on device.
             # Tiles are summed into one accumulator per batch position *inside*
             # the dispatch loop (the adds stay async), so device memory holds
             # one iteration's worth of tiles regardless of num_iter instead of
-            # every iteration's full tile set.
+            # every iteration's full tile set.  Checkpoints assemble the device
+            # histogram and pull it once per ``checkpoint_every`` iterations;
+            # resume splits the saved histogram back into tile accumulators, so
+            # an interrupted run is bitwise-identical to an uninterrupted one
+            # (pure permutation + zero-padding round trip).
             import jax.numpy as jnp
 
             ny, nx = self.cfg.eyebox_bins
             tile_acc = {}   # batch position -> device tile accumulator
             nb_pending = []  # (nb, n) per dispatched batch, pulled after dispatch
+            if hist_acc is not None:
+                tile_acc = self._tiles_from_hist(hist_acc, all_cells,
+                                                 cells_per_batch)
+
+            def _drain_nb_stats():
+                nonlocal total_bounces, total_rays, total_spawned
+                for nb, n in nb_pending:
+                    nbh = np.asarray(nb)
+                    total_bounces += int(nbh[:, 0].sum())
+                    total_spawned += (int(nbh[:, 2].sum())
+                                      if nbh.shape[1] > 2 else n)
+                    total_rays += n
+                nb_pending.clear()
+
             for it in range(start_iter, iters):
                 for b, start in enumerate(
                         range(0, len(all_cells), cells_per_batch)):
@@ -483,34 +554,20 @@ class Simulator:
                         tiles, nb, n = self._trace_batch_tiles(batch, chunk, rpf)
                     tile_acc[b] = tiles if b not in tile_acc else tile_acc[b] + tiles
                     nb_pending.append((nb, n))
+                if checkpoint_path and (it + 1) % checkpoint_every == 0:
+                    _drain_nb_stats()
+                    ck_hist = np.asarray(
+                        self._assemble_hist_dev(tile_acc, all_cells))
+                    save_checkpoint(
+                        checkpoint_path, ck_hist, it + 1, self.design,
+                        self.cfg, total_bounces,
+                        extras={"total_rays": total_rays,
+                                "total_spawned": total_spawned},
+                    )
             t_dispatch = time.perf_counter() - t0
 
-            # assemble the histogram on device: concatenate cid-ordered tiles,
-            # reshape (L, M, N, ...) and swap to the reference (L, N, M, ...)
-            tile_sets = [tile_acc[b] for b in sorted(tile_acc)]
-            all_tiles = jnp.concatenate(tile_sets, axis=0)[:, :, :nx]
-            n_total = self.L * self.M * self.N
-            if len(all_cells) != n_total:
-                # cell subset (e.g. a wavelength selection): place each maximal
-                # contiguous cid run into a zero grid with a device slice copy
-                flat = jnp.zeros((n_total, ny, nx), all_tiles.dtype)
-                breaks = np.where(np.diff(all_cells) != 1)[0] + 1
-                pos = 0
-                for run in np.split(all_cells, breaks):
-                    flat = jax.lax.dynamic_update_slice_in_dim(
-                        flat, all_tiles[pos : pos + len(run)], int(run[0]), 0)
-                    pos += len(run)
-                all_tiles = flat
-            hist_dev = jnp.transpose(
-                all_tiles.reshape(self.L, self.M, self.N, ny, nx),
-                (0, 2, 1, 3, 4),
-            )
-            total_spawned = 0
-            for nb, n in nb_pending:
-                nbh = np.asarray(nb)
-                total_bounces += int(nbh[:, 0].sum())
-                total_spawned += int(nbh[:, 2].sum()) if nbh.shape[1] > 2 else n
-                total_rays += n
+            hist_dev = self._assemble_hist_dev(tile_acc, all_cells)
+            _drain_nb_stats()
             if histogram_device:
                 # metrics, efficiencies, and heatmaps all reduce on device;
                 # pulling the ~0.9 GB histogram over a relay link dominates
@@ -572,8 +629,7 @@ class Simulator:
                 met = evaluate(None, eval_cfg,
                                perceive=perc / actual_rpf / iters)
         rays_traced = total_rays
-        if self._spawn_iters > 0 and self.engine == "pallas_persistent" \
-                and not checkpoint_path:
+        if self._spawn_iters > 0 and self.engine == "pallas_persistent":
             rays_traced = total_spawned
         return SimulationResult(
             histogram=histogram,

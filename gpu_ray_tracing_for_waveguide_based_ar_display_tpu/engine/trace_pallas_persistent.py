@@ -48,7 +48,8 @@ def make_persistent_trace_fn(cfg: TraceConfig, num_fc: int, num_oc: int,
                              rays_tile_rows: int, gens: int,
                              interpret: bool = False,
                              phase_gating: bool = True,
-                             max_iters: int = 0, cond_interval: int = 8):
+                             max_iters: int = 0, cond_interval: int = 8,
+                             edge_counts=None):
     """Build ``trace(cell_params, geom_row, rays_in, rng_in[, ctrl]) -> (hist, nb)``.
 
     - rays_in: (C, 6, RT, 128) initial fields (x, y, ter, tei, tmr, tmi); these are
@@ -75,6 +76,11 @@ def make_persistent_trace_fn(cfg: TraceConfig, num_fc: int, num_oc: int,
     assert nx <= NY_PAD
     if max_iters <= 0:
         max_iters = cfg.max_bounces
+    # actual (hull, r1, r2) half-plane counts; the packed rows beyond them are
+    # always-true padding, so truncated loops are exact (see _region_test)
+    from .trace_pallas import MAX_EDGES
+
+    n_hull, n_r1, n_r2 = edge_counts if edge_counts else (MAX_EDGES,) * 3
 
     def kernel(ctrl_ref, g_ref, c_ref, rays_ref, rng_ref, hist_ref,
                nb_ref, dscr):
@@ -217,7 +223,7 @@ def make_persistent_trace_fn(cfg: TraceConfig, num_fc: int, num_oc: int,
             # ---- one bounce for live slots
             alive = state < 6
             nb = nb + jnp.sum(alive.astype(jnp.int32))
-            in_r1 = _region_test(g, _G_R1, x, y)
+            in_r1 = _region_test(g, _G_R1, x, y, n_r1)
             state = jnp.where(alive & ~in_r1, 6, state)
             alive = state < 6
 
@@ -227,7 +233,7 @@ def make_persistent_trace_fn(cfg: TraceConfig, num_fc: int, num_oc: int,
             bit = (state & 1) == 1
 
             yrot = g(_G_FC_ROT) * x + g(_G_FC_ROT + 1) * y
-            in_hull = _region_test(g, _G_HULL, x, y)
+            in_hull = _region_test(g, _G_HULL, x, y, n_hull)
             fc_strip = jnp.clip(
                 jnp.floor((g(_G_FC_TOP) - yrot) * g(_G_FC_INVW)).astype(jnp.int32),
                 0, num_fc - 1)
@@ -426,7 +432,7 @@ def make_persistent_trace_fn(cfg: TraceConfig, num_fc: int, num_oc: int,
             # ---- misses
             miss_fc2 = grp_fc & ~in_hull & (state == 2)
             miss_fc3 = grp_fc & ~in_hull & (state == 3)
-            in_r2 = _region_test(g, _G_R2, x, y)
+            in_r2 = _region_test(g, _G_R2, x, y, n_r2)
             fc3_to_oc = miss_fc3 & ~in_r2
             hop = (miss_fc2 | (miss_fc3 & in_r2)
                    | (grp_oc & ~in_rect & (state == 4)))

@@ -26,6 +26,46 @@ _FILES = {
     "oc2": "lut_oc2_fullColor.npy",
 }
 
+# Google Drive file ids of the published RCWA tables
+# (/root/reference/download_lut.py:13-19)
+_DRIVE_IDS = {
+    "ic1": "1HiBhh3sw_5FW5Ylm0jLJ_3zmGPG0ibIN",
+    "ic2": "13gRhhL6G-nojuwibtlxt3BOZijd5kXVP",
+    "ic3": "1Zyy8lzUKki2iQ-u2F9JhMxsXbPI-M-YD",
+    "fc1": "1wLNyFuBMWr2q3UtPI5FZy8GE5TPGaHGg",
+    "fc2": "1MDjkBDgcs_YssEb6RHQtQJ6iWEqo_aGd",
+    "oc1": "1WJZvcRpYeMwYBPxSLQewQXERYUAKD0in",
+    "oc2": "11SCZNpk0bcX7tM_ihbsz-YSsRudMIrRB",
+}
+
+
+def fetch_luts(directory: str, downloader=None) -> bool:
+    """Fetch any missing LUT files into ``directory`` (download_lut.py:5-19).
+
+    ``downloader(url, path)`` defaults to ``gdown.download``; the fetch degrades
+    gracefully (returns False) when gdown is unavailable or the network is
+    unreachable — this environment is offline, so callers must treat False as
+    'use the synthetic tables'.  Returns True when every file is present.
+    """
+    os.makedirs(directory, exist_ok=True)
+    if downloader is None:
+        try:
+            import gdown
+
+            downloader = lambda url, path: gdown.download(url, path, quiet=True)
+        except ImportError:
+            return luts_available(directory)
+    for key, fname in _FILES.items():
+        path = os.path.join(directory, fname)
+        if os.path.exists(path):
+            continue
+        url = f"https://drive.google.com/uc?id={_DRIVE_IDS[key]}"
+        try:
+            downloader(url, path)
+        except Exception:
+            return False
+    return luts_available(directory)
+
 
 def load_luts(directory: str) -> RcwaLuts:
     """Load the seven full-color LUT files from ``directory``."""
@@ -41,9 +81,15 @@ def luts_available(directory: str) -> bool:
 
 
 def load_or_synthesize(
-    geom: DesignGeometry, directory: Optional[str] = None, seed: int = 1234
+    geom: DesignGeometry, directory: Optional[str] = None, seed: int = 1234,
+    fetch: bool = False,
 ) -> RcwaLuts:
-    """Prefer real LUT files when present; otherwise synthesize from the design."""
+    """Prefer real LUT files when present; otherwise synthesize from the design.
+
+    ``fetch=True`` first attempts to download missing files into ``directory``
+    (skipped gracefully offline; see :func:`fetch_luts`)."""
+    if directory is not None and fetch and not luts_available(directory):
+        fetch_luts(directory)
     if directory is not None and luts_available(directory):
         luts = load_luts(directory)
         L, M, N = geom.th_out_ic.shape

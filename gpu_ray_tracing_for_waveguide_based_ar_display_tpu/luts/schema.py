@@ -79,14 +79,31 @@ class RcwaLuts:
     def validate(self, num_fc: int, num_oc: int, L: int, M: int, N: int) -> None:
         for name in ("ic1", "ic2", "ic3"):
             arr = getattr(self, name)
+            if arr.ndim != 4:
+                raise ValueError(
+                    f"lut_{name} must be 4-D (wavelength, FoV_x, FoV_y, "
+                    f"channel); got {arr.ndim}-D shape {arr.shape} — a 3-D "
+                    f"array is missing the full-color wavelength axis")
             if arr.shape[:3] != (L, M, N) or arr.shape[3] < CHANNELS[name]:
-                raise ValueError(f"lut_{name} shape {arr.shape} invalid for "
-                                 f"(L,M,N)=({L},{M},{N})")
+                raise ValueError(
+                    f"lut_{name} shape {arr.shape} invalid for "
+                    f"(L,M,N)=({L},{M},{N}): needs >= {CHANNELS[name]} channels")
         for name, s in (("fc1", num_fc), ("fc2", num_fc), ("oc1", num_oc), ("oc2", num_oc)):
             arr = getattr(self, name)
+            if arr.ndim != 5:
+                raise ValueError(
+                    f"lut_{name} must be 5-D (strip, wavelength, FoV_x, FoV_y, "
+                    f"channel); got {arr.ndim}-D shape {arr.shape}")
             if arr.shape[:4] != (s, L, M, N) or arr.shape[4] < CHANNELS[name]:
-                raise ValueError(f"lut_{name} shape {arr.shape} invalid for "
-                                 f"(S,L,M,N)=({s},{L},{M},{N})")
+                raise ValueError(
+                    f"lut_{name} shape {arr.shape} invalid for "
+                    f"(S,L,M,N)=({s},{L},{M},{N}): needs >= {CHANNELS[name]} "
+                    f"channels")
+        for f in dataclasses.fields(self):
+            if not np.iscomplexobj(getattr(self, f.name)):
+                raise ValueError(
+                    f"lut_{f.name} must be complex valued (Jones matrix "
+                    f"entries); got dtype {getattr(self, f.name).dtype}")
 
     def astype(self, dtype) -> "RcwaLuts":
         return RcwaLuts(**{

@@ -32,31 +32,42 @@ def save_checkpoint(
     design: WaveguideDesign,
     cfg: TraceConfig,
     total_bounces: int = 0,
+    extras: Optional[dict] = None,
 ) -> None:
+    """``extras``: optional int counters (e.g. rays spawned) restored verbatim."""
     tmp = path + ".tmp"
+    extra_arrs = {f"extra_{k}": np.int64(v) for k, v in (extras or {}).items()}
     np.savez_compressed(
         tmp if tmp.endswith(".npz") else tmp + ".npz",
         histogram=histogram,
         iterations_done=np.int64(iterations_done),
         total_bounces=np.int64(total_bounces),
         fingerprint=np.bytes_(_fingerprint(design, cfg).encode()),
+        **extra_arrs,
     )
     src = tmp if tmp.endswith(".npz") else tmp + ".npz"
     os.replace(src, path)
 
 
 def load_checkpoint(
-    path: str, design: WaveguideDesign, cfg: TraceConfig
-) -> Optional[Tuple[np.ndarray, int, int]]:
-    """Returns (histogram, iterations_done, total_bounces) or None on mismatch."""
+    path: str, design: WaveguideDesign, cfg: TraceConfig,
+    with_extras: bool = False,
+):
+    """Returns (histogram, iterations_done, total_bounces[, extras]) or None on
+    a fingerprint mismatch / missing file."""
     if not os.path.exists(path):
         return None
     with np.load(path) as data:
         fp = bytes(data["fingerprint"]).decode()
         if fp != _fingerprint(design, cfg):
             return None
-        return (
+        out = (
             data["histogram"],
             int(data["iterations_done"]),
             int(data["total_bounces"]),
         )
+        if with_extras:
+            extras = {k[len("extra_"):]: int(data[k])
+                      for k in data.files if k.startswith("extra_")}
+            return out + (extras,)
+        return out

@@ -90,6 +90,26 @@ def test_checkpoint_resume(sim, tmp_path):
     np.testing.assert_array_equal(resumed.histogram, full.histogram)
 
 
+def test_checkpoint_resume_persistent_fast_path(tmp_path):
+    """The persistent engine's device-tile fast path must checkpoint and resume
+    to a bitwise-identical histogram with exact ray/bounce accounting."""
+    cfg = TraceConfig(num_fov_x=4, num_fov_y=3, rays_per_fov=128, num_iter=2,
+                      max_bounces=256, seed=5)
+    sim_p = Simulator(cfg=cfg, engine="pallas_persistent", interpret=True,
+                      persistent_slots=128)
+    path = str(tmp_path / "pers.npz")
+    full = sim_p.run(num_iter=2, evaluate_metrics=False, cells_per_batch=16)
+    part = sim_p.run(num_iter=1, evaluate_metrics=False, cells_per_batch=16,
+                     checkpoint_path=path)
+    resumed = sim_p.run(num_iter=2, evaluate_metrics=False, cells_per_batch=16,
+                        checkpoint_path=path)
+    np.testing.assert_array_equal(np.asarray(resumed.histogram),
+                                  np.asarray(full.histogram))
+    assert resumed.rays_traced == full.rays_traced
+    assert part.total_bounces < full.total_bounces
+    assert resumed.total_bounces == full.total_bounces
+
+
 def test_compacted_tracing_matches(sim):
     """Segmented+compacted scheduling must reproduce the plain trace exactly."""
     cells = np.arange(3 * 6 * 4)
