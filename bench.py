@@ -52,6 +52,7 @@ def run(engine: str):
         spawn_iters=int(os.environ.get("BENCH_SPAWN_ITERS", 1024)),
         pers_phase_gating=(None if "BENCH_PHASE_GATING" not in os.environ
                            else os.environ["BENCH_PHASE_GATING"] != "0"),
+        pers_accum_mode=os.environ.get("BENCH_ACCUM", "fma"),
     )
 
     # warm-up: a full pass compiles kernels and fills the RNG/table caches;

@@ -89,7 +89,9 @@ def cmd_plot_design(args) -> int:
 
 
 def cmd_sweep(args) -> int:
-    from .sweep import run_design_sweep
+    import time
+
+    from .sweep import run_design_sweep, run_design_sweep_persistent
 
     base = presets.get(args.design)
     periods = np.linspace(args.period_min, args.period_max, args.num_designs)
@@ -102,7 +104,17 @@ def cmd_sweep(args) -> int:
         rays_per_fov=args.rays_per_fov, max_bounces=args.max_bounces,
         seed=args.seed,
     )
-    res = run_design_sweep(designs, cfg)
+    t0 = time.perf_counter()
+    if args.engine == "pallas_persistent":
+        res = run_design_sweep_persistent(designs, cfg,
+                                          spawn_iters=args.spawn_iters,
+                                          interpret=args.interpret)
+    else:
+        res = run_design_sweep(designs, cfg)
+    wall = time.perf_counter() - t0
+    print(f"{len(designs)} designs in {wall:.2f} s "
+          f"({len(designs) / wall * 3600:,.0f} designs/hour, "
+          f"{int(res.bounces.sum()):,} bounces)")
     for d, eff in zip(res.designs, res.efficiencies):
         print(f"period {d.lambda_ic:7.2f} nm -> efficiency B/G/R = "
               f"{eff[0]*100:6.3f}% {eff[1]*100:6.3f}% {eff[2]*100:6.3f}%")
@@ -156,6 +168,12 @@ def main(argv=None) -> int:
     p.add_argument("--period-max", type=float, default=405.0)
     p.add_argument("--rays-per-fov", type=int, default=256)
     p.add_argument("--max-bounces", type=int, default=2048)
+    p.add_argument("--engine", default="jnp",
+                   choices=("jnp", "pallas_persistent"))
+    p.add_argument("--spawn-iters", type=int, default=256,
+                   help="saturating-spawn budget (pallas_persistent engine)")
+    p.add_argument("--interpret", action="store_true",
+                   help="run the Pallas kernel in interpret mode (CPU)")
     p.set_defaults(fn=cmd_sweep)
 
     args = parser.parse_args(argv)

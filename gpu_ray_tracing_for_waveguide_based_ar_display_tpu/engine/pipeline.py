@@ -72,6 +72,7 @@ class Simulator:
         cond_interval: int = 8,
         spawn_iters: int = 0,
         pers_phase_gating: Optional[bool] = None,
+        pers_accum_mode: str = "fma",
         mesh=None,
     ):
         if engine not in ("jnp", "pallas", "pallas_persistent", "cellblock"):
@@ -97,6 +98,7 @@ class Simulator:
         if pers_phase_gating is None:
             pers_phase_gating = spawn_iters <= 0
         self._pers_phase_gating = pers_phase_gating
+        self._pers_accum_mode = pers_accum_mode
         # optional jax.sharding.Mesh: the persistent engine shards its cell
         # axis over it (disjoint histogram tiles; no collective needed)
         self._mesh = mesh
@@ -379,6 +381,7 @@ class Simulator:
                 max_iters=self.cfg.max_bounces,
                 edge_counts=(len(self.tgeom.hull_hp), len(self.tgeom.r1_hp),
                              len(self.tgeom.r2_hp)),
+                accum_mode=self._pers_accum_mode,
             )
             if self._mesh is not None:
                 from ..parallel.shard import make_sharded_cell_trace_fn

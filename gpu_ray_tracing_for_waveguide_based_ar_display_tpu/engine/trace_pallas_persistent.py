@@ -49,7 +49,7 @@ def make_persistent_trace_fn(cfg: TraceConfig, num_fc: int, num_oc: int,
                              interpret: bool = False,
                              phase_gating: bool = True,
                              max_iters: int = 0, cond_interval: int = 8,
-                             edge_counts=None):
+                             edge_counts=None, accum_mode: str = "fma"):
     """Build ``trace(cell_params, geom_row, rays_in, rng_in[, ctrl]) -> (hist, nb)``.
 
     - rays_in: (C, 6, RT, 128) initial fields (x, y, ter, tei, tmr, tmi); these are
@@ -262,7 +262,8 @@ def make_persistent_trace_fn(cfg: TraceConfig, num_fc: int, num_oc: int,
                 return (*pa, *pb, zv + c(_IC_SA), zv + c(_IC_SB))
 
             def fc_block(_):
-                p = _accum_params(c, _FC_BLK, _FC_STRIDE, num_fc, 34, fc_strip)
+                p = _accum_params(c, _FC_BLK, _FC_STRIDE, num_fc, 34, fc_strip,
+                                  mode=accum_mode)
                 ja = [jnp.where(bit, p[16 + j], p[j]) for j in range(8)]
                 jb = [jnp.where(bit, p[24 + j], p[8 + j]) for j in range(8)]
                 pa = _jones_vec(ja, 0, ter, tei, tmr, tmi)
@@ -270,7 +271,8 @@ def make_persistent_trace_fn(cfg: TraceConfig, num_fc: int, num_oc: int,
                 return (*pa, *pb, p[32], p[33])
 
             def oc_block(_):
-                p = _accum_params(c, _OC_BLK, _OC_STRIDE, num_oc, 50, oc_strip)
+                p = _accum_params(c, _OC_BLK, _OC_STRIDE, num_oc, 50, oc_strip,
+                                  mode=accum_mode)
                 ja = [jnp.where(bit, p[24 + j], p[j]) for j in range(8)]
                 jb = [jnp.where(bit, p[32 + j], p[8 + j]) for j in range(8)]
                 jc = [jnp.where(bit, p[40 + j], p[16 + j]) for j in range(8)]
@@ -481,6 +483,13 @@ def make_persistent_trace_fn(cfg: TraceConfig, num_fc: int, num_oc: int,
         if ctrl is None:
             ctrl = jnp.array([gens, 0], jnp.int32)
         C = cell_params.shape[0]
+        # geom_row may carry one geometry row per *design*: (D, PG) with the
+        # cell grid laid out as D contiguous runs of C/D cells — the basis of
+        # production-throughput design sweeps (each grid step reads its
+        # design's scalars; D=1 is the single-design case).
+        D = geom_row.shape[0]
+        assert C % D == 0, f"cells ({C}) must split evenly over designs ({D})"
+        cpd = C // D
         out_shapes = (
             jax.ShapeDtypeStruct((C, ny, NY_PAD), jnp.float32),
             jax.ShapeDtypeStruct((C, 1, 4), jnp.int32),
@@ -491,7 +500,7 @@ def make_persistent_trace_fn(cfg: TraceConfig, num_fc: int, num_oc: int,
             in_specs=[
                 pl.BlockSpec((1, 2), lambda i: (0, 0),
                              memory_space=pltpu.SMEM),
-                pl.BlockSpec((1, PG), lambda i: (0, 0),
+                pl.BlockSpec((1, PG), lambda i: (i // cpd, 0),
                              memory_space=pltpu.SMEM),
                 pl.BlockSpec((1, 1, PC), lambda i: (i, 0, 0),
                              memory_space=pltpu.SMEM),

@@ -51,6 +51,33 @@ def test_design_sweep_batched():
     np.testing.assert_array_equal(res.histograms[1], solo.histograms[0])
 
 
+def test_design_sweep_persistent_kernel():
+    """The persistent-kernel sweep (one pallas_call, per-design SMEM geometry
+    rows) must reproduce solo single-design runs of the same kernel exactly."""
+    import dataclasses
+
+    from gpu_ray_tracing_for_waveguide_based_ar_display_tpu.sweep import (
+        run_design_sweep_persistent,
+    )
+
+    base = WaveguideDesign()
+    designs = [
+        dataclasses.replace(base, lambda_ic=p, lambda_oc=p)
+        for p in (380.0, 388.0, 396.0)
+    ]
+    cfg = TraceConfig(num_fov_x=4, num_fov_y=3, rays_per_fov=128,
+                      max_bounces=256, seed=5)
+    res = run_design_sweep_persistent(designs, cfg, interpret=True,
+                                      spawn_iters=64, keep_histograms=True)
+    assert res.efficiencies.shape == (3, 3)
+    assert np.all(res.bounces > 0)
+    assert not np.allclose(res.efficiencies[0], res.efficiencies[2])
+    solo = run_design_sweep_persistent([designs[1]], cfg, interpret=True,
+                                       spawn_iters=64, keep_histograms=True)
+    np.testing.assert_array_equal(res.histograms[1], solo.histograms[0])
+    np.testing.assert_array_equal(res.efficiencies[1], solo.efficiencies[0])
+
+
 def test_checkpoint_roundtrip(tmp_path):
     path = str(tmp_path / "ckpt.npz")
     design = WaveguideDesign()
