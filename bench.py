@@ -113,6 +113,46 @@ def run_reference_workload():
     }
 
 
+def run_sweep_figure():
+    """BASELINE config 5: a >=64-design batched sweep on the persistent kernel
+    (one pallas_call over a D x cells grid; the reference hard-codes one design,
+    gpu_ray_tracing_pro_fullColor.py:16-63).  Reported as designs/hour."""
+    import dataclasses
+
+    import numpy as np
+
+    from gpu_ray_tracing_for_waveguide_based_ar_display_tpu.config import (
+        TraceConfig, WaveguideDesign,
+    )
+    from gpu_ray_tracing_for_waveguide_based_ar_display_tpu.sweep import (
+        run_design_sweep_persistent,
+    )
+
+    n_designs = int(os.environ.get("BENCH_SWEEP_DESIGNS", 64))
+    base = WaveguideDesign()
+    periods = np.linspace(370.0, 405.0, n_designs)
+    designs = [
+        dataclasses.replace(base, lambda_ic=float(p), lambda_oc=float(p))
+        for p in periods
+    ]
+    cfg = TraceConfig(num_fov_x=16, num_fov_y=12, rays_per_fov=2048,
+                      max_bounces=4096, seed=0, rng_mode="fast")
+    # warm-up on 1 design compiles the kernel variant (cached thereafter)
+    run_design_sweep_persistent(designs[:1], cfg, spawn_iters=256)
+    t0 = time.perf_counter()
+    res = run_design_sweep_persistent(designs, cfg, spawn_iters=256)
+    wall = time.perf_counter() - t0
+    best = int(np.argmax(res.efficiencies.mean(axis=1)))
+    return {
+        "designs": n_designs,
+        "wall_s": round(wall, 2),
+        "designs_per_hour": round(n_designs / wall * 3600),
+        "total_bounces": int(res.bounces.sum()),
+        "best_period_nm": round(designs[best].lambda_ic, 2),
+        "best_mean_efficiency": round(float(res.efficiencies[best].mean()), 6),
+    }
+
+
 def main():
     engine = os.environ.get("BENCH_ENGINE", "pallas_persistent")
     fallbacks = {"pallas_persistent": "pallas", "pallas": "jnp"}
@@ -135,6 +175,12 @@ def main():
             out["ref_workload"] = run_reference_workload()
         except Exception as e:
             out["ref_workload_error"] = f"{type(e).__name__}: {str(e)[:120]}"
+    if engine == "pallas_persistent" and os.environ.get("BENCH_SWEEP",
+                                                        "1") != "0":
+        try:
+            out["sweep"] = run_sweep_figure()
+        except Exception as e:
+            out["sweep_error"] = f"{type(e).__name__}: {str(e)[:120]}"
     print(json.dumps(out))
 
 
