@@ -91,10 +91,15 @@ def run_reference_workload():
     cfg = TraceConfig(num_fov_x=100, num_fov_y=75, rays_per_fov=5000,
                       max_bounces=100000, seed=0, rng_mode="fast",
                       ic_test="circle")
+    # spawn budget: the kernel respawns while gen < gens OR it < spawn_iters,
+    # so the gens floor (ceil(5000/slots) generations) guarantees every cell
+    # gets >= the reference's nominal 5,000 samples/FoV; a small iteration
+    # budget on top keeps lanes saturated early without the ~46x oversampling
+    # a large budget would trace (Wald renormalization keeps it unbiased)
     sim = Simulator(
         cfg=cfg, engine="pallas_persistent", geometry_simplify_tol=0.05,
         persistent_slots=int(os.environ.get("BENCH_SLOTS", 2048)),
-        spawn_iters=int(os.environ.get("BENCH_SPAWN_ITERS", 1024)),
+        spawn_iters=int(os.environ.get("BENCH_REF_SPAWN_ITERS", 32)),
     )
     t0 = time.perf_counter()
     res = sim.run(num_iter=4, cells_per_batch=4500, evaluate_metrics=True,

@@ -124,6 +124,48 @@ def cmd_sweep(args) -> int:
     return 0
 
 
+def cmd_optimize(args) -> int:
+    import time
+
+    from .design.geometry import generate_geometry
+    from .engine.trace_geometry import build_trace_geometry
+    from .luts.io import load_or_synthesize
+    from .luts.packing import build_cell_tables
+    from .opt import optimize_apodization
+
+    cfg = TraceConfig(num_fov_x=args.fov_x, num_fov_y=args.fov_y,
+                      rays_per_fov=args.rays_per_fov,
+                      max_bounces=args.max_bounces, seed=args.seed)
+    geom = generate_geometry(presets.get(args.design), args.fov_x, args.fov_y)
+    luts = load_or_synthesize(geom, args.luts_dir)
+    tables = build_cell_tables(geom, luts)
+    tgeom = build_trace_geometry(geom)
+    t0 = time.perf_counter()
+    res = optimize_apodization(
+        geom, tables, tgeom, cfg, rays_per_fov=args.rays_per_fov,
+        steps=args.steps, learning_rate=args.lr,
+        capacity=args.capacity, fixed_steps=args.trace_steps)
+    wall = time.perf_counter() - t0
+    print(f"{args.steps} Adam steps in {wall:.1f} s; "
+          f"loss {res.loss_history[0]:.4f} -> {res.loss_history[-1]:.4f}")
+    print(f"efficiency  {res.efficiency[0]*100:.3f}% -> "
+          f"{res.efficiency[1]*100:.3f}%")
+    print(f"FoV nonuniformity  {res.nonuniformity[0]:.3f} -> "
+          f"{res.nonuniformity[1]:.3f}")
+    print("s_fc:", " ".join(f"{s:.3f}" for s in res.s_fc))
+    print("s_oc:", " ".join(f"{s:.3f}" for s in res.s_oc))
+    if args.json:
+        with open(args.json, "w") as f:
+            json.dump({
+                "s_fc": res.s_fc.tolist(), "s_oc": res.s_oc.tolist(),
+                "loss_history": res.loss_history.tolist(),
+                "efficiency": res.efficiency,
+                "nonuniformity": res.nonuniformity,
+            }, f, indent=2)
+        print(f"wrote {args.json}")
+    return 0
+
+
 def main(argv=None) -> int:
     parser = argparse.ArgumentParser(
         prog="gpu_ray_tracing_for_waveguide_based_ar_display_tpu",
@@ -175,6 +217,22 @@ def main(argv=None) -> int:
     p.add_argument("--interpret", action="store_true",
                    help="run the Pallas kernel in interpret mode (CPU)")
     p.set_defaults(fn=cmd_sweep)
+
+    p = sub.add_parser(
+        "optimize",
+        help="gradient-based per-strip grating apodization (differentiable "
+             "splitting tracer + Adam)")
+    _add_common(p)
+    p.add_argument("--rays-per-fov", type=int, default=16)
+    p.add_argument("--max-bounces", type=int, default=2048)
+    p.add_argument("--steps", type=int, default=40, help="Adam steps")
+    p.add_argument("--lr", type=float, default=0.15)
+    p.add_argument("--capacity", type=int, default=4096,
+                   help="splitting wavefront buffer slots")
+    p.add_argument("--trace-steps", type=int, default=64,
+                   help="fixed differentiable trace depth (scan length)")
+    p.add_argument("--json", default=None, help="write optimized design here")
+    p.set_defaults(fn=cmd_optimize)
 
     args = parser.parse_args(argv)
     return args.fn(args)

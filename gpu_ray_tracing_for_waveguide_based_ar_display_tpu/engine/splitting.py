@@ -51,14 +51,25 @@ class SplitResult:
 def make_splitting_trace_fn(tables: CellTables, tgeom: TraceGeometry,
                             cfg: TraceConfig, capacity: int = 1 << 16,
                             weight_threshold: float = 1e-5,
-                            max_steps: int = 512):
+                            max_steps: int = 512,
+                            table_arg: bool = False,
+                            fixed_steps: int = 0):
     """Build ``trace(rays0) -> (hist_flat, out_w, trunc_w, steps)`` (jitted).
 
     ``rays0`` is a :func:`trace_jnp.make_ray_state` pytree whose length is the
     initial wavefront (padded into the capacity buffer).  All rays' initial weight
     is 1/len(rays0) x per-ray launch weight 1.
+
+    ``table_arg``: the trace takes the cell-table pytree as a second argument
+    (``trace(rays0, T)``) instead of closing over it — required to
+    differentiate the histogram w.r.t. table entries (grating apodization
+    optimization, :mod:`..opt.grating_opt`).
+    ``fixed_steps``: > 0 replaces the ``lax.while_loop`` with a fixed-length
+    ``lax.scan`` of that many steps.  ``while_loop`` is not reverse-mode
+    differentiable; the scan is (each step is checkpointed, so memory stays
+    O(capacity) per step boundary instead of O(steps x capacity x live values)).
     """
-    T = trace_jnp._as_jnp(tables)
+    T_closed = None if table_arg else trace_jnp._as_jnp(tables)
     G = trace_jnp._geom_jnp(tgeom)
     ny, nx = cfg.eyebox_bins
     L, M, N = tables.L, tables.M, tables.N
@@ -92,7 +103,7 @@ def make_splitting_trace_fn(tables: CellTables, tgeom: TraceGeometry,
         flat = ((l * N + n) * M + m) * (ny * nx) + iy * nx + ix
         return jnp.where(in_quad, flat, -1)
 
-    def split_init(rays):
+    def split_init(T, rays):
         """First IC interaction: both orders become children with weights."""
         cid = rays["cid"]
         pol = (rays["ter"], rays["tei"], rays["tmr"], rays["tmi"])
@@ -103,7 +114,10 @@ def make_splitting_trace_fn(tables: CellTables, tgeom: TraceGeometry,
             p = trace_jnp._jones_apply(j, *pol)
             eff = (trace_jnp._power(*p) * T["init_scale"][branch][cid]
                    / T["init_cos0"][cid])
-            inv = jax.lax.rsqrt(jnp.maximum(trace_jnp._power(*p), 1e-30))
+            # clamp via where (not maximum): keeps reverse-mode gradients
+            # finite on zero-power dead branches (the where-NaN trap)
+            pw_p = trace_jnp._power(*p)
+            inv = jax.lax.rsqrt(jnp.where(pw_p > 1e-30, pw_p, 1.0))
             ph = T["tir_phasor"][cid, dir_]
             ter, tei = p[0] * inv, p[1] * inv
             tmr, tmi = trace_jnp._phase_mul(ph, p[2] * inv, p[3] * inv)
@@ -125,7 +139,7 @@ def make_splitting_trace_fn(tables: CellTables, tgeom: TraceGeometry,
             ))
         return outs
 
-    def split_step(buf):
+    def split_step(T, buf):
         """One wavefront bounce: each slot -> (childA, childB, deposit)."""
         x, y = buf["x"], buf["y"]
         state = buf["state"]
@@ -181,7 +195,9 @@ def make_splitting_trace_fn(tables: CellTables, tgeom: TraceGeometry,
         pol_a = trace_jnp._jones_apply(j_a, *pol)
         pol_b = trace_jnp._jones_apply(j_b, *pol)
         pol_c = trace_jnp._jones_apply(j_oc_c, *pol)
-        inv_cos = 1.0 / buf["cos_th"]
+        # padded/dead slots carry cos_th = 0; guard so neither the forward
+        # value (0 * inf = NaN) nor the gradient poisons masked lanes
+        inv_cos = 1.0 / jnp.where(buf["cos_th"] > 0, buf["cos_th"], 1.0)
         eff_a = trace_jnp._power(*pol_a) * s_a * inv_cos
         eff_b = trace_jnp._power(*pol_b) * s_b * inv_cos
         eff_c = trace_jnp._power(*pol_c) * T["oc_scale_out"][cid] * inv_cos
@@ -206,7 +222,8 @@ def make_splitting_trace_fn(tables: CellTables, tgeom: TraceGeometry,
                   ic_in_state, ic_out_state):
             """Build the child for one interaction branch; hop-survivor merged for
             branch A, dead for branch B on non-interacting slots."""
-            inv = jax.lax.rsqrt(jnp.maximum(trace_jnp._power(*branch_pol), 1e-30))
+            pw_c = trace_jnp._power(*branch_pol)
+            inv = jax.lax.rsqrt(jnp.where(pw_c > 1e-30, pw_c, 1.0))
             ph = T["tir_phasor"][cid, dir_idx]
             ter = branch_pol[0] * inv
             tei = branch_pol[1] * inv
@@ -268,14 +285,13 @@ def make_splitting_trace_fn(tables: CellTables, tgeom: TraceGeometry,
                       children["w"][order[cap:]], 0.0))
         return kept, dropped
 
-    @jax.jit
-    def trace(rays0: dict):
+    def _trace_impl(rays0: dict, T: dict):
         n0 = len(rays0["x"])
         w0 = jnp.abs(rays0["ter"]) + jnp.abs(rays0["tei"]) \
             + jnp.abs(rays0["tmr"]) + jnp.abs(rays0["tmi"])
         rays0 = dict(rays0)
         rays0["w"] = jnp.where(w0 > 0, 1.0, 0.0)
-        kids = split_init(rays0)
+        kids = split_init(T, rays0)
         children = {k: jnp.concatenate([kids[0][k], kids[1][k]]) for k in keys}
         if len(children["x"]) < capacity:
             pad = capacity - len(children["x"])
@@ -288,24 +304,33 @@ def make_splitting_trace_fn(tables: CellTables, tgeom: TraceGeometry,
 
         hist = jnp.zeros(hist_size, jnp.float32)
 
-        def cond(carry):
-            buf, hist, trunc, pruned, it = carry
-            return (it < max_steps) & jnp.any(buf["state"] < DEAD)
-
         def body(carry):
             buf, hist, trunc, pruned, it = carry
-            ch_a, ch_b, dep_w, dep_idx, pr = split_step(buf)
+            ch_a, ch_b, dep_w, dep_idx, pr = split_step(T, buf)
             hist = hist.at[jnp.maximum(dep_idx, 0)].add(
                 jnp.where(dep_idx >= 0, dep_w, 0.0))
             children = {k: jnp.concatenate([ch_a[k], ch_b[k]]) for k in keys}
             buf, dropped = compact(children, capacity)
             return buf, hist, trunc + dropped, pruned + pr, it + 1
 
-        buf, hist, trunc, pruned, it = jax.lax.while_loop(
-            cond, body, (buf, hist, trunc, jnp.float32(0.0), jnp.int32(0)))
+        if fixed_steps > 0:
+            ckpt_body = jax.checkpoint(lambda c, _: (body(c), None))
+            (buf, hist, trunc, pruned, it), _ = jax.lax.scan(
+                ckpt_body,
+                (buf, hist, trunc, jnp.float32(0.0), jnp.int32(0)),
+                None, length=fixed_steps)
+        else:
+            def cond(carry):
+                buf, hist, trunc, pruned, it = carry
+                return (it < max_steps) & jnp.any(buf["state"] < DEAD)
+
+            buf, hist, trunc, pruned, it = jax.lax.while_loop(
+                cond, body, (buf, hist, trunc, jnp.float32(0.0), jnp.int32(0)))
         return hist, jnp.sum(hist), trunc, pruned, it
 
-    return trace
+    if table_arg:
+        return jax.jit(_trace_impl)
+    return jax.jit(lambda rays0: _trace_impl(rays0, T_closed))
 
 
 def run_splitting(tables: CellTables, tgeom: TraceGeometry, cfg: TraceConfig,

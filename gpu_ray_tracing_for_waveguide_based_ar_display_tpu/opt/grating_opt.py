@@ -1,0 +1,178 @@
+"""Gradient-based grating apodization: differentiate the eyebox through the tracer.
+
+A capability the reference does not have (its design loop is manual: edit
+constants in ``couplers_coor.py``, re-run, eyeball the heatmaps —
+gpu_ray_tracing_pro_fullColor.py:16-63).  Here the deterministic splitting
+tracer (:mod:`..engine.splitting`) is run in its differentiable configuration
+(fixed-length ``lax.scan``, cell tables as a traced argument), so the whole
+map from per-strip grating strengths to the eyebox energy distribution is one
+reverse-mode-differentiable JAX program.  ``optimize_apodization`` then does
+what AR-waveguide designers do by hand — weaken the early out-coupler strips
+so energy survives to the far strips, flattening the eyebox — as a few dozen
+Adam steps on TPU.
+
+The design surrogate: scaling a grating's diffracted-order Jones matrix by
+``s`` in [0, 1] scales that order's diffraction efficiency by ``s**2`` —
+first-order behavior of shallowing the grating (the freed energy is treated
+as staying in the zero order only through the roulette's survival
+renormalization; a full RCWA re-solve is out of scope, so ``s`` is a
+*relative* apodization against the LUT's as-solved stack).  Knobs:
+
+- ``s_fc`` (num_fc,): the folding coupler's redirect order (branch B,
+  ``fc_jones[1]``) per strip,
+- ``s_oc`` (num_oc,): the out-coupler's diffracted orders (branch B reversal
+  + branch C out-couple, ``oc_jones[1:]``) per strip.
+
+Both are sigmoid-parameterized, so any real theta maps to a physical
+0 < s < 1 and gradients never push the design out of range.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import TraceConfig
+from ..engine import seeding, splitting, trace_jnp
+from ..engine.trace_geometry import TraceGeometry
+from ..luts.packing import CellTables
+
+
+def apply_apodization(T: dict, s_fc: jnp.ndarray, s_oc: jnp.ndarray) -> dict:
+    """Scale the diffracted-order Jones tables by per-strip amplitudes.
+
+    ``T`` is a :func:`..engine.trace_jnp._as_jnp` table pytree (split-real:
+    complex arrays carry a trailing (re, im) axis).  fc_jones is
+    (branch, S_fc, bit, C, 2, 2, reim); oc_jones is (branch, S_oc, ...).
+    """
+    T = dict(T)
+    T["fc_jones"] = T["fc_jones"].at[1].multiply(
+        s_fc[:, None, None, None, None, None])
+    T["oc_jones"] = T["oc_jones"].at[1:].multiply(
+        s_oc[None, :, None, None, None, None, None])
+    return T
+
+
+@dataclasses.dataclass
+class ApodizationResult:
+    s_fc: np.ndarray             # (num_fc,) optimized amplitudes
+    s_oc: np.ndarray             # (num_oc,)
+    loss_history: np.ndarray     # (steps + 1,) loss[0] = initial design
+    efficiency: Tuple[float, float]      # (initial, final) mean out-coupled
+    nonuniformity: Tuple[float, float]   # (initial, final) FoV rel. std
+
+
+def make_apodization_loss(
+    tables: CellTables,
+    tgeom: TraceGeometry,
+    cfg: TraceConfig,
+    rays0: dict,
+    capacity: int = 4096,
+    fixed_steps: int = 64,
+    weight_threshold: float = 1e-4,
+    eff_weight: float = 1.0,
+    fov_uniformity_weight: float = 1.0,
+    eyebox_uniformity_weight: float = 0.25,
+):
+    """Build ``loss(theta) -> (scalar, aux)`` plus the base table pytree.
+
+    ``theta`` is a dict ``{"fc": (num_fc,), "oc": (num_oc,)}`` of
+    pre-sigmoid parameters.  ``aux`` is ``(efficiency, fov_nonuni,
+    eyebox_nonuni)`` — all differentiable reductions of the splitting
+    tracer's zero-variance eyebox histogram.
+    """
+    T0 = trace_jnp._as_jnp(tables)
+    trace = splitting.make_splitting_trace_fn(
+        tables, tgeom, cfg, capacity=capacity,
+        weight_threshold=weight_threshold, table_arg=True,
+        fixed_steps=fixed_steps)
+    ny, nx = cfg.eyebox_bins
+    L, M, N = tables.L, tables.M, tables.N
+    n0 = max(len(rays0["x"]), 1)
+    eps = 1e-12
+
+    def loss(theta: Dict[str, jnp.ndarray]):
+        s_fc = jax.nn.sigmoid(theta["fc"])
+        s_oc = jax.nn.sigmoid(theta["oc"])
+        T = apply_apodization(T0, s_fc, s_oc)
+        hist, out_w, _, _, _ = trace(rays0, T)
+        h = hist.reshape(L, N, M, ny, nx)
+        e_fov = h.sum(axis=(3, 4)) * (L * M * N / n0)   # (L, N, M) per-FoV eff
+        eff = e_fov.mean()
+        mu = e_fov.mean(axis=(1, 2))
+        fov_nonuni = (jnp.sqrt(((e_fov - mu[:, None, None]) ** 2)
+                               .mean(axis=(1, 2))) / (mu + eps)).mean()
+        e_bins = h.sum(axis=(1, 2))                      # (L, ny, nx)
+        mu_b = e_bins.mean(axis=(1, 2))
+        eb_nonuni = (jnp.sqrt(((e_bins - mu_b[:, None, None]) ** 2)
+                              .mean(axis=(1, 2))) / (mu_b + eps)).mean()
+        val = (-eff_weight * eff / 0.03
+               + fov_uniformity_weight * fov_nonuni
+               + eyebox_uniformity_weight * eb_nonuni)
+        return val, (eff, fov_nonuni, eb_nonuni)
+
+    return loss, T0
+
+
+def optimize_apodization(
+    geom,
+    tables: CellTables,
+    tgeom: TraceGeometry,
+    cfg: TraceConfig,
+    rays_per_fov: int = 16,
+    steps: int = 40,
+    learning_rate: float = 0.15,
+    theta0: float = 2.0,
+    seed: Optional[int] = None,
+    **loss_kw,
+) -> ApodizationResult:
+    """Run Adam on the per-strip grating amplitudes; returns the apodization.
+
+    ``geom`` is the :class:`..design.geometry.DesignGeometry` the tables were
+    packed from.  The launch set reuses the production seeding path (the same
+    pupil sampling the MC engines trace), so the optimized design is evaluated
+    under the simulator's own workload.  ``theta0 = 2.0`` starts near
+    s = 0.88, close to the unapodized LUT stack but inside sigmoid's
+    responsive range.
+    """
+    import optax
+
+    # build the launch wavefront with the standard seeding path
+    cfg_r = dataclasses.replace(cfg, rays_per_fov=rays_per_fov,
+                                seed=cfg.seed if seed is None else seed)
+    batch = seeding.build_ray_batch(geom, cfg_r)
+    rays0 = trace_jnp.make_ray_state(
+        batch["x"], batch["y"], batch["te"], batch["tm"], batch["cid"],
+        batch["idx"], batch["rng"])
+
+    loss, _ = make_apodization_loss(tables, tgeom, cfg, rays0, **loss_kw)
+    vg = jax.jit(jax.value_and_grad(loss, has_aux=True))
+
+    theta = {
+        "fc": jnp.full((tgeom.num_fc,), theta0, jnp.float32),
+        "oc": jnp.full((tgeom.num_oc,), theta0, jnp.float32),
+    }
+    opt = optax.adam(learning_rate)
+    state = opt.init(theta)
+    history = []
+    aux0 = aux = None
+    for _ in range(steps):
+        (val, aux), grads = vg(theta)
+        if aux0 is None:
+            aux0 = aux
+        history.append(float(val))
+        updates, state = opt.update(grads, state)
+        theta = optax.apply_updates(theta, updates)
+    (val, aux), _ = vg(theta)
+    history.append(float(val))
+    return ApodizationResult(
+        s_fc=np.asarray(jax.nn.sigmoid(theta["fc"])),
+        s_oc=np.asarray(jax.nn.sigmoid(theta["oc"])),
+        loss_history=np.asarray(history),
+        efficiency=(float(aux0[0]), float(aux[0])),
+        nonuniformity=(float(aux0[1]), float(aux[1])),
+    )

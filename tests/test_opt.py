@@ -1,0 +1,104 @@
+"""Gradient-based apodization optimizer: scan/while parity, grads, improvement."""
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp
+
+from gpu_ray_tracing_for_waveguide_based_ar_display_tpu.config import TraceConfig
+from gpu_ray_tracing_for_waveguide_based_ar_display_tpu.design import generate_geometry
+from gpu_ray_tracing_for_waveguide_based_ar_display_tpu.engine import (
+    seeding,
+    splitting,
+    trace_jnp,
+)
+from gpu_ray_tracing_for_waveguide_based_ar_display_tpu.engine.trace_geometry import (
+    build_trace_geometry,
+)
+from gpu_ray_tracing_for_waveguide_based_ar_display_tpu.luts import make_synthetic_luts
+from gpu_ray_tracing_for_waveguide_based_ar_display_tpu.luts.packing import (
+    build_cell_tables,
+)
+from gpu_ray_tracing_for_waveguide_based_ar_display_tpu.opt import (
+    apply_apodization,
+    make_apodization_loss,
+    optimize_apodization,
+)
+
+M, N = 3, 2
+
+
+@pytest.fixture(scope="module")
+def setup():
+    geom = generate_geometry(num_fov_x=M, num_fov_y=N)
+    luts = make_synthetic_luts(geom)
+    tables = build_cell_tables(geom, luts)
+    tgeom = build_trace_geometry(geom)
+    cfg = TraceConfig(num_fov_x=M, num_fov_y=N, rays_per_fov=8, max_bounces=64,
+                      rng_mode="fast", seed=5)
+    batch = seeding.build_ray_batch(geom, cfg)
+    rays = trace_jnp.make_ray_state(
+        batch["x"], batch["y"], batch["te"], batch["tm"],
+        batch["cid"], batch["idx"], batch["rng"],
+    )
+    return geom, tables, tgeom, cfg, rays
+
+
+def test_scan_trace_matches_while_trace(setup):
+    """The differentiable configuration (fixed-length scan, tables as an
+    argument) must reproduce the production while-loop trace exactly."""
+    geom, tables, tgeom, cfg, rays = setup
+    kw = dict(capacity=2048, weight_threshold=1e-4)
+    t_while = splitting.make_splitting_trace_fn(tables, tgeom, cfg, **kw)
+    h0, out0, _, _, steps0 = jax.block_until_ready(t_while(rays))
+    t_scan = splitting.make_splitting_trace_fn(
+        tables, tgeom, cfg, table_arg=True, fixed_steps=int(steps0) + 8, **kw)
+    T = trace_jnp._as_jnp(tables)
+    h1, out1, _, _, _ = jax.block_until_ready(t_scan(rays, T))
+    np.testing.assert_array_equal(np.asarray(h0), np.asarray(h1))
+
+
+def test_apodization_identity(setup):
+    geom, tables, tgeom, cfg, rays = setup
+    T = trace_jnp._as_jnp(tables)
+    T1 = apply_apodization(T, jnp.ones(tgeom.num_fc), jnp.ones(tgeom.num_oc))
+    np.testing.assert_array_equal(np.asarray(T["fc_jones"]),
+                                  np.asarray(T1["fc_jones"]))
+    np.testing.assert_array_equal(np.asarray(T["oc_jones"]),
+                                  np.asarray(T1["oc_jones"]))
+    # s = 0.5 scales the diffracted orders only
+    T2 = apply_apodization(T, jnp.full(tgeom.num_fc, 0.5),
+                           jnp.full(tgeom.num_oc, 0.5))
+    np.testing.assert_allclose(np.asarray(T2["fc_jones"][1]),
+                               0.5 * np.asarray(T["fc_jones"][1]), rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(T2["fc_jones"][0]),
+                                  np.asarray(T["fc_jones"][0]))
+    np.testing.assert_array_equal(np.asarray(T2["oc_jones"][0]),
+                                  np.asarray(T["oc_jones"][0]))
+    np.testing.assert_allclose(np.asarray(T2["oc_jones"][2]),
+                               0.5 * np.asarray(T["oc_jones"][2]), rtol=1e-6)
+
+
+def test_gradients_finite_and_nonzero(setup):
+    geom, tables, tgeom, cfg, rays = setup
+    loss, _ = make_apodization_loss(tables, tgeom, cfg, rays,
+                                    capacity=1024, fixed_steps=32)
+    theta = {"fc": jnp.full((tgeom.num_fc,), 2.0),
+             "oc": jnp.full((tgeom.num_oc,), 2.0)}
+    (val, aux), g = jax.value_and_grad(loss, has_aux=True)(theta)
+    assert np.isfinite(float(val))
+    for k in ("fc", "oc"):
+        gk = np.asarray(g[k])
+        assert np.isfinite(gk).all(), (k, gk)
+        assert np.abs(gk).max() > 0, (k, gk)
+
+
+def test_optimizer_improves_loss(setup):
+    geom, tables, tgeom, cfg, rays = setup
+    res = optimize_apodization(geom, tables, tgeom, cfg, rays_per_fov=8,
+                               steps=6, capacity=1024, fixed_steps=32)
+    assert np.isfinite(res.loss_history).all()
+    assert res.loss_history[-1] < res.loss_history[0]
+    assert ((res.s_fc > 0) & (res.s_fc < 1)).all()
+    assert ((res.s_oc > 0) & (res.s_oc < 1)).all()
