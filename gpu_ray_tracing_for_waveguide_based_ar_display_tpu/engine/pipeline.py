@@ -308,18 +308,21 @@ class Simulator:
 
     def _device_ray_blocks(self, cell_ids: np.ndarray, slots: int,
                            iteration: int):
-        """Build (C, 6, RT, 128) + rng blocks with minimal host->device traffic.
+        """Build (C, 6, RT, 128) + rng blocks with zero per-batch link traffic.
 
         With shared pupil samples every cell's field tile is identical, so one
         (6, RT, 128) tile uploads once per (slots, iteration) and broadcasts on
-        device; only the (C, slots) per-cell RNG seeds cross the link."""
+        device; the per-cell RNG seeds are *hashed on device*
+        (:func:`..ops.rng.seed_fast_device`, bitwise = the host hash) — the
+        seed upload (~184 MB per iteration over a relay link at full workload)
+        used to dominate the reference-workload wall clock."""
         import jax.numpy as jnp
 
         rt = slots // trace_pallas.LANES
         key = (slots, iteration)
         if not hasattr(self, "_base_tiles"):
             self._base_tiles = {}
-            self._rng_all = {}
+            self._rng_fn = {}
         if key not in self._base_tiles:
             one = seeding.build_ray_batch(
                 self.geom, self.cfg, cell_ids=np.array([0]),
@@ -327,29 +330,53 @@ class Simulator:
             )
             tile, _ = trace_pallas.pack_ray_blocks(one, 1, slots, rt)
             self._base_tiles[key] = jnp.asarray(tile[0])  # (6, RT, 128)
-        if key not in self._rng_all:
-            # all-cell RNG seeds uploaded once per (slots, iteration); batches
-            # slice on device (contiguous cid chunks)
-            total_cells = self.L * self.M * self.N
-            idx = (np.arange(total_cells, dtype=np.uint64)[:, None]
-                   * np.uint64(slots)
-                   + np.arange(slots, dtype=np.uint64)[None, :]
-                   + np.uint64(iteration) * np.uint64(total_cells)
-                   * np.uint64(slots))
-            from ..ops import rng as rng_ops
-
-            self._rng_all[key] = jnp.asarray(
-                rng_ops.seed_fast(idx, self.cfg.seed)
-                .reshape(total_cells, rt, trace_pallas.LANES)
-            )
         base = self._base_tiles[key]
         C = len(cell_ids)
         rays_in = jnp.broadcast_to(base[None], (C,) + base.shape)
-        c0 = int(cell_ids[0])
-        if np.array_equal(cell_ids, np.arange(c0, c0 + C)):
-            rng_in = jax.lax.dynamic_slice_in_dim(self._rng_all[key], c0, C)
+
+        total_cells = self.L * self.M * self.N
+        # global ray index = (iteration * cells + cid) * slots + slot; the
+        # device hash runs in uint32, so guard the index range (realistic
+        # workloads are ~1e8; fall back to the 64-bit host path beyond)
+        if (iteration + 1) * total_cells * slots <= 0xFFFFFFFF:
+            from ..ops import rng as rng_ops
+
+            contiguous = np.array_equal(
+                cell_ids, np.arange(int(cell_ids[0]), int(cell_ids[0]) + C))
+            if contiguous:
+                if (C, slots) not in self._rng_fn:
+
+                    @jax.jit
+                    def _seeds(c0, it_cells):
+                        cid = c0 + jnp.arange(C, dtype=jnp.uint32)[:, None]
+                        idx = ((it_cells + cid) * jnp.uint32(slots)
+                               + jnp.arange(slots, dtype=jnp.uint32)[None, :])
+                        return rng_ops.seed_fast_device(
+                            idx, self.cfg.seed).reshape(
+                                C, rt, trace_pallas.LANES)
+
+                    self._rng_fn[(C, slots)] = _seeds
+                rng_in = self._rng_fn[(C, slots)](
+                    jnp.uint32(int(cell_ids[0])),
+                    jnp.uint32(iteration * total_cells))
+            else:
+                # non-contiguous chunk: hash each cid directly
+                idx = (jnp.uint32(iteration * total_cells)
+                       + jnp.asarray(cell_ids.astype(np.uint32))[:, None]
+                       ) * jnp.uint32(slots) + jnp.arange(
+                           slots, dtype=jnp.uint32)[None, :]
+                rng_in = rng_ops.seed_fast_device(
+                    idx, self.cfg.seed).reshape(C, rt, trace_pallas.LANES)
         else:
-            rng_in = self._rng_all[key][jnp.asarray(cell_ids)]
+            from ..ops import rng as rng_ops
+
+            idx = ((np.uint64(iteration) * np.uint64(total_cells)
+                    + cell_ids.astype(np.uint64)[:, None])
+                   * np.uint64(slots)
+                   + np.arange(slots, dtype=np.uint64)[None, :])
+            rng_in = jnp.asarray(
+                rng_ops.seed_fast(idx, self.cfg.seed)
+                .reshape(C, rt, trace_pallas.LANES))
         return rays_in, rng_in
 
     def _trace_batch_tiles(self, batch: dict, cell_ids: np.ndarray,

@@ -54,3 +54,58 @@ def seed_fast(ray_idx: np.ndarray, seed: int) -> np.ndarray:
     x = x ^ (x >> np.uint64(31))
     out = (x & np.uint64(0xFFFFFFFF)).astype(np.uint32)
     return np.where(out == 0, np.uint32(1), out)
+
+
+# ---- device-side seed_fast: exact uint64 splitmix emulated in uint32 pairs.
+# TPU XLA has no native 64-bit integers, but seeding 22500 cells x 2048 slots
+# on the host costs a ~184 MB uint32 upload per iteration over the (slow,
+# relay-attached) host->device link — the dominant cost of the full reference
+# workload.  Emulating the hash in (hi, lo) uint32 pairs keeps seeds bitwise
+# identical to :func:`seed_fast` with zero link traffic.
+
+
+def _u64_mul_const(hi, lo, k: int):
+    """(hi, lo) * k mod 2^64 for a Python-int constant k."""
+    u32 = jnp.uint32
+    klo, khi = k & 0xFFFFFFFF, (k >> 32) & 0xFFFFFFFF
+    k0, k1 = klo & 0xFFFF, klo >> 16
+    a0 = lo & u32(0xFFFF)
+    a1 = lo >> u32(16)
+    # full 32x32 -> 64 of lo * klo via 16-bit limbs
+    p00 = a0 * u32(k0)
+    p10 = a1 * u32(k0)
+    p01 = a0 * u32(k1)
+    p11 = a1 * u32(k1)
+    mid = p10 + p01
+    midc = (mid < p10).astype(jnp.uint32)           # carry out of mid
+    lo_out = p00 + (mid << u32(16))
+    c1 = (lo_out < p00).astype(jnp.uint32)
+    hi_lo = p11 + (mid >> u32(16)) + (midc << u32(16)) + c1
+    # cross terms only touch the high word
+    hi_out = hi_lo + lo * u32(khi) + hi * u32(klo)
+    return hi_out, lo_out
+
+
+def _u64_shr_xor(hi, lo, k: int):
+    """(hi, lo) ^= (hi, lo) >> k, for 0 < k < 32."""
+    u32 = jnp.uint32
+    lo_s = (lo >> u32(k)) | (hi << u32(32 - k))
+    hi_s = hi >> u32(k)
+    return hi ^ hi_s, lo ^ lo_s
+
+
+def seed_fast_device(ray_idx: jnp.ndarray, seed: int) -> jnp.ndarray:
+    """Bitwise :func:`seed_fast` on device: ``ray_idx`` is uint32 (callers must
+    guarantee global ray indices fit 32 bits; the pipeline asserts this)."""
+    u32 = jnp.uint32
+    offset = (seed * 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
+    off_lo, off_hi = offset & 0xFFFFFFFF, offset >> 32
+    lo = ray_idx.astype(u32) + u32(off_lo)
+    carry = (lo < u32(off_lo)).astype(u32)
+    hi = u32(off_hi) + carry
+    hi, lo = _u64_shr_xor(hi, lo, 30)
+    hi, lo = _u64_mul_const(hi, lo, 0xBF58476D1CE4E5B9)
+    hi, lo = _u64_shr_xor(hi, lo, 27)
+    hi, lo = _u64_mul_const(hi, lo, 0x94D049BB133111EB)
+    hi, lo = _u64_shr_xor(hi, lo, 31)
+    return jnp.where(lo == 0, u32(1), lo)

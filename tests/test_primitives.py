@@ -96,3 +96,22 @@ def test_tir_phase_add_is_phasor_multiply():
     rel = np.angle(tm_c) - 0.0
     rel = (rel + np.pi) % (2 * np.pi) - np.pi
     assert abs(rel - d2) < 1e-12
+
+
+def test_seed_fast_device_bitwise_matches_host():
+    """The uint32-pair splitmix emulation must reproduce the host uint64 hash
+    bit for bit (the pipeline seeds all cells on device with it)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from gpu_ray_tracing_for_waveguide_based_ar_display_tpu.ops import rng
+
+    r = np.random.default_rng(11)
+    idx = r.integers(0, 2**32, size=65536, dtype=np.uint64)
+    # include the edge indices
+    idx[:4] = [0, 1, 2**32 - 1, 2**31]
+    for seed in (0, 1, 42, 2**31 - 1):
+        want = rng.seed_fast(idx, seed)
+        got = np.asarray(rng.seed_fast_device(
+            jnp.asarray(idx.astype(np.uint32)), seed))
+        np.testing.assert_array_equal(want, got)
