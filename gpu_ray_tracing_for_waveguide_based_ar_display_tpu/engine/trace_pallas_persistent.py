@@ -37,7 +37,7 @@ from .trace_pallas import (
     _G_IC, _G_OC_B, _G_OC_INVW, _G_OC_ROT, _G_OC_TOP, _G_HULL, _G_R1, _G_R2,
     _HOP2_PH, _IC_BLK, _IC_SA, _IC_SB, _INIT_COS0, _INIT_JA, _INIT_JB,
     _INIT_SA, _INIT_SB, _OC_BLK, _OC_SOUT, _OC_STRIDE, _TIR_PH,
-    _accum_params, _bitsel, _jones_scalar, _jones_vec, _region_test, _xorshift,
+    _jones_scalar, _jones_vec, _region_test, _xorshift,
 )
 
 NY_PAD = 128   # eyebox x bins padded to the lane width
@@ -250,63 +250,70 @@ def make_persistent_trace_fn(cfg: TraceConfig, num_fc: int, num_oc: int,
             interact = grp_ic | hit_fc | hit_oc
 
             zero = jnp.zeros_like(x)
-
-            def ic_block(_):
-                ja = [_bitsel(c, _IC_BLK + j, _IC_BLK + 16 + j, bit)
-                      for j in range(8)]
-                jb = [_bitsel(c, _IC_BLK + 8 + j, _IC_BLK + 24 + j, bit)
-                      for j in range(8)]
-                pa = _jones_vec(ja, 0, ter, tei, tmr, tmi)
-                pb = _jones_vec(jb, 0, ter, tei, tmr, tmi)
-                zv = jnp.zeros_like(x)
-                return (*pa, *pb, zv + c(_IC_SA), zv + c(_IC_SB))
-
-            def fc_block(_):
-                p = _accum_params(c, _FC_BLK, _FC_STRIDE, num_fc, 34, fc_strip,
-                                  mode=accum_mode)
-                ja = [jnp.where(bit, p[16 + j], p[j]) for j in range(8)]
-                jb = [jnp.where(bit, p[24 + j], p[8 + j]) for j in range(8)]
-                pa = _jones_vec(ja, 0, ter, tei, tmr, tmi)
-                pb = _jones_vec(jb, 0, ter, tei, tmr, tmi)
-                return (*pa, *pb, p[32], p[33])
-
-            def oc_block(_):
-                p = _accum_params(c, _OC_BLK, _OC_STRIDE, num_oc, 50, oc_strip,
-                                  mode=accum_mode)
-                ja = [jnp.where(bit, p[24 + j], p[j]) for j in range(8)]
-                jb = [jnp.where(bit, p[32 + j], p[8 + j]) for j in range(8)]
-                jc = [jnp.where(bit, p[40 + j], p[16 + j]) for j in range(8)]
-                pa = _jones_vec(ja, 0, ter, tei, tmr, tmi)
-                pb = _jones_vec(jb, 0, ter, tei, tmr, tmi)
-                pc = _jones_vec(jc, 0, ter, tei, tmr, tmi)
-                return (*pa, *pb, *pc, p[48], p[49])
-
-            zeros10 = (zero,) * 10
-            zeros14 = (zero,) * 14
-            if phase_gating:
-                ic_out = jax.lax.cond(jnp.any(grp_ic), ic_block,
-                                      lambda _: zeros10, None)
-                fc_out = jax.lax.cond(jnp.any(hit_fc), fc_block,
-                                      lambda _: zeros10, None)
-                oc_out = jax.lax.cond(jnp.any(hit_oc), oc_block,
-                                      lambda _: zeros14, None)
-            else:
-                ic_out = ic_block(None)
-                fc_out = fc_block(None)
-                oc_out = oc_block(None)
-
             gfc = grp_fc
             goc = grp_oc
 
-            def sel3(i_ic, i_fc, i_oc):
-                return jnp.where(goc, i_oc, jnp.where(gfc, i_fc, i_ic))
+            # ---- unified site-parameter selection: ONE one-hot FMA pass over
+            # the {IC} + {FC strip} + {OC strip} rows.  Each lane's site is
+            # exclusive, so a single (1 + num_fc + num_oc)-key selection of the
+            # common [A0 B0 A1 B1 s_a s_b] record replaces the three per-site
+            # blocks + 3-way merge the kernel used to run (saving the duplicate
+            # Jones matvecs and merge selects; measured vs the three-block
+            # form).  The SMEM offsets per row are Python constants, so the
+            # sites' different block layouts need no repacking; selected values
+            # are the same f32 scalars, every product is exactly 0 or the
+            # value, and downstream math is unchanged — bitwise identical
+            # results (test_persistent asserts vs the monolithic kernel).
+            W = 34
+            rows = [(grp_ic,
+                     [_IC_BLK + j for j in range(32)] + [_IC_SA, _IC_SB])]
+            for k in range(num_fc):
+                base = _FC_BLK + k * _FC_STRIDE
+                rows.append((grp_fc & (fc_strip == k),
+                             [base + j for j in range(34)]))
+            oc_rows = []
+            for k in range(num_oc):
+                base = _OC_BLK + k * _OC_STRIDE
+                mk = grp_oc & (oc_strip == k)
+                oc_rows.append((mk, base))
+                rows.append((mk,
+                             [base + j for j in range(8)]
+                             + [base + 8 + j for j in range(8)]
+                             + [base + 24 + j for j in range(8)]
+                             + [base + 32 + j for j in range(8)]
+                             + [base + 48, base + 49]))
+            if accum_mode == "select":
+                p = [zero for _ in range(W)]
+                for mk, offs in rows:
+                    for j in range(W):
+                        p[j] = jnp.where(mk, c(offs[j]), p[j])
+                q = [zero for _ in range(16)]
+                for mk, base in oc_rows:
+                    for j in range(8):
+                        q[j] = jnp.where(mk, c(base + 16 + j), q[j])
+                        q[8 + j] = jnp.where(mk, c(base + 40 + j), q[8 + j])
+            else:
+                p = [zero for _ in range(W)]
+                for mk, offs in rows:
+                    mf = mk.astype(jnp.float32)
+                    for j in range(W):
+                        p[j] = p[j] + mf * c(offs[j])
+                # the out-couple order's Jones (branch C) exists only on OC rows
+                q = [zero for _ in range(16)]
+                for mk, base in oc_rows:
+                    mf = mk.astype(jnp.float32)
+                    for j in range(8):
+                        q[j] = q[j] + mf * c(base + 16 + j)
+                        q[8 + j] = q[8 + j] + mf * c(base + 40 + j)
 
-            pol_a = tuple(sel3(ic_out[j], fc_out[j], oc_out[j]) for j in range(4))
-            pol_b = tuple(sel3(ic_out[4 + j], fc_out[4 + j], oc_out[4 + j])
-                          for j in range(4))
-            pol_c = tuple(oc_out[8 + j] for j in range(4))
-            s_a = sel3(ic_out[8], fc_out[8], oc_out[12])
-            s_b = sel3(ic_out[9], fc_out[9], oc_out[13])
+            ja = [jnp.where(bit, p[16 + j], p[j]) for j in range(8)]
+            jb = [jnp.where(bit, p[24 + j], p[8 + j]) for j in range(8)]
+            jc = [jnp.where(bit, q[8 + j], q[j]) for j in range(8)]
+            pol_a = _jones_vec(ja, 0, ter, tei, tmr, tmi)
+            pol_b = _jones_vec(jb, 0, ter, tei, tmr, tmi)
+            pol_c = _jones_vec(jc, 0, ter, tei, tmr, tmi)
+            s_a = p[32]
+            s_b = p[33]
             s_c = c(_OC_SOUT)
 
             inv_cos = 1.0 / cos_th

@@ -152,6 +152,21 @@ def test_cli_sweep_small(capsys):
     assert "best mean efficiency" in capsys.readouterr().out
 
 
+def test_cli_optimize_small(tmp_path, capsys):
+    from gpu_ray_tracing_for_waveguide_based_ar_display_tpu.cli import main
+
+    js = str(tmp_path / "apod.json")
+    rc = main([
+        "optimize", "--fov-x", "4", "--fov-y", "3", "--rays-per-fov", "8",
+        "--steps", "3", "--capacity", "1024", "--trace-steps", "24",
+        "--json", js,
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "s_oc:" in out
+    assert os.path.exists(js)
+
+
 def test_presets_generate_and_trace():
     """Every preset must produce valid geometry and transport energy."""
     from gpu_ray_tracing_for_waveguide_based_ar_display_tpu.config import TraceConfig
