@@ -11,6 +11,7 @@ the accumulated eyebox histogram to the headline metrics.
 from __future__ import annotations
 
 import dataclasses
+import os
 import time
 from typing import Optional
 
@@ -409,6 +410,8 @@ class Simulator:
                 edge_counts=(len(self.tgeom.hull_hp), len(self.tgeom.r1_hp),
                              len(self.tgeom.r2_hp)),
                 accum_mode=self._pers_accum_mode,
+                flush_w=int(os.environ.get(
+                    "PERS_FLUSH_W", trace_pallas_persistent._FLUSH_W)),
             )
             if self._mesh is not None:
                 from ..parallel.shard import make_sharded_cell_trace_fn

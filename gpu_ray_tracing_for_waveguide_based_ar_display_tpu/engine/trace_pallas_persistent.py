@@ -41,7 +41,7 @@ from .trace_pallas import (
 )
 
 NY_PAD = 128   # eyebox x bins padded to the lane width
-_FLUSH_W = 8   # deposit-buffer flush period (iterations)
+_FLUSH_W = 16  # deposit-buffer flush period (iterations; power of two)
 
 
 def make_persistent_trace_fn(cfg: TraceConfig, num_fc: int, num_oc: int,
@@ -49,7 +49,8 @@ def make_persistent_trace_fn(cfg: TraceConfig, num_fc: int, num_oc: int,
                              interpret: bool = False,
                              phase_gating: bool = True,
                              max_iters: int = 0, cond_interval: int = 8,
-                             edge_counts=None, accum_mode: str = "fma"):
+                             edge_counts=None, accum_mode: str = "fma",
+                             flush_w: int = _FLUSH_W):
     """Build ``trace(cell_params, geom_row, rays_in, rng_in[, ctrl]) -> (hist, nb)``.
 
     - rays_in: (C, 6, RT, 128) initial fields (x, y, ter, tei, tmr, tmi); these are
@@ -74,6 +75,11 @@ def make_persistent_trace_fn(cfg: TraceConfig, num_fc: int, num_oc: int,
     RT = rays_tile_rows
     ny, nx = cfg.eyebox_bins
     assert nx <= NY_PAD
+    assert flush_w >= 4 and (flush_w & (flush_w - 1)) == 0, flush_w
+    # staged deposit-code slots per lane: a fresh generation needs >= 4
+    # iterations (init -> FC -> fold -> OC) to reach the out-coupler, so a
+    # lane deposits at most ceil(flush_w / 4) times per flush window
+    n_codes = max(2, flush_w // 4)
     if max_iters <= 0:
         max_iters = cfg.max_bounces
     # actual (hull, r1, r2) half-plane counts; the packed rows beyond them are
@@ -85,7 +91,7 @@ def make_persistent_trace_fn(cfg: TraceConfig, num_fc: int, num_oc: int,
     def kernel(ctrl_ref, g_ref, c_ref, rays_ref, rng_ref, hist_ref,
                nb_ref, dscr):
         def g(j):
-            return g_ref[0, j]
+            return g_ref[0, 0, j]
 
         def c(j):
             return c_ref[0, 0, j]
@@ -143,16 +149,46 @@ def make_persistent_trace_fn(cfg: TraceConfig, num_fc: int, num_oc: int,
         state0 = zero_i + 7   # 7 = awaiting (re)spawn
         gen0 = zero_i + 1     # the initial spawn is gen 1
 
+        # ---- per-slot init constants, hoisted out of the bounce loop: every
+        # respawn re-enters with the slot's original (x0, y0, E0), so the
+        # first-IC-interaction Jones matvecs, branch efficiencies, normalized
+        # + TIR-phased fields, first hop and IC-containment results are
+        # generation-invariant.  Computed once per cell with the exact op
+        # sequence the in-loop block used to run -> bitwise-identical physics
+        # (asserted vs the monolithic kernel in test_persistent), while the
+        # per-iteration init path shrinks to the RNG draw, the branch
+        # roulette, and constant selects.
+        pa0 = _jones_scalar(c, _INIT_JA, ter0, tei0, tmr0, tmi0)
+        pb0 = _jones_scalar(c, _INIT_JB, ter0, tei0, tmr0, tmi0)
+        pw_a0 = pa0[0] ** 2 + pa0[1] ** 2 + pa0[2] ** 2 + pa0[3] ** 2
+        pw_b0 = pb0[0] ** 2 + pb0[1] ** 2 + pb0[2] ** 2 + pb0[3] ** 2
+        inv_cos0 = 1.0 / c(_INIT_COS0)
+        eff_a0 = pw_a0 * c(_INIT_SA) * inv_cos0
+        eff_ab0 = eff_a0 + pw_b0 * c(_INIT_SB) * inv_cos0
+        inv_a0 = jax.lax.rsqrt(jnp.maximum(pw_a0, 1e-30))
+        inv_b0 = jax.lax.rsqrt(jnp.maximum(pw_b0, 1e-30))
+        tmra0, tmia0 = phase_mul(c(_TIR_PH + 0), c(_TIR_PH + 1),
+                                 pa0[2] * inv_a0, pa0[3] * inv_a0)
+        tmrb0, tmib0 = phase_mul(c(_TIR_PH + 4), c(_TIR_PH + 5),
+                                 pb0[2] * inv_b0, pb0[3] * inv_b0)
+        fld_a0 = (pa0[0] * inv_a0, pa0[1] * inv_a0, tmra0, tmia0)
+        fld_b0 = (pb0[0] * inv_b0, pb0[1] * inv_b0, tmrb0, tmib0)
+        x1a0, y1a0 = x0 + c(_GAPS + 0), y0 + c(_GAPS + 1)
+        x1b0, y1b0 = x0 + c(_GAPS + 4), y0 + c(_GAPS + 5)
+        icin_a0 = in_ic(x1a0, y1a0)
+        icin_b0 = in_ic(x1b0, y1b0)
+        st1_a0 = jnp.where(icin_a0, 0, 2).astype(jnp.int32)
+
         def cond(carry):
-            (x, y, ter, tei, tmr, tmi, cos_th, gx, gy, state, gen, rng,
-             nb, it, ov, dcode, scode) = carry
+            state, gen, it = carry[9], carry[10], carry[13]
             exhausted = ((state == 6) & (gen >= ctrl_ref[0, 0])
                          & (it >= ctrl_ref[0, 1]))
             return (it < max_iters) & (jnp.sum((~exhausted).astype(jnp.int32)) > 0)
 
         def body(carry):
             (x, y, ter, tei, tmr, tmi, cos_th, gx, gy, state, gen, rng,
-             nb, it, ov, dcode, scode) = carry
+             nb, it, ov) = carry[:15]
+            codes = list(carry[15:])
 
             # ---- respawn: dead slots with generations remaining re-enter init
             rs = (state == 6) & ((gen < ctrl_ref[0, 0]) | (it < ctrl_ref[0, 1]))
@@ -165,48 +201,32 @@ def make_persistent_trace_fn(cfg: TraceConfig, num_fc: int, num_oc: int,
             tmr = jnp.where(rs, tmr0, tmr)
             tmi = jnp.where(rs, tmi0, tmi)
 
-            # ---- init (first IC interaction) for awaiting slots
+            # ---- init (first IC interaction) for awaiting slots: all the
+            # field math is hoisted per-slot constants (see above); only the
+            # roulette draw and the constant selects run per iteration
             m7 = state == 7
 
             def init_block(args):
                 (x, y, ter, tei, tmr, tmi, cos_th, gx, gy, state, rng) = args
-                pa = _jones_scalar(c, _INIT_JA, ter, tei, tmr, tmi)
-                pb = _jones_scalar(c, _INIT_JB, ter, tei, tmr, tmi)
-                pw_a = pa[0] ** 2 + pa[1] ** 2 + pa[2] ** 2 + pa[3] ** 2
-                pw_b = pb[0] ** 2 + pb[1] ** 2 + pb[2] ** 2 + pb[3] ** 2
-                inv_cos0 = 1.0 / c(_INIT_COS0)
-                eff_a = pw_a * c(_INIT_SA) * inv_cos0
-                eff_b = pw_b * c(_INIT_SB) * inv_cos0
                 rng_new = _xorshift(rng)
                 u = ((rng_new >> 8).astype(jnp.int32).astype(f32)
                      * f32(1.0 / 16777216.0))
                 rng = jnp.where(m7, rng_new, rng)
-                a = m7 & (u <= eff_a)
-                b = m7 & ~a & (u <= eff_a + eff_b)
-                ter1 = jnp.where(a, pa[0], pb[0])
-                tei1 = jnp.where(a, pa[1], pb[1])
-                tmr1 = jnp.where(a, pa[2], pb[2])
-                tmi1 = jnp.where(a, pa[3], pb[3])
-                pw = (ter1 * ter1 + tei1 * tei1 + tmr1 * tmr1 + tmi1 * tmi1)
-                inv = jax.lax.rsqrt(jnp.maximum(pw, 1e-30))
-                phr = jnp.where(a, c(_TIR_PH + 0), c(_TIR_PH + 4))
-                phi_ = jnp.where(a, c(_TIR_PH + 1), c(_TIR_PH + 5))
-                ter1, tei1 = ter1 * inv, tei1 * inv
-                tmr1, tmi1 = phase_mul(phr, phi_, tmr1 * inv, tmi1 * inv)
+                a = m7 & (u <= eff_a0)
+                b = m7 & ~a & (u <= eff_ab0)
+                st1 = jnp.where(a, st1_a0,
+                                jnp.where(b & icin_b0, 1, 6)).astype(jnp.int32)
+                live = (st1 < 6) & m7
                 gxn = jnp.where(a, c(_GAPS + 0), c(_GAPS + 4))
                 gyn = jnp.where(a, c(_GAPS + 1), c(_GAPS + 5))
-                x1 = x + gxn
-                y1 = y + gyn
-                icin = in_ic(x1, y1)
-                st1 = jnp.where(
-                    a, jnp.where(icin, 0, 2), jnp.where(b & icin, 1, 6)
-                ).astype(jnp.int32)
-                live = (st1 < 6) & m7
                 cth1 = jnp.where(a, c(_IC_SA), c(_IC_SB))
                 return (
-                    jnp.where(live, x1, x), jnp.where(live, y1, y),
-                    jnp.where(live, ter1, ter), jnp.where(live, tei1, tei),
-                    jnp.where(live, tmr1, tmr), jnp.where(live, tmi1, tmi),
+                    jnp.where(live, jnp.where(a, x1a0, x1b0), x),
+                    jnp.where(live, jnp.where(a, y1a0, y1b0), y),
+                    jnp.where(live, jnp.where(a, fld_a0[0], fld_b0[0]), ter),
+                    jnp.where(live, jnp.where(a, fld_a0[1], fld_b0[1]), tei),
+                    jnp.where(live, jnp.where(a, fld_a0[2], fld_b0[2]), tmr),
+                    jnp.where(live, jnp.where(a, fld_a0[3], fld_b0[3]), tmi),
                     jnp.where(m7, cth1, cos_th),
                     jnp.where(live, gxn, gx), jnp.where(live, gyn, gy),
                     jnp.where(m7, st1, state), rng,
@@ -394,31 +414,34 @@ def make_persistent_trace_fn(cfg: TraceConfig, num_fc: int, num_oc: int,
             # deposits became per-iteration events (saturating-spawn mode).
             #
             # Deposit codes are *staged in loop-carry registers* and flushed
-            # every ``_FLUSH_W`` iterations, cutting the MXU work 8x and
-            # keeping the per-iteration path free of VMEM read-modify-writes
-            # (the codes only touch the VMEM scratch inside the flush, where
-            # Mosaic's ref row slicing feeds the drain matmuls).  A lane
-            # deposits at most once per generation and a fresh generation
-            # needs >=4 iterations (init -> FC -> fold -> OC) to reach the
-            # out-coupler, so a lane deposits at most twice per 8-iteration
-            # window: the primary code plus one spill code hold every case
-            # with pure vector ops (no per-iteration scalar reduce).  A third
-            # same-window deposit is impossible by that timing; it is
-            # nonetheless *counted* (nb[:, 3]) so callers can assert it never
-            # happened rather than trust the argument.  Invalid lanes carry
-            # -1, whose arithmetic-shift row index (-1) matches no histogram
-            # row.
+            # every ``flush_w`` iterations, cutting the MXU drain work
+            # ``flush_w``x and keeping the per-iteration path free of VMEM
+            # read-modify-writes (the codes only touch the VMEM scratch
+            # inside the flush, where Mosaic's ref row slicing feeds the
+            # drain matmuls).  A lane deposits at most once per generation
+            # and a fresh generation needs >=4 iterations (init -> FC ->
+            # fold -> OC) to reach the out-coupler, so a lane deposits at
+            # most ``n_codes = flush_w/4`` times per flush window; that many
+            # staged slots hold every case with pure vector ops (no
+            # per-iteration scalar reduce).  A further same-window deposit is
+            # impossible by that timing; it is nonetheless *counted*
+            # (nb[:, 3]) so callers can assert it never happened rather than
+            # trust the argument.  Invalid lanes carry -1, whose
+            # arithmetic-shift row index (-1) matches no histogram row.
             code_new = jnp.where(dep_valid, iy * NY_PAD + ix, -1)
-            occ_a = dcode >= 0
-            spill = dep_valid & occ_a
-            lost = spill & (scode >= 0)
-            ov = ov + jnp.sum(lost.astype(jnp.int32))
-            dcode = jnp.where(dep_valid & ~occ_a, code_new, dcode)
-            scode = jnp.where(spill & (scode < 0), code_new, scode)
+            placed = ~dep_valid
+            for i in range(n_codes):
+                can = ~placed & (codes[i] < 0)
+                codes[i] = jnp.where(can, code_new, codes[i])
+                placed = placed | can
+            ov = ov + jnp.sum((~placed).astype(jnp.int32))
 
             def do_flush(codes):
-                dc, sc = codes
-                dscr[:] = dc
+                # slot 0 holds every first-in-window deposit -> drain
+                # unconditionally; later slots are occupied only when a lane
+                # deposited 2+ times in one window (rare) -> gate each on an
+                # any-occupied test
+                dscr[:] = codes[0]
                 drain_scratch(None)
 
                 def spill_flush(sc2):
@@ -426,17 +449,18 @@ def make_persistent_trace_fn(cfg: TraceConfig, num_fc: int, num_oc: int,
                     drain_scratch(None)
                     return 0
 
-                jax.lax.cond(jnp.any(sc >= 0), spill_flush,
-                             lambda _: 0, sc)
+                for i in range(1, n_codes):
+                    jax.lax.cond(jnp.any(codes[i] >= 0), spill_flush,
+                                 lambda _: 0, codes[i])
                 # int x*0 can fold to a replicated-layout splat; derive the
                 # reset codes from concrete float data instead (cf. the carry
                 # initializers above)
                 empty = (x * 0.0).astype(jnp.int32) - 1
-                return empty, empty
+                return (empty,) * n_codes
 
-            dcode, scode = jax.lax.cond(
-                (it & (_FLUSH_W - 1)) == (_FLUSH_W - 1), do_flush,
-                lambda codes: codes, (dcode, scode))
+            codes = list(jax.lax.cond(
+                (it & (flush_w - 1)) == (flush_w - 1), do_flush,
+                lambda cs: tuple(cs), tuple(codes)))
 
             # ---- misses
             miss_fc2 = grp_fc & ~in_hull & (state == 2)
@@ -464,11 +488,11 @@ def make_persistent_trace_fn(cfg: TraceConfig, num_fc: int, num_oc: int,
             gx = jnp.where(accept, gx_n, gx)
             gy = jnp.where(accept, gy_n, gy)
             return (x, y, ter, tei, tmr, tmi, cos_th, gx, gy, state, gen, rng,
-                    nb, it + 1, ov, dcode, scode)
+                    nb, it + 1, ov, *codes)
 
         carry = (x0, y0, ter0, tei0, tmr0, tmi0, zeros + 1.0,
                  zeros, zeros, state0, gen0, rng_ref[0], jnp.int32(0),
-                 jnp.int32(0), jnp.int32(0), zero_i - 1, zero_i - 1)
+                 jnp.int32(0), jnp.int32(0)) + (zero_i - 1,) * n_codes
 
         def chunk(carry):
             return jax.lax.fori_loop(
@@ -476,10 +500,9 @@ def make_persistent_trace_fn(cfg: TraceConfig, num_fc: int, num_oc: int,
 
         carry = jax.lax.while_loop(cond, chunk, carry)
         # safety: flush codes still staged in the carries at exit
-        dscr[:] = carry[15]
-        drain_scratch(None)
-        dscr[:] = carry[16]
-        drain_scratch(None)
+        for i in range(n_codes):
+            dscr[:] = carry[15 + i]
+            drain_scratch(None)
         nb_ref[0, 0, 0] = carry[12]
         nb_ref[0, 0, 1] = carry[13]   # iterations (diagnostics)
         nb_ref[0, 0, 2] = jnp.sum(carry[10])  # rays spawned (gen counters)
@@ -507,7 +530,10 @@ def make_persistent_trace_fn(cfg: TraceConfig, num_fc: int, num_oc: int,
             in_specs=[
                 pl.BlockSpec((1, 2), lambda i: (0, 0),
                              memory_space=pltpu.SMEM),
-                pl.BlockSpec((1, PG), lambda i: (i // cpd, 0),
+                # unit middle dim so the (1, 1, PG) block equals the array's
+                # trailing dims (Mosaic rejects a (1, PG) block of a (D, PG)
+                # array for D > 1 — the multi-design sweep case)
+                pl.BlockSpec((1, 1, PG), lambda i: (i // cpd, 0, 0),
                              memory_space=pltpu.SMEM),
                 pl.BlockSpec((1, 1, PC), lambda i: (i, 0, 0),
                              memory_space=pltpu.SMEM),
@@ -525,7 +551,7 @@ def make_persistent_trace_fn(cfg: TraceConfig, num_fc: int, num_oc: int,
             out_shape=out_shapes,
             scratch_shapes=[pltpu.VMEM((RT, LANES), jnp.int32)],
             interpret=interpret,
-        )(ctrl.reshape(1, 2), geom_row, cell_params[:, None, :],
+        )(ctrl.reshape(1, 2), geom_row[:, None, :], cell_params[:, None, :],
           rays_in, rng_in)
         return hist, nb.reshape(C, 4)
 
