@@ -34,7 +34,10 @@ def run(engine: str):
 
     num_fov_x = int(os.environ.get("BENCH_FOV_X", 100))
     num_fov_y = int(os.environ.get("BENCH_FOV_Y", 75))
-    rays_per_fov = int(os.environ.get("BENCH_RAYS_PER_FOV", 2048))
+    # RT=32 blocks (4096 slots) + a 4096-iteration saturating-spawn budget is
+    # the measured frontier (1.67 G bounces/s kernel-level after init-block
+    # hoisting; RT=64 exhausts vector memory)
+    rays_per_fov = int(os.environ.get("BENCH_RAYS_PER_FOV", 4096))
     cells_per_batch = int(os.environ.get("BENCH_CELLS_PER_BATCH", 4500))
     max_bounces = int(os.environ.get("BENCH_MAX_BOUNCES", 4096))
 
@@ -47,9 +50,9 @@ def run(engine: str):
         cfg=cfg, engine=engine,
         geometry_simplify_tol=0.05 if engine.startswith("pallas") else 1e-3,
         pallas_segmented=(engine == "pallas" and segmented),
-        persistent_slots=int(os.environ.get("BENCH_SLOTS", 2048)),
+        persistent_slots=int(os.environ.get("BENCH_SLOTS", 4096)),
         cond_interval=int(os.environ.get("BENCH_COND_INTERVAL", 8)),
-        spawn_iters=int(os.environ.get("BENCH_SPAWN_ITERS", 1024)),
+        spawn_iters=int(os.environ.get("BENCH_SPAWN_ITERS", 4096)),
         pers_phase_gating=(None if "BENCH_PHASE_GATING" not in os.environ
                            else os.environ["BENCH_PHASE_GATING"] != "0"),
         pers_accum_mode=os.environ.get("BENCH_ACCUM", "fma"),
@@ -98,7 +101,7 @@ def run_reference_workload():
     # a large budget would trace (Wald renormalization keeps it unbiased)
     sim = Simulator(
         cfg=cfg, engine="pallas_persistent", geometry_simplify_tol=0.05,
-        persistent_slots=int(os.environ.get("BENCH_SLOTS", 2048)),
+        persistent_slots=int(os.environ.get("BENCH_REF_SLOTS", 2048)),
         spawn_iters=int(os.environ.get("BENCH_REF_SPAWN_ITERS", 32)),
     )
     t0 = time.perf_counter()

@@ -1,0 +1,83 @@
+"""Full-scale capability demos (BASELINE configs 3 and 5, run on TPU):
+
+- DEMO_CONV=1  (default): convergence-grade run — 1e6 rays/FoV on the dense
+  100x75x3 grid with full metric evaluation.
+- DEMO_SWEEP=1 (default): 256-design batched sweep on the persistent kernel,
+  reported as designs/hour.
+
+Prints one JSON object per enabled demo.  These are the capabilities the
+reference cannot express (its driver hard-codes one design and ~5e3 rays/FoV,
+gpu_ray_tracing_pro_fullColor.py:16-63).
+"""
+import dataclasses
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
+
+import numpy as np
+
+from gpu_ray_tracing_for_waveguide_based_ar_display_tpu.config import (
+    TraceConfig, WaveguideDesign,
+)
+
+out = {}
+
+if os.environ.get("DEMO_CONV", "1") != "0":
+    from gpu_ray_tracing_for_waveguide_based_ar_display_tpu.engine.pipeline import (
+        Simulator,
+    )
+
+    cfg = TraceConfig(num_fov_x=100, num_fov_y=75, rays_per_fov=1_000_000,
+                      max_bounces=100000, seed=0, rng_mode="fast",
+                      ic_test="circle")
+    sim = Simulator(cfg=cfg, engine="pallas_persistent",
+                    geometry_simplify_tol=0.05, persistent_slots=4096,
+                    spawn_iters=1400)
+    t0 = time.perf_counter()
+    res = sim.run(num_iter=1, cells_per_batch=4500, evaluate_metrics=True,
+                  histogram_device=True)
+    wall = time.perf_counter() - t0
+    out["convergence_1e6"] = {
+        "wall_s": round(wall, 1),
+        "rays_traced": res.rays_traced,
+        "total_bounces": res.total_bounces,
+        "bounces_per_sec": round(res.bounces_per_second),
+        "efficiency": {k: round(v, 6) for k, v in res.efficiencies.items()},
+        "delta_e": round(res.metrics.delta_e, 3),
+        "u_fov": round(res.metrics.u_fov, 5),
+        "u_eyebox": round(res.metrics.u_eyebox, 5),
+    }
+    print(json.dumps(out), flush=True)
+
+if os.environ.get("DEMO_SWEEP", "1") != "0":
+    from gpu_ray_tracing_for_waveguide_based_ar_display_tpu.sweep import (
+        run_design_sweep_persistent,
+    )
+
+    base = WaveguideDesign()
+    periods = np.linspace(368.0, 408.0, 256)
+    designs = [
+        dataclasses.replace(base, lambda_ic=float(p), lambda_oc=float(p))
+        for p in periods
+    ]
+    cfg = TraceConfig(num_fov_x=16, num_fov_y=12, rays_per_fov=2048,
+                      max_bounces=4096, seed=0, rng_mode="fast")
+    run_design_sweep_persistent(designs[:1], cfg, spawn_iters=256)  # warm
+    t0 = time.perf_counter()
+    res = run_design_sweep_persistent(designs, cfg, spawn_iters=256)
+    wall = time.perf_counter() - t0
+    best = int(np.argmax(res.efficiencies.mean(axis=1)))
+    out["sweep_256"] = {
+        "designs": 256, "wall_s": round(wall, 1),
+        "designs_per_hour": round(256 / wall * 3600),
+        "total_bounces": int(res.bounces.sum()),
+        "best_period_nm": round(designs[best].lambda_ic, 2),
+        "best_mean_efficiency": round(float(res.efficiencies[best].mean()), 6),
+    }
+    print(json.dumps(out), flush=True)
