@@ -312,6 +312,30 @@ def make_persistent_trace_fn(cfg: TraceConfig, num_fc: int, num_oc: int,
                     for j in range(8):
                         q[j] = jnp.where(mk, c(base + 16 + j), q[j])
                         q[8 + j] = jnp.where(mk, c(base + 40 + j), q[8 + j])
+            elif accum_mode == "bf16":
+                # packed-bf16 accumulation: the one-hot masks are exact in
+                # bf16 and each lane selects exactly one row, so the only
+                # precision cost is rounding the *parameters themselves* to
+                # bf16 (~0.4% relative) — equivalent to tabulating the RCWA
+                # LUT in bf16.  Halves the vector-register traffic of the
+                # selection (bf16 packs 2/word).  Opt-in: physics shifts
+                # within MC noise but is NOT bitwise vs the f32 modes.
+                bfd = jnp.bfloat16
+                zero_bf = (x * 0.0).astype(bfd)
+                p_bf = [zero_bf for _ in range(W)]
+                for mk, offs in rows:
+                    mf = mk.astype(bfd)
+                    for j in range(W):
+                        p_bf[j] = p_bf[j] + mf * c(offs[j]).astype(bfd)
+                q_bf = [zero_bf for _ in range(16)]
+                for mk, base in oc_rows:
+                    mf = mk.astype(bfd)
+                    for j in range(8):
+                        q_bf[j] = q_bf[j] + mf * c(base + 16 + j).astype(bfd)
+                        q_bf[8 + j] = (q_bf[8 + j]
+                                       + mf * c(base + 40 + j).astype(bfd))
+                p = [v.astype(jnp.float32) for v in p_bf]
+                q = [v.astype(jnp.float32) for v in q_bf]
             else:
                 p = [zero for _ in range(W)]
                 for mk, offs in rows:

@@ -291,3 +291,40 @@ def test_device_metrics_path_matches_host(setup):
     assert abs(rd.metrics.delta_e - rh.metrics.delta_e) < 1e-3
     assert abs(rd.metrics.u_fov - rh.metrics.u_fov) < 1e-6
     assert abs(rd.metrics.u_eyebox - rh.metrics.u_eyebox) < 1e-6
+
+
+def test_flush_window_invariance(setup):
+    """Deposit staging windows only regroup exact integer adds; histograms
+    and counters must be bitwise identical across flush_w settings."""
+    geom, tgeom, cfg, n_cells, cp, gr, rays_in, rng_in = setup
+    outs = []
+    for fw in (4, 8, 16):
+        pers = trace_pallas_persistent.make_persistent_trace_fn(
+            cfg, tgeom.num_fc, tgeom.num_oc, RT, gens=2, interpret=True,
+            max_iters=1300, flush_w=fw)
+        tiles, nb = pers(cp, gr, rays_in, rng_in)
+        outs.append((np.asarray(tiles), np.asarray(nb)))
+    for tiles, nb in outs[1:]:
+        np.testing.assert_array_equal(outs[0][0], tiles)
+        np.testing.assert_array_equal(outs[0][1], nb)
+    assert np.all(outs[0][1][:, 3] == 0)  # no staging overflows
+
+
+def test_bf16_accum_mode_close_to_f32(setup):
+    """accum_mode='bf16' rounds the selected parameters to bf16 (~0.4%
+    relative); physics must agree with the f32 path statistically, not
+    bitwise: total deposits and bounces within a few percent."""
+    geom, tgeom, cfg, n_cells, cp, gr, rays_in, rng_in = setup
+    res = {}
+    for mode in ("fma", "bf16"):
+        pers = trace_pallas_persistent.make_persistent_trace_fn(
+            cfg, tgeom.num_fc, tgeom.num_oc, RT, gens=2, interpret=True,
+            max_iters=1300, accum_mode=mode)
+        tiles, nb = pers(cp, gr, rays_in, rng_in)
+        res[mode] = (float(np.asarray(tiles).sum()),
+                     int(np.asarray(nb)[:, 0].sum()))
+    dep_f, nb_f = res["fma"]
+    dep_b, nb_b = res["bf16"]
+    assert dep_f > 0 and dep_b > 0
+    assert abs(dep_b - dep_f) / dep_f < 0.15
+    assert abs(nb_b - nb_f) / nb_f < 0.05
