@@ -320,6 +320,9 @@ def make_persistent_trace_fn(cfg: TraceConfig, num_fc: int, num_oc: int,
                 # LUT in bf16.  Halves the vector-register traffic of the
                 # selection (bf16 packs 2/word).  Opt-in: physics shifts
                 # within MC noise but is NOT bitwise vs the f32 modes.
+                # EXPERIMENTAL: validated in interpret mode; the current
+                # axon Mosaic toolchain faults on this lowering on v5e
+                # (TPU worker crash), so it is not a production mode there.
                 bfd = jnp.bfloat16
                 zero_bf = (x * 0.0).astype(bfd)
                 p_bf = [zero_bf for _ in range(W)]
