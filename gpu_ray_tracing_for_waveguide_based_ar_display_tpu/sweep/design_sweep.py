@@ -144,16 +144,21 @@ def run_design_sweep_persistent(
     spawn_iters: int = 256,
     interpret: bool = False,
     keep_histograms: bool = False,
+    designs_per_batch: int = 64,
 ) -> SweepResult:
     """Design sweep on the production persistent kernel (TPU speed-of-light path).
 
     The kernel's grid is ``D x (L*M*N)`` cell blocks laid out as D contiguous
     per-design runs; each grid step reads its design's geometry scalars from a
-    per-design SMEM row, so the whole sweep is ONE pallas_call at the same
-    per-cell throughput as a single-design production run (~1 G bounces/s/chip)
-    instead of the gather-bound vmapped jnp path.  Per-design efficiencies
-    reduce on device; full histograms are pulled only on ``keep_histograms``
-    (a D x 0.3 GB pull otherwise).
+    per-design SMEM row, so a whole design batch is ONE pallas_call at the
+    same per-cell throughput as a single-design production run instead of the
+    gather-bound vmapped jnp path.  Sweeps larger than ``designs_per_batch``
+    dispatch in chunks (ray/tile buffers are ~60 MB HBM per design at the
+    default config; 256 designs at once exhausts a v5e); the tail chunk is
+    padded with repeats of the last design so every dispatch reuses the one
+    compiled kernel, and the padding's results are dropped.  Per-design
+    efficiencies reduce on device; full histograms are pulled only on
+    ``keep_histograms`` (a D x 0.3 GB pull otherwise).
     """
     import jax.numpy as jnp
 
@@ -198,33 +203,42 @@ def run_design_sweep_persistent(
         cfg, num_fc, num_oc, rt, gens=gens, interpret=interpret,
         phase_gating=(spawn_iters <= 0), max_iters=cfg.max_bounces,
         edge_counts=edge_counts)
-    tiles, nb = trace(
-        jnp.concatenate([jnp.asarray(c) for c in cps], axis=0),
-        jnp.asarray(np.stack(grs)),
-        jnp.concatenate([jnp.asarray(r) for r in rays_l], axis=0),
-        jnp.concatenate([jnp.asarray(r) for r in rngs_l], axis=0),
-        jnp.asarray([gens, spawn_iters], jnp.int32),
-    )
-    # per-design device reductions (renormalized to nominal sample units)
     nominal = slots * gens
-    spawned = jnp.maximum(nb[:, 2], 1).astype(jnp.float32)
-    factor = (nominal / spawned) if spawn_iters > 0 else jnp.ones_like(spawned)
-    cell_sums = jnp.sum(tiles[:, :, :nx], axis=(1, 2)) * factor
-    per_design_l = cell_sums.reshape(D, L, M * N).sum(axis=2)
-    eff = np.asarray(per_design_l) / (nominal * M * N * L) * L
-    bounces = np.asarray(jnp.sum(nb[:, 0].reshape(D, n_cells), axis=1))
-    hists = None
-    if keep_histograms:
-        hists = np.stack([
-            trace_pallas_persistent.hist_tiles_to_histogram(
-                (tiles[i * n_cells:(i + 1) * n_cells]
-                 * factor[i * n_cells:(i + 1) * n_cells, None, None]),
-                np.arange(n_cells), L, M, N, ny, nx)
-            for i in range(D)
-        ])
+    db = max(1, min(designs_per_batch, D))
+    eff_parts, bounce_parts, hist_parts = [], [], []
+    for start in range(0, D, db):
+        idx = list(range(start, min(start + db, D)))
+        pad = db - len(idx) if D > db else 0
+        sel = idx + [idx[-1]] * pad
+        keep = len(idx)
+        tiles, nb = trace(
+            jnp.concatenate([jnp.asarray(cps[i]) for i in sel], axis=0),
+            jnp.asarray(np.stack([grs[i] for i in sel])),
+            jnp.concatenate([jnp.asarray(rays_l[i]) for i in sel], axis=0),
+            jnp.concatenate([jnp.asarray(rngs_l[i]) for i in sel], axis=0),
+            jnp.asarray([gens, spawn_iters], jnp.int32),
+        )
+        # per-design device reductions (renormalized to nominal sample units)
+        spawned = jnp.maximum(nb[:, 2], 1).astype(jnp.float32)
+        factor = (nominal / spawned if spawn_iters > 0
+                  else jnp.ones_like(spawned))
+        cell_sums = jnp.sum(tiles[:, :, :nx], axis=(1, 2)) * factor
+        per_design_l = cell_sums.reshape(len(sel), L, M * N).sum(axis=2)
+        eff_parts.append(
+            np.asarray(per_design_l)[:keep] / (nominal * M * N * L) * L)
+        bounce_parts.append(np.asarray(
+            jnp.sum(nb[:, 0].reshape(len(sel), n_cells), axis=1))[:keep])
+        if keep_histograms:
+            hist_parts.extend(
+                trace_pallas_persistent.hist_tiles_to_histogram(
+                    (tiles[i * n_cells:(i + 1) * n_cells]
+                     * factor[i * n_cells:(i + 1) * n_cells, None, None]),
+                    np.arange(n_cells), L, M, N, ny, nx)
+                for i in range(keep)
+            )
     return SweepResult(
         designs=list(designs),
-        histograms=hists,
-        efficiencies=eff,
-        bounces=bounces,
+        histograms=np.stack(hist_parts) if keep_histograms else None,
+        efficiencies=np.concatenate(eff_parts, axis=0),
+        bounces=np.concatenate(bounce_parts, axis=0),
     )

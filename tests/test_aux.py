@@ -78,6 +78,32 @@ def test_design_sweep_persistent_kernel():
     np.testing.assert_array_equal(res.efficiencies[1], solo.efficiencies[0])
 
 
+def test_design_sweep_persistent_chunked():
+    """designs_per_batch chunking (with tail padding) must be invisible:
+    chunked results equal the single-dispatch sweep exactly."""
+    import dataclasses
+
+    from gpu_ray_tracing_for_waveguide_based_ar_display_tpu.sweep import (
+        run_design_sweep_persistent,
+    )
+
+    base = WaveguideDesign()
+    designs = [
+        dataclasses.replace(base, lambda_ic=p, lambda_oc=p)
+        for p in (380.0, 388.0, 396.0)
+    ]
+    cfg = TraceConfig(num_fov_x=4, num_fov_y=3, rays_per_fov=128,
+                      max_bounces=256, seed=5)
+    whole = run_design_sweep_persistent(designs, cfg, interpret=True,
+                                        spawn_iters=64, keep_histograms=True)
+    chunked = run_design_sweep_persistent(designs, cfg, interpret=True,
+                                          spawn_iters=64, keep_histograms=True,
+                                          designs_per_batch=2)
+    np.testing.assert_array_equal(whole.efficiencies, chunked.efficiencies)
+    np.testing.assert_array_equal(whole.bounces, chunked.bounces)
+    np.testing.assert_array_equal(whole.histograms, chunked.histograms)
+
+
 def test_checkpoint_roundtrip(tmp_path):
     path = str(tmp_path / "ckpt.npz")
     design = WaveguideDesign()

@@ -41,7 +41,8 @@ def kernel_case(slots: int, spawn: int, cells: int = 4500, reps: int = 3):
                       ic_test="circle")
     sim = Simulator(cfg=cfg, engine="pallas_persistent",
                     geometry_simplify_tol=0.05, persistent_slots=slots,
-                    cond_interval=8, spawn_iters=spawn,
+                    cond_interval=int(os.environ.get("BENCH_COND_INTERVAL", 8)),
+                    spawn_iters=spawn,
                     pers_accum_mode=os.environ.get("BENCH_ACCUM", "fma"))
     chunk = np.arange(cells)
     s, gens = sim._slots_gens(slots)
