@@ -41,7 +41,7 @@ from .trace_pallas import (
 )
 
 NY_PAD = 128   # eyebox x bins padded to the lane width
-_FLUSH_W = 16  # deposit-buffer flush period (iterations; power of two)
+_FLUSH_W = 32  # deposit-buffer flush period (iterations; power of two)
 
 
 def make_persistent_trace_fn(cfg: TraceConfig, num_fc: int, num_oc: int,
@@ -190,16 +190,14 @@ def make_persistent_trace_fn(cfg: TraceConfig, num_fc: int, num_oc: int,
              nb, it, ov) = carry[:15]
             codes = list(carry[15:])
 
-            # ---- respawn: dead slots with generations remaining re-enter init
+            # ---- respawn: dead slots with generations remaining re-enter init.
+            # No field resets needed: init reads only the hoisted per-slot
+            # constants, live lanes get their fields from those constants, and
+            # dead lanes' stale values flow exclusively through masked paths
+            # (finite garbage, never observed) — bitwise-identical output.
             rs = (state == 6) & ((gen < ctrl_ref[0, 0]) | (it < ctrl_ref[0, 1]))
             gen = gen + rs.astype(jnp.int32)
             state = jnp.where(rs, 7, state)
-            x = jnp.where(rs, x0, x)
-            y = jnp.where(rs, y0, y)
-            ter = jnp.where(rs, ter0, ter)
-            tei = jnp.where(rs, tei0, tei)
-            tmr = jnp.where(rs, tmr0, tmr)
-            tmi = jnp.where(rs, tmi0, tmi)
 
             # ---- init (first IC interaction) for awaiting slots: all the
             # field math is hoisted per-slot constants (see above); only the
