@@ -145,6 +145,7 @@ def run_design_sweep_persistent(
     interpret: bool = False,
     keep_histograms: bool = False,
     designs_per_batch: int = 64,
+    _force_host_blocks: bool = False,
 ) -> SweepResult:
     """Design sweep on the production persistent kernel (TPU speed-of-light path).
 
@@ -174,6 +175,14 @@ def run_design_sweep_persistent(
     rt = slots // trace_pallas.LANES
     gens = -(-cfg.rays_per_fov // slots)
 
+    # With shared pupil samples + the fast RNG, every cell of a design shares
+    # one (6, RT, 128) field tile and the per-ray RNG seeds are a pure hash of
+    # the global ray index: upload one tile per design (~50 KB) and broadcast
+    # on device, hashing seeds there too (bitwise = the host path; see
+    # ops.rng.seed_fast_device).  The full host-built blocks are ~30 MB per
+    # design over the relay link and dominated sweep wall-clock otherwise.
+    broadcast = (cfg.shared_pupil_samples and cfg.rng_mode == "fast"
+                 and not _force_host_blocks)
     cps, grs, rays_l, rngs_l, tgeoms = [], [], [], [], []
     for d in designs:
         geom = generate_geometry(d, cfg.num_fov_x, cfg.num_fov_y)
@@ -186,10 +195,18 @@ def run_design_sweep_persistent(
         grs.append(trace_pallas.build_kernel_geom(tg))
         import dataclasses as _dc
 
-        b = seeding.build_ray_batch(geom, _dc.replace(cfg, rays_per_fov=slots))
-        r_in, rng_in = trace_pallas.pack_ray_blocks(b, n_cells, slots, rt)
-        rays_l.append(r_in)
-        rngs_l.append(rng_in)
+        if broadcast:
+            b = seeding.build_ray_batch(
+                geom, _dc.replace(cfg, rays_per_fov=slots),
+                cell_ids=np.array([0]), rays_per_cell=slots)
+            tile, _ = trace_pallas.pack_ray_blocks(b, 1, slots, rt)
+            rays_l.append(tile[0])  # (6, RT, 128) host tile, per design
+        else:
+            b = seeding.build_ray_batch(
+                geom, _dc.replace(cfg, rays_per_fov=slots))
+            r_in, rng_in = trace_pallas.pack_ray_blocks(b, n_cells, slots, rt)
+            rays_l.append(r_in)
+            rngs_l.append(rng_in)
 
     num_fc = tgeoms[0].num_fc
     num_oc = tgeoms[0].num_oc
@@ -206,16 +223,37 @@ def run_design_sweep_persistent(
     nominal = slots * gens
     db = max(1, min(designs_per_batch, D))
     eff_parts, bounce_parts, hist_parts = [], [], []
+    if broadcast:
+        from ..ops import rng as rng_ops
+
+        assert n_cells * slots <= 0xFFFFFFFF
+        ridx = (jnp.arange(n_cells, dtype=jnp.uint32)[:, None]
+                * jnp.uint32(slots)
+                + jnp.arange(slots, dtype=jnp.uint32)[None, :])
+        rng_cell = rng_ops.seed_fast_device(ridx, cfg.seed).reshape(
+            n_cells, rt, trace_pallas.LANES)
     for start in range(0, D, db):
         idx = list(range(start, min(start + db, D)))
         pad = db - len(idx) if D > db else 0
         sel = idx + [idx[-1]] * pad
         keep = len(idx)
+        if broadcast:
+            base = jnp.asarray(np.stack([rays_l[i] for i in sel]))
+            rays_in = jnp.broadcast_to(
+                base[:, None], (len(sel), n_cells) + base.shape[1:]
+            ).reshape((len(sel) * n_cells,) + base.shape[1:])
+            rng_in = jnp.broadcast_to(
+                rng_cell[None], (len(sel),) + rng_cell.shape
+            ).reshape((len(sel) * n_cells,) + rng_cell.shape[1:])
+        else:
+            rays_in = jnp.concatenate(
+                [jnp.asarray(rays_l[i]) for i in sel], axis=0)
+            rng_in = jnp.concatenate(
+                [jnp.asarray(rngs_l[i]) for i in sel], axis=0)
         tiles, nb = trace(
             jnp.concatenate([jnp.asarray(cps[i]) for i in sel], axis=0),
             jnp.asarray(np.stack([grs[i] for i in sel])),
-            jnp.concatenate([jnp.asarray(rays_l[i]) for i in sel], axis=0),
-            jnp.concatenate([jnp.asarray(rngs_l[i]) for i in sel], axis=0),
+            rays_in, rng_in,
             jnp.asarray([gens, spawn_iters], jnp.int32),
         )
         # per-design device reductions (renormalized to nominal sample units)

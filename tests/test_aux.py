@@ -104,6 +104,32 @@ def test_design_sweep_persistent_chunked():
     np.testing.assert_array_equal(whole.histograms, chunked.histograms)
 
 
+def test_design_sweep_persistent_broadcast_seeding():
+    """Device-broadcast ray tiles + device-hashed RNG seeds must be bitwise
+    equal to the full host-built blocks (the relay-upload saver)."""
+    import dataclasses
+
+    from gpu_ray_tracing_for_waveguide_based_ar_display_tpu.sweep import (
+        run_design_sweep_persistent,
+    )
+
+    base = WaveguideDesign()
+    designs = [
+        dataclasses.replace(base, lambda_ic=p, lambda_oc=p)
+        for p in (384.0, 392.0)
+    ]
+    cfg = TraceConfig(num_fov_x=4, num_fov_y=3, rays_per_fov=128,
+                      max_bounces=256, seed=5)
+    fast = run_design_sweep_persistent(designs, cfg, interpret=True,
+                                       spawn_iters=64, keep_histograms=True)
+    host = run_design_sweep_persistent(designs, cfg, interpret=True,
+                                       spawn_iters=64, keep_histograms=True,
+                                       _force_host_blocks=True)
+    np.testing.assert_array_equal(fast.histograms, host.histograms)
+    np.testing.assert_array_equal(fast.efficiencies, host.efficiencies)
+    np.testing.assert_array_equal(fast.bounces, host.bounces)
+
+
 def test_checkpoint_roundtrip(tmp_path):
     path = str(tmp_path / "ckpt.npz")
     design = WaveguideDesign()
