@@ -10,7 +10,10 @@ full-color tracing of the paper design over a 100x75 FoV grid,
 gpu_ray_tracing_pro_fullColor.py:16-17,60-63).
 
 Env knobs: BENCH_ENGINE (pallas|jnp), BENCH_FOV_X/Y, BENCH_RAYS_PER_FOV,
-BENCH_CELLS_PER_BATCH, BENCH_MAX_BOUNCES, BENCH_SLOTS, BENCH_COND_INTERVAL, BENCH_SPAWN_ITERS.
+BENCH_CELLS_PER_BATCH, BENCH_MAX_BOUNCES, BENCH_SLOTS, BENCH_COND_INTERVAL,
+BENCH_SPAWN_ITERS, BENCH_ACCUM, PERS_FLUSH_W (headline run);
+BENCH_REF_SLOTS, BENCH_REF_SPAWN_ITERS, BENCH_REF_WORKLOAD=0 (reference
+workload); BENCH_SWEEP_DESIGNS, BENCH_SWEEP=0 (sweep figure).
 """
 
 import json
@@ -145,8 +148,11 @@ def run_sweep_figure():
     ]
     cfg = TraceConfig(num_fov_x=16, num_fov_y=12, rays_per_fov=2048,
                       max_bounces=4096, seed=0, rng_mode="fast")
-    # warm-up on 1 design compiles the kernel variant (cached thereafter)
-    run_design_sweep_persistent(designs[:1], cfg, spawn_iters=256)
+    # warm-up must compile the *chunk-sized* grid the timed run dispatches
+    # (C = designs_per_batch x cells); a 1-design warm-up compiles a
+    # different XLA program and the cold compile would land inside the timer
+    warm = designs[:1] * min(64, n_designs)
+    run_design_sweep_persistent(warm, cfg, spawn_iters=256)
     t0 = time.perf_counter()
     res = run_design_sweep_persistent(designs, cfg, spawn_iters=256)
     wall = time.perf_counter() - t0

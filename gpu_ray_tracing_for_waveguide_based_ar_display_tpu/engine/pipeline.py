@@ -316,7 +316,11 @@ class Simulator:
         device; the per-cell RNG seeds are *hashed on device*
         (:func:`..ops.rng.seed_fast_device`, bitwise = the host hash) — the
         seed upload (~184 MB per iteration over a relay link at full workload)
-        used to dominate the reference-workload wall clock."""
+        used to dominate the reference-workload wall clock.
+
+        Seed contract: global ray index = (iteration * cells + cid) * slots
+        + slot.  ``sweep.design_sweep`` applies the same contract (iteration
+        0) for its broadcast path; keep the two in sync."""
         import jax.numpy as jnp
 
         rt = slots // trace_pallas.LANES
@@ -557,6 +561,11 @@ class Simulator:
                     total_spawned += (int(nbh[:, 2].sum())
                                       if nbh.shape[1] > 2 else n)
                     total_rays += n
+                    if nbh.shape[1] > 3 and int(nbh[:, 3].sum()):
+                        raise RuntimeError(
+                            f"{int(nbh[:, 3].sum())} deposit codes overflowed "
+                            "the kernel's staging slots (nb[:, 3] != 0) — the "
+                            "histogram undercounts; lower flush_w")
                 nb_pending.clear()
 
             for it in range(start_iter, iters):

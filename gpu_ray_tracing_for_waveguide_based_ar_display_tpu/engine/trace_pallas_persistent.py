@@ -76,10 +76,14 @@ def make_persistent_trace_fn(cfg: TraceConfig, num_fc: int, num_oc: int,
     ny, nx = cfg.eyebox_bins
     assert nx <= NY_PAD
     assert flush_w >= 4 and (flush_w & (flush_w - 1)) == 0, flush_w
-    # staged deposit-code slots per lane: a fresh generation needs >= 4
-    # iterations (init -> FC -> fold -> OC) to reach the out-coupler, so a
-    # lane deposits at most ceil(flush_w / 4) times per flush window
-    n_codes = max(2, flush_w // 4)
+    # staged deposit-code slots per lane: a fresh generation needs >= 3
+    # iterations to reach the out-coupler (init and a same-iteration FC hit
+    # can share a body call: respawn -> init to state 2 -> FC fold, then
+    # fold-miss to state 4, then OC deposit), so a lane deposits at most
+    # ceil(flush_w / 3) times per flush window.  Overflow is additionally
+    # *checked* downstream: nb[:, 3] counts dropped codes and the pipeline /
+    # sweep raise if it is ever nonzero.
+    n_codes = max(2, -(-flush_w // 3))
     if max_iters <= 0:
         max_iters = cfg.max_bounces
     # actual (hull, r1, r2) half-plane counts; the packed rows beyond them are
@@ -444,15 +448,15 @@ def make_persistent_trace_fn(cfg: TraceConfig, num_fc: int, num_oc: int,
             # read-modify-writes (the codes only touch the VMEM scratch
             # inside the flush, where Mosaic's ref row slicing feeds the
             # drain matmuls).  A lane deposits at most once per generation
-            # and a fresh generation needs >=4 iterations (init -> FC ->
-            # fold -> OC) to reach the out-coupler, so a lane deposits at
-            # most ``n_codes = flush_w/4`` times per flush window; that many
-            # staged slots hold every case with pure vector ops (no
-            # per-iteration scalar reduce).  A further same-window deposit is
-            # impossible by that timing; it is nonetheless *counted*
-            # (nb[:, 3]) so callers can assert it never happened rather than
-            # trust the argument.  Invalid lanes carry -1, whose
-            # arithmetic-shift row index (-1) matches no histogram row.
+            # and a fresh generation needs >=3 iterations to reach the
+            # out-coupler (see the ``n_codes`` derivation above), so
+            # ``n_codes = ceil(flush_w/3)`` staged slots hold every case with
+            # pure vector ops (no per-iteration scalar reduce).  A further
+            # same-window deposit is impossible by that timing; it is
+            # nonetheless *counted* (nb[:, 3]) and the pipeline/sweep raise
+            # on a nonzero count rather than trust the argument.  Invalid
+            # lanes carry -1, whose arithmetic-shift row index (-1) matches
+            # no histogram row.
             code_new = jnp.where(dep_valid, iy * NY_PAD + ix, -1)
             placed = ~dep_valid
             for i in range(n_codes):
@@ -524,10 +528,21 @@ def make_persistent_trace_fn(cfg: TraceConfig, num_fc: int, num_oc: int,
                 0, cond_interval, lambda _, cc: body(cc), carry)
 
         carry = jax.lax.while_loop(cond, chunk, carry)
-        # safety: flush codes still staged in the carries at exit
-        for i in range(n_codes):
-            dscr[:] = carry[15 + i]
+        # safety: flush codes still staged in the carries at exit.  Slot 0
+        # holds every first-in-window deposit; later slots are rarely
+        # occupied, so gate their (RT-row MXU) drains on an any-occupied
+        # test — this runs once per cell, not per iteration.
+        dscr[:] = carry[15]
+        drain_scratch(None)
+
+        def _exit_flush(ci):
+            dscr[:] = ci
             drain_scratch(None)
+            return 0
+
+        for i in range(1, n_codes):
+            jax.lax.cond(jnp.any(carry[15 + i] >= 0), _exit_flush,
+                         lambda _: 0, carry[15 + i])
         nb_ref[0, 0, 0] = carry[12]
         nb_ref[0, 0, 1] = carry[13]   # iterations (diagnostics)
         nb_ref[0, 0, 2] = jnp.sum(carry[10])  # rays spawned (gen counters)

@@ -181,7 +181,13 @@ def run_design_sweep_persistent(
     # on device, hashing seeds there too (bitwise = the host path; see
     # ops.rng.seed_fast_device).  The full host-built blocks are ~30 MB per
     # design over the relay link and dominated sweep wall-clock otherwise.
+    # seed contract: global ray index = cid * slots + slot (iteration 0),
+    # hashed with ops.rng.seed_fast — the same contract as
+    # pipeline.Simulator._device_ray_blocks (which adds an iteration term);
+    # keep the two in sync.  Grids whose ray indices exceed 32 bits fall back
+    # to the full host-built blocks (as the pipeline does).
     broadcast = (cfg.shared_pupil_samples and cfg.rng_mode == "fast"
+                 and n_cells * slots <= 0xFFFFFFFF
                  and not _force_host_blocks)
     cps, grs, rays_l, rngs_l, tgeoms = [], [], [], [], []
     for d in designs:
@@ -226,7 +232,6 @@ def run_design_sweep_persistent(
     if broadcast:
         from ..ops import rng as rng_ops
 
-        assert n_cells * slots <= 0xFFFFFFFF
         ridx = (jnp.arange(n_cells, dtype=jnp.uint32)[:, None]
                 * jnp.uint32(slots)
                 + jnp.arange(slots, dtype=jnp.uint32)[None, :])
@@ -256,6 +261,12 @@ def run_design_sweep_persistent(
             rays_in, rng_in,
             jnp.asarray([gens, spawn_iters], jnp.int32),
         )
+        overflowed = int(jnp.sum(nb[:, 3]))
+        if overflowed:
+            raise RuntimeError(
+                f"{overflowed} deposit codes overflowed the kernel's staging "
+                "slots (nb[:, 3] != 0) — the histogram undercounts; lower "
+                "flush_w")
         # per-design device reductions (renormalized to nominal sample units)
         spawned = jnp.maximum(nb[:, 2], 1).astype(jnp.float32)
         factor = (nominal / spawned if spawn_iters > 0

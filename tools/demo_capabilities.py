@@ -68,7 +68,8 @@ if os.environ.get("DEMO_SWEEP", "1") != "0":
     ]
     cfg = TraceConfig(num_fov_x=16, num_fov_y=12, rays_per_fov=2048,
                       max_bounces=4096, seed=0, rng_mode="fast")
-    run_design_sweep_persistent(designs[:1], cfg, spawn_iters=256)  # warm
+    # warm the chunk-sized grid (C = 64 x cells) the timed run dispatches
+    run_design_sweep_persistent(designs[:1] * 64, cfg, spawn_iters=256)
     t0 = time.perf_counter()
     res = run_design_sweep_persistent(designs, cfg, spawn_iters=256)
     wall = time.perf_counter() - t0
