@@ -167,17 +167,30 @@ def run_sweep_figure():
     }
 
 
+_TRANSIENT = ("UNAVAILABLE", "RESOURCE_EXHAUSTED", "DEADLINE_EXCEEDED",
+              "restarted", "crashed")
+
+
 def main():
     engine = os.environ.get("BENCH_ENGINE", "pallas_persistent")
     fallbacks = {"pallas_persistent": "pallas", "pallas": "jnp"}
     out = None
     err = None
+    retried = False
     while True:
         try:
             out = run(engine)
             break
         except Exception as e:  # degrade gracefully on backends without Mosaic
             err = f"{type(e).__name__}: {str(e)[:120]}"
+            # a flaky relay/device error is not a reason to demote the
+            # engine (the jnp fallback is orders of magnitude slower and
+            # would turn a transient blip into a failed bench): retry the
+            # same engine once first
+            if not retried and any(t in str(e) for t in _TRANSIENT):
+                retried = True
+                time.sleep(30)
+                continue
             if engine not in fallbacks:
                 raise
             engine = fallbacks[engine]
