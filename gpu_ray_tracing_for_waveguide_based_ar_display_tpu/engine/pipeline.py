@@ -75,6 +75,8 @@ class Simulator:
         pers_phase_gating: Optional[bool] = None,
         pers_accum_mode: str = "fma",
         mesh=None,
+        spawn_mode: str = "gens",
+        fold_iterations: bool = False,
     ):
         if engine not in ("jnp", "pallas", "pallas_persistent", "cellblock"):
             raise ValueError(f"unknown engine {engine!r}")
@@ -94,10 +96,27 @@ class Simulator:
         # keeps every lane respawning fresh generations until the budget, then
         # drains; per-cell histograms are renormalized by nominal/actual spawns
         self._spawn_iters = spawn_iters
+        # spawn_mode="count": per-cell spawn-target respawn (the kernel's
+        # count_spawn variant) — lanes share the cell's exact sample budget
+        # evenly instead of each tracing a fixed generation quota, which
+        # removes the max-over-lanes generation-sum drain tail that dominates
+        # small-samples-per-cell workloads (the reference default: 5,000
+        # rays/FoV).  Histograms are Wald-renormalized by target/actual.
+        if spawn_mode not in ("gens", "count"):
+            raise ValueError(f"unknown spawn_mode {spawn_mode!r}")
+        self._spawn_mode = spawn_mode
+        # fold_iterations: trace num_iter x rays_per_fov samples in ONE kernel
+        # pass (interleaved generations with continued per-slot RNG streams =
+        # the reference's num_iter relaunch loop, gpu_ray_tracing_pro_fullColor
+        # .py:160-182, which re-traces the same rays with persistent
+        # rng_states).  Pays the per-cell drain tail once instead of num_iter
+        # times; test_persistent_gens_match_sequential_reruns is the
+        # equivalence proof for the generation interleave.
+        self._fold_iterations = fold_iterations
         # saturating-spawn keeps every phase populated, so the per-phase
         # lax.cond gates (scalar any() reduces) are pure overhead there
         if pers_phase_gating is None:
-            pers_phase_gating = spawn_iters <= 0
+            pers_phase_gating = spawn_iters <= 0 and spawn_mode != "count"
         self._pers_phase_gating = pers_phase_gating
         self._pers_accum_mode = pers_accum_mode
         # optional jax.sharding.Mesh: the persistent engine shards its cell
@@ -395,12 +414,13 @@ class Simulator:
         rays_in, rng_in = trace_pallas.pack_ray_blocks(
             batch, len(cell_ids), slots, rt
         )
+        nominal = self._pers_nominal(slots, gens, rays_per_cell)
         tiles, nb = self._pers_fn(rt)(
             self._cp[cell_ids], self._gr, rays_in, rng_in,
-            self._pers_ctrl(gens),
+            self._pers_ctrl(gens, rays_per_cell),
         )
-        tiles = self._renorm_tiles(tiles, nb, slots * gens)
-        return tiles, nb, slots * gens * len(cell_ids)
+        tiles = self._renorm_tiles(tiles, nb, nominal)
+        return tiles, nb, nominal * len(cell_ids)
 
     def _pers_fn(self, rt: int):
         # gens/spawn_iters are runtime scalars; one compile per RT serves all
@@ -416,6 +436,7 @@ class Simulator:
                 accum_mode=self._pers_accum_mode,
                 flush_w=int(os.environ.get(
                     "PERS_FLUSH_W", trace_pallas_persistent._FLUSH_W)),
+                count_spawn=(self._spawn_mode == "count"),
             )
             if self._mesh is not None:
                 from ..parallel.shard import make_sharded_cell_trace_fn
@@ -425,10 +446,19 @@ class Simulator:
             self._pers_cache[rt] = fn
         return self._pers_cache[rt]
 
-    def _pers_ctrl(self, gens: int):
+    def _pers_ctrl(self, gens: int, rays_per_cell: Optional[int] = None):
         import jax.numpy as jnp
 
+        if self._spawn_mode == "count" and rays_per_cell is not None:
+            # ctrl[0] is the per-cell spawn *target* for the count_spawn kernel
+            return jnp.asarray([rays_per_cell, self._spawn_iters], jnp.int32)
         return jnp.asarray([gens, self._spawn_iters], jnp.int32)
+
+    def _pers_nominal(self, slots: int, gens: int, rays_per_cell: int) -> int:
+        """Nominal per-cell sample count the histogram is normalized to."""
+        if self._spawn_mode == "count":
+            return rays_per_cell
+        return slots * gens
 
     def _assemble_hist_dev(self, tile_acc: dict, all_cells: np.ndarray):
         """Per-batch tile accumulators -> (L, N, M, ny, nx) device histogram.
@@ -478,8 +508,9 @@ class Simulator:
         }
 
     def _renorm_tiles(self, tiles, nb, nominal_per_cell: int):
-        # saturating-spawn mode: scale per-cell tiles to nominal-sample units
-        if self._spawn_iters <= 0:
+        # saturating-spawn / count modes: scale per-cell tiles to
+        # nominal-sample units (actual spawns overshoot the target slightly)
+        if self._spawn_iters <= 0 and self._spawn_mode != "count":
             return tiles
         import jax.numpy as jnp
 
@@ -513,6 +544,15 @@ class Simulator:
         """
         rpf = rays_per_fov if rays_per_fov is not None else self.cfg.rays_per_fov
         iters = num_iter if num_iter is not None else self.cfg.num_iter
+        if (self._fold_iterations and iters > 1
+                and self.engine == "pallas_persistent"):
+            # fold the relaunch loop into kernel generations: one dispatch
+            # traces num_iter x rays_per_fov samples per cell (continued
+            # per-slot RNG streams — the reference's own num_iter semantics),
+            # paying the per-cell drain tail once instead of num_iter times.
+            # Downstream normalization uses the actual rays-per-cell x iters
+            # product, which is invariant under the fold.
+            rpf, iters = rpf * iters, 1
         all_cells = np.arange(self.L * self.M * self.N)
         if wavelengths is not None:
             lsel = np.asarray(all_cells // (self.M * self.N))
@@ -582,12 +622,13 @@ class Simulator:
                                 self._cp_dev, c0, len(chunk))
                         else:
                             cp_sel = self._cp_dev[jnp.asarray(chunk)]
+                        nominal = self._pers_nominal(slots, gens, rpf)
                         tiles, nb = self._pers_fn(rt)(
                             cp_sel, self._gr, rays_in, rng_in,
-                            self._pers_ctrl(gens),
+                            self._pers_ctrl(gens, rpf),
                         )
-                        tiles = self._renorm_tiles(tiles, nb, slots * gens)
-                        n = slots * gens * len(chunk)
+                        tiles = self._renorm_tiles(tiles, nb, nominal)
+                        n = nominal * len(chunk)
                     else:
                         batch = seeding.build_ray_batch(
                             self.geom, self.cfg, cell_ids=chunk,
@@ -671,7 +712,8 @@ class Simulator:
                 met = evaluate(None, eval_cfg,
                                perceive=perc / actual_rpf / iters)
         rays_traced = total_rays
-        if self._spawn_iters > 0 and self.engine == "pallas_persistent":
+        if (self.engine == "pallas_persistent"
+                and (self._spawn_iters > 0 or self._spawn_mode == "count")):
             rays_traced = total_spawned
         return SimulationResult(
             histogram=histogram,

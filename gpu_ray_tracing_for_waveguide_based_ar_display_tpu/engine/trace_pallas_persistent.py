@@ -50,7 +50,8 @@ def make_persistent_trace_fn(cfg: TraceConfig, num_fc: int, num_oc: int,
                              phase_gating: bool = True,
                              max_iters: int = 0, cond_interval: int = 8,
                              edge_counts=None, accum_mode: str = "fma",
-                             flush_w: int = _FLUSH_W):
+                             flush_w: int = _FLUSH_W,
+                             count_spawn: bool = False):
     """Build ``trace(cell_params, geom_row, rays_in, rng_in[, ctrl]) -> (hist, nb)``.
 
     - rays_in: (C, 6, RT, 128) initial fields (x, y, ter, tei, tmr, tmi); these are
@@ -71,6 +72,22 @@ def make_persistent_trace_fn(cfg: TraceConfig, num_fc: int, num_oc: int,
 
     Both knobs are runtime scalars: one compiled kernel serves every
     (gens, spawn_iters) setting for a given RT.
+
+    ``count_spawn=True`` compiles the *count-based* spawn variant: ``ctrl[0]``
+    is reinterpreted as the per-cell spawn **target** (total rays, summed over
+    all lanes) instead of a per-slot generation quota.  Every dead lane
+    respawns while the cell's running spawn count is below the target (or
+    ``it < ctrl[1]``), so the lanes share the sample budget evenly — the cell's
+    wall time becomes (target x mean-lifetime / lanes) + one max *residual*
+    lifetime, instead of the max over lanes of a ``gens``-generation lifetime
+    *sum* that dominates the reference-default workload (5,000 rays/FoV is only
+    ~10 spawns/lane: the gens quota leaves ~85% of lane-iterations idle in the
+    drain tail).  The count overshoots by at most one iteration's deaths
+    (~lanes/mean-lifetime, <2% at the reference workload); stopping depends
+    only on *past* lifetimes, so the Wald-renormalized histogram (factor
+    target/actual, applied by the pipeline) stays unbiased — the same argument
+    as saturating-spawn mode.  Physics per ray is identical; only the respawn
+    schedule changes.
     """
     RT = rays_tile_rows
     ny, nx = cfg.eyebox_bins
@@ -185,21 +202,37 @@ def make_persistent_trace_fn(cfg: TraceConfig, num_fc: int, num_oc: int,
 
         def cond(carry):
             state, gen, it = carry[9], carry[10], carry[13]
-            exhausted = ((state == 6) & (gen >= ctrl_ref[0, 0])
-                         & (it >= ctrl_ref[0, 1]))
+            if count_spawn:
+                # spawned is a scalar: a dead lane is exhausted once the cell's
+                # spawn target is met (and any minimum-iteration budget passed)
+                exhausted = ((state == 6) & (carry[15 + n_codes] >= ctrl_ref[0, 0])
+                             & (it >= ctrl_ref[0, 1]))
+            else:
+                exhausted = ((state == 6) & (gen >= ctrl_ref[0, 0])
+                             & (it >= ctrl_ref[0, 1]))
             return (it < max_iters) & (jnp.sum((~exhausted).astype(jnp.int32)) > 0)
 
         def body(carry):
             (x, y, ter, tei, tmr, tmi, cos_th, gx, gy, state, gen, rng,
              nb, it, ov) = carry[:15]
-            codes = list(carry[15:])
+            codes = list(carry[15:15 + n_codes])
+            spawned = carry[15 + n_codes] if count_spawn else None
 
             # ---- respawn: dead slots with generations remaining re-enter init.
             # No field resets needed: init reads only the hoisted per-slot
             # constants, live lanes get their fields from those constants, and
             # dead lanes' stale values flow exclusively through masked paths
             # (finite garbage, never observed) — bitwise-identical output.
-            rs = (state == 6) & ((gen < ctrl_ref[0, 0]) | (it < ctrl_ref[0, 1]))
+            if count_spawn:
+                rs = (state == 6) & ((spawned < ctrl_ref[0, 0])
+                                     | (it < ctrl_ref[0, 1]))
+                # pure dataflow (like the nb bounce reduce): no control-flow
+                # sync; the stop reacts one iteration late, bounding overshoot
+                # by one iteration's deaths
+                spawned = spawned + jnp.sum(rs.astype(jnp.int32))
+            else:
+                rs = (state == 6) & ((gen < ctrl_ref[0, 0])
+                                     | (it < ctrl_ref[0, 1]))
             gen = gen + rs.astype(jnp.int32)
             state = jnp.where(rs, 7, state)
 
@@ -516,12 +549,16 @@ def make_persistent_trace_fn(cfg: TraceConfig, num_fc: int, num_oc: int,
             cos_th = jnp.where(accept, cos_n, cos_th)
             gx = jnp.where(accept, gx_n, gx)
             gy = jnp.where(accept, gy_n, gy)
-            return (x, y, ter, tei, tmr, tmi, cos_th, gx, gy, state, gen, rng,
-                    nb, it + 1, ov, *codes)
+            out = (x, y, ter, tei, tmr, tmi, cos_th, gx, gy, state, gen, rng,
+                   nb, it + 1, ov, *codes)
+            return out + (spawned,) if count_spawn else out
 
         carry = (x0, y0, ter0, tei0, tmr0, tmi0, zeros + 1.0,
                  zeros, zeros, state0, gen0, rng_ref[0], jnp.int32(0),
                  jnp.int32(0), jnp.int32(0)) + (zero_i - 1,) * n_codes
+        if count_spawn:
+            # every lane's initial spawn (state0 = 7) counts toward the target
+            carry = carry + (jnp.int32(RT * LANES),)
 
         def chunk(carry):
             return jax.lax.fori_loop(

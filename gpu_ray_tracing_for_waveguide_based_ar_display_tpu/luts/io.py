@@ -67,6 +67,21 @@ def fetch_luts(directory: str, downloader=None) -> bool:
     return luts_available(directory)
 
 
+def save_luts(luts: RcwaLuts, directory: str) -> None:
+    """Write the seven LUTs to ``directory`` in the reference's exact on-disk
+    layout: one ``lut_*_fullColor.npy`` per table (names of download_lut.py:
+    13-19), complex dtype, axis order (L, M, N, C) / (S, L, M, N, C) — the
+    layout ``np.load``-ed verbatim by the reference driver
+    (gpu_ray_tracing_pro_fullColor.py:28-34).  Round-trips bitwise with
+    :func:`load_luts`."""
+    os.makedirs(directory, exist_ok=True)
+    for key, fname in _FILES.items():
+        arr = np.asarray(getattr(luts, key))
+        if not np.iscomplexobj(arr):
+            raise ValueError(f"lut_{key} must be complex valued")
+        np.save(os.path.join(directory, fname), arr, allow_pickle=False)
+
+
 def load_luts(directory: str) -> RcwaLuts:
     """Load the seven full-color LUT files from ``directory``."""
     arrays = {}

@@ -1,6 +1,9 @@
 from .grating_opt import (  # noqa: F401
     ApodizationResult,
+    GratingOptResult,
     apply_apodization,
     make_apodization_loss,
+    make_grating_loss,
     optimize_apodization,
+    optimize_grating,
 )

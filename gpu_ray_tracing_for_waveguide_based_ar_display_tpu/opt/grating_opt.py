@@ -66,6 +66,27 @@ class ApodizationResult:
     nonuniformity: Tuple[float, float]   # (initial, final) FoV rel. std
 
 
+def _eyebox_objective(hist, L, M, N, ny, nx, n0, eff_weight,
+                      fov_uniformity_weight, eyebox_uniformity_weight):
+    """Differentiable loss reductions of the zero-variance eyebox histogram:
+    maximize mean efficiency, minimize FoV / eyebox nonuniformity."""
+    eps = 1e-12
+    h = hist.reshape(L, N, M, ny, nx)
+    e_fov = h.sum(axis=(3, 4)) * (L * M * N / n0)   # (L, N, M) per-FoV eff
+    eff = e_fov.mean()
+    mu = e_fov.mean(axis=(1, 2))
+    fov_nonuni = (jnp.sqrt(((e_fov - mu[:, None, None]) ** 2)
+                           .mean(axis=(1, 2))) / (mu + eps)).mean()
+    e_bins = h.sum(axis=(1, 2))                      # (L, ny, nx)
+    mu_b = e_bins.mean(axis=(1, 2))
+    eb_nonuni = (jnp.sqrt(((e_bins - mu_b[:, None, None]) ** 2)
+                          .mean(axis=(1, 2))) / (mu_b + eps)).mean()
+    val = (-eff_weight * eff / 0.03
+           + fov_uniformity_weight * fov_nonuni
+           + eyebox_uniformity_weight * eb_nonuni)
+    return val, (eff, fov_nonuni, eb_nonuni)
+
+
 def make_apodization_loss(
     tables: CellTables,
     tgeom: TraceGeometry,
@@ -93,27 +114,15 @@ def make_apodization_loss(
     ny, nx = cfg.eyebox_bins
     L, M, N = tables.L, tables.M, tables.N
     n0 = max(len(rays0["x"]), 1)
-    eps = 1e-12
 
     def loss(theta: Dict[str, jnp.ndarray]):
         s_fc = jax.nn.sigmoid(theta["fc"])
         s_oc = jax.nn.sigmoid(theta["oc"])
         T = apply_apodization(T0, s_fc, s_oc)
         hist, out_w, _, _, _ = trace(rays0, T)
-        h = hist.reshape(L, N, M, ny, nx)
-        e_fov = h.sum(axis=(3, 4)) * (L * M * N / n0)   # (L, N, M) per-FoV eff
-        eff = e_fov.mean()
-        mu = e_fov.mean(axis=(1, 2))
-        fov_nonuni = (jnp.sqrt(((e_fov - mu[:, None, None]) ** 2)
-                               .mean(axis=(1, 2))) / (mu + eps)).mean()
-        e_bins = h.sum(axis=(1, 2))                      # (L, ny, nx)
-        mu_b = e_bins.mean(axis=(1, 2))
-        eb_nonuni = (jnp.sqrt(((e_bins - mu_b[:, None, None]) ** 2)
-                              .mean(axis=(1, 2))) / (mu_b + eps)).mean()
-        val = (-eff_weight * eff / 0.03
-               + fov_uniformity_weight * fov_nonuni
-               + eyebox_uniformity_weight * eb_nonuni)
-        return val, (eff, fov_nonuni, eb_nonuni)
+        return _eyebox_objective(hist, L, M, N, ny, nx, n0, eff_weight,
+                                 fov_uniformity_weight,
+                                 eyebox_uniformity_weight)
 
     return loss, T0
 
@@ -172,6 +181,128 @@ def optimize_apodization(
     return ApodizationResult(
         s_fc=np.asarray(jax.nn.sigmoid(theta["fc"])),
         s_oc=np.asarray(jax.nn.sigmoid(theta["oc"])),
+        loss_history=np.asarray(history),
+        efficiency=(float(aux0[0]), float(aux[0])),
+        nonuniformity=(float(aux0[1]), float(aux[1])),
+    )
+
+
+# ---------------------------------------------------------------------------
+# grating period / orientation optimization (differentiable analytic LUTs)
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class GratingOptResult:
+    params: Dict[str, float]     # optimized design parameter values
+    loss_history: np.ndarray     # (steps + 1,)
+    efficiency: Tuple[float, float]      # (initial, final)
+    nonuniformity: Tuple[float, float]   # (initial, final)
+
+
+def make_grating_loss(
+    tables: CellTables,
+    tgeom: TraceGeometry,
+    cfg: TraceConfig,
+    rays0: dict,
+    design,
+    opt_params: Tuple[str, ...] = ("lambda_ic", "phi_ic"),
+    capacity: int = 4096,
+    fixed_steps: int = 64,
+    weight_threshold: float = 1e-4,
+    eff_weight: float = 1.0,
+    fov_uniformity_weight: float = 1.0,
+    eyebox_uniformity_weight: float = 0.25,
+):
+    """Build ``loss(theta) -> (scalar, aux)`` over grating design parameters.
+
+    ``theta`` holds one unitless knob per name in ``opt_params``: periods are
+    parameterized multiplicatively (``lambda = lambda0 * exp(t)``, so Adam's
+    unitless steps act in relative pitch) and orientations additively
+    (``phi = phi0 + t``, radians).  Each evaluation re-derives the analytic
+    cell tables in jnp (:func:`..design.diff.analytic_cell_tables` — gaps,
+    TIR phasors, cos scales) at the parameterized design and traces the
+    zero-variance splitting wavefront through them; RCWA Jones blocks and the
+    footprint polygons stay at the base design (the documented surrogate,
+    design/diff.py).
+    """
+    from ..design.diff import (
+        analytic_cell_tables, apply_design_params, design_params,
+    )
+
+    T0 = trace_jnp._as_jnp(tables)
+    trace = splitting.make_splitting_trace_fn(
+        tables, tgeom, cfg, capacity=capacity,
+        weight_threshold=weight_threshold, table_arg=True,
+        fixed_steps=fixed_steps)
+    ny, nx = cfg.eyebox_bins
+    L, M, N = tables.L, tables.M, tables.N
+    n0 = max(len(rays0["x"]), 1)
+    base = design_params(design)
+
+    def loss(theta: Dict[str, jnp.ndarray]):
+        p = dict(base)
+        for k in opt_params:
+            p[k] = (base[k] * jnp.exp(theta[k]) if k.startswith("lambda")
+                    else base[k] + theta[k])
+        ana = analytic_cell_tables(p, design, M, N, tgeom.num_fc,
+                                   tgeom.num_oc)
+        T = apply_design_params(T0, ana)
+        hist, out_w, _, _, _ = trace(rays0, T)
+        return _eyebox_objective(hist, L, M, N, ny, nx, n0, eff_weight,
+                                 fov_uniformity_weight,
+                                 eyebox_uniformity_weight)
+
+    return loss, T0
+
+
+def optimize_grating(
+    geom,
+    tables: CellTables,
+    tgeom: TraceGeometry,
+    cfg: TraceConfig,
+    opt_params: Tuple[str, ...] = ("lambda_ic", "phi_ic"),
+    rays_per_fov: int = 16,
+    steps: int = 30,
+    learning_rate: float = 0.01,
+    seed: Optional[int] = None,
+    **loss_kw,
+) -> GratingOptResult:
+    """Adam on grating period/orientation through the differentiable trace."""
+    import optax
+
+    cfg_r = dataclasses.replace(cfg, rays_per_fov=rays_per_fov,
+                                seed=cfg.seed if seed is None else seed)
+    batch = seeding.build_ray_batch(geom, cfg_r)
+    rays0 = trace_jnp.make_ray_state(
+        batch["x"], batch["y"], batch["te"], batch["tm"], batch["cid"],
+        batch["idx"], batch["rng"])
+
+    loss, _ = make_grating_loss(tables, tgeom, cfg, rays0, geom.design,
+                                opt_params=opt_params, **loss_kw)
+    vg = jax.jit(jax.value_and_grad(loss, has_aux=True))
+
+    theta = {k: jnp.zeros((), jnp.float32) for k in opt_params}
+    opt = optax.adam(learning_rate)
+    state = opt.init(theta)
+    history = []
+    aux0 = aux = None
+    for _ in range(steps):
+        (val, aux), grads = vg(theta)
+        if aux0 is None:
+            aux0 = aux
+        history.append(float(val))
+        updates, state = opt.update(grads, state)
+        theta = optax.apply_updates(theta, updates)
+    (val, aux), _ = vg(theta)
+    history.append(float(val))
+    d = geom.design
+    final = {}
+    for k in opt_params:
+        base = getattr(d, k)
+        t = float(theta[k])
+        final[k] = base * float(np.exp(t)) if k.startswith("lambda") else base + t
+    return GratingOptResult(
+        params=final,
         loss_history=np.asarray(history),
         efficiency=(float(aux0[0]), float(aux[0])),
         nonuniformity=(float(aux0[1]), float(aux[1])),

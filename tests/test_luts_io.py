@@ -32,6 +32,29 @@ def test_round_trip(tmp_path):
         np.testing.assert_array_equal(getattr(loaded, key), getattr(luts, key))
 
 
+def test_save_luts_reference_layout(tmp_path):
+    """save_luts writes the reference's exact file names/dtypes and
+    round-trips bitwise through load_luts."""
+    from gpu_ray_tracing_for_waveguide_based_ar_display_tpu.luts.io import save_luts
+
+    geom = generate_geometry(num_fov_x=4, num_fov_y=3)
+    luts = make_synthetic_luts(geom, seed=5)
+    save_luts(luts, str(tmp_path))
+    # exact reference file names (download_lut.py:13-19)
+    for fname in _FILES.values():
+        assert (tmp_path / fname).exists(), fname
+    loaded = load_luts(str(tmp_path))
+    for key in _FILES:
+        got, want = getattr(loaded, key), getattr(luts, key)
+        assert got.dtype == want.dtype and np.iscomplexobj(got)
+        np.testing.assert_array_equal(got, want)
+    # real-valued tables are rejected at write time
+    bad = make_synthetic_luts(geom, seed=5)
+    bad.ic1 = np.abs(bad.ic1)
+    with pytest.raises(ValueError, match="complex"):
+        save_luts(bad, str(tmp_path / "bad"))
+
+
 def test_load_or_synthesize_prefers_files(tmp_path):
     geom = generate_geometry(num_fov_x=4, num_fov_y=3)
     luts = make_synthetic_luts(geom, seed=7)
