@@ -43,7 +43,9 @@ def cmd_simulate(args) -> int:
     sim = Simulator(design=presets.get(args.design), cfg=cfg,
                     luts_dir=args.luts_dir,
                     geometry_simplify_tol=args.simplify_tol,
-                    engine=args.engine, spawn_iters=args.spawn_iters)
+                    engine=args.engine, spawn_iters=args.spawn_iters,
+                    spawn_mode=args.spawn_mode,
+                    fold_iterations=args.fold_iterations)
     wl = (tuple(int(w) for w in args.wavelengths.split(","))
           if args.wavelengths else None)
     from .utils import xla_trace
@@ -52,8 +54,13 @@ def cmd_simulate(args) -> int:
         res = sim.run(cells_per_batch=args.cells_per_batch,
                       verbose=args.verbose, wavelengths=wl,
                       checkpoint_path=args.checkpoint,
-                      histogram_device=(args.engine == "pallas_persistent"))
+                      histogram_device=(args.engine == "pallas_persistent"),
+                      error_groups=args.error_bars)
     print(format_report(res))
+    if res.metric_stderr:
+        print("MC standard errors (jackknife over num_iter groups):")
+        for k, v in res.metric_stderr.items():
+            print(f"  {k:<10} +/- {v:.3g}")
     if args.image and res.metrics is not None:
         save_eyebox_center_view(args.image, res.metrics.output_image)
         print(f"Eyebox center view written to {args.image}")
@@ -71,6 +78,7 @@ def cmd_simulate(args) -> int:
             "rays_traced": res.rays_traced,
             "total_bounces": res.total_bounces,
             "trace_seconds": res.trace_seconds,
+            "metric_stderr": res.metric_stderr,
         }
         with open(args.json, "w") as f:
             json.dump(out, f, indent=2)
@@ -108,7 +116,9 @@ def cmd_sweep(args) -> int:
     if args.engine == "pallas_persistent":
         res = run_design_sweep_persistent(designs, cfg,
                                           spawn_iters=args.spawn_iters,
-                                          interpret=args.interpret)
+                                          interpret=args.interpret,
+                                          spawn_mode=args.spawn_mode,
+                                          slots=args.slots)
     else:
         res = run_design_sweep(designs, cfg)
     wall = time.perf_counter() - t0
@@ -141,10 +151,20 @@ def cmd_optimize(args) -> int:
     tables = build_cell_tables(geom, luts)
     tgeom = build_trace_geometry(geom)
     t0 = time.perf_counter()
-    res = optimize_apodization(
-        geom, tables, tgeom, cfg, rays_per_fov=args.rays_per_fov,
-        steps=args.steps, learning_rate=args.lr,
-        capacity=args.capacity, fixed_steps=args.trace_steps)
+    if args.params == "apodization":
+        res = optimize_apodization(
+            geom, tables, tgeom, cfg, rays_per_fov=args.rays_per_fov,
+            steps=args.steps, learning_rate=args.lr,
+            capacity=args.capacity, fixed_steps=args.trace_steps)
+    else:
+        from .opt import optimize_grating
+
+        opt_params = tuple(s.strip() for s in args.params.split(","))
+        res = optimize_grating(
+            geom, tables, tgeom, cfg, opt_params=opt_params,
+            rays_per_fov=args.rays_per_fov, steps=args.steps,
+            learning_rate=args.lr, capacity=args.capacity,
+            fixed_steps=args.trace_steps)
     wall = time.perf_counter() - t0
     print(f"{args.steps} Adam steps in {wall:.1f} s; "
           f"loss {res.loss_history[0]:.4f} -> {res.loss_history[-1]:.4f}")
@@ -152,12 +172,18 @@ def cmd_optimize(args) -> int:
           f"{res.efficiency[1]*100:.3f}%")
     print(f"FoV nonuniformity  {res.nonuniformity[0]:.3f} -> "
           f"{res.nonuniformity[1]:.3f}")
-    print("s_fc:", " ".join(f"{s:.3f}" for s in res.s_fc))
-    print("s_oc:", " ".join(f"{s:.3f}" for s in res.s_oc))
+    if args.params == "apodization":
+        print("s_fc:", " ".join(f"{s:.3f}" for s in res.s_fc))
+        print("s_oc:", " ".join(f"{s:.3f}" for s in res.s_oc))
+        payload = {"s_fc": res.s_fc.tolist(), "s_oc": res.s_oc.tolist()}
+    else:
+        for k, v in res.params.items():
+            print(f"{k}: {getattr(geom.design, k):.4f} -> {v:.4f}")
+        payload = {"params": res.params}
     if args.json:
         with open(args.json, "w") as f:
             json.dump({
-                "s_fc": res.s_fc.tolist(), "s_oc": res.s_oc.tolist(),
+                **payload,
                 "loss_history": res.loss_history.tolist(),
                 "efficiency": res.efficiency,
                 "nonuniformity": res.nonuniformity,
@@ -191,6 +217,15 @@ def main(argv=None) -> int:
     p.add_argument("--spawn-iters", type=int, default=0,
                    help="saturating-spawn iteration budget (pallas_persistent; "
                         "0 = fixed generations)")
+    p.add_argument("--spawn-mode", default="gens", choices=("gens", "count"),
+                   help="count = per-cell exact spawn-target respawn "
+                        "(pallas_persistent; fastest for small rays/FoV)")
+    p.add_argument("--fold-iterations", action="store_true",
+                   help="trace num_iter x rays_per_fov in one kernel pass "
+                        "(continued RNG streams; pays the drain tail once)")
+    p.add_argument("--error-bars", action="store_true",
+                   help="jackknife MC standard errors over the num_iter "
+                        "groups (needs num_iter >= 2; disables folding)")
     p.add_argument("--wavelengths", default=None,
                    help="comma-separated wavelength indices (e.g. '1' = green only)")
     p.add_argument("--checkpoint", default=None, help="resumable checkpoint path")
@@ -214,6 +249,12 @@ def main(argv=None) -> int:
                    choices=("jnp", "pallas_persistent"))
     p.add_argument("--spawn-iters", type=int, default=256,
                    help="saturating-spawn budget (pallas_persistent engine)")
+    p.add_argument("--spawn-mode", default="gens", choices=("gens", "count"),
+                   help="count = exact per-cell sample target (fastest "
+                        "ranking sweeps; set --spawn-iters 0 with it)")
+    p.add_argument("--slots", type=int, default=None,
+                   help="persistent-kernel lanes per cell (default "
+                        "min(rays_per_fov, 2048))")
     p.add_argument("--interpret", action="store_true",
                    help="run the Pallas kernel in interpret mode (CPU)")
     p.set_defaults(fn=cmd_sweep)
@@ -231,6 +272,10 @@ def main(argv=None) -> int:
                    help="splitting wavefront buffer slots")
     p.add_argument("--trace-steps", type=int, default=64,
                    help="fixed differentiable trace depth (scan length)")
+    p.add_argument("--params", default="apodization",
+                   help="'apodization' (per-strip amplitudes) or a comma "
+                        "list of grating parameters, e.g. "
+                        "'lambda_ic,phi_ic' (differentiable analytic LUTs)")
     p.add_argument("--json", default=None, help="write optimized design here")
     p.set_defaults(fn=cmd_optimize)
 

@@ -44,6 +44,10 @@ class SimulationResult:
     rays_traced: int
     total_bounces: int
     trace_seconds: float
+    # Monte-Carlo standard errors at this run's sampling, from a delete-one
+    # jackknife over the num_iter independent sample groups (run(...,
+    # error_groups=True)); keys: eff_R/G/B, delta_e, u_fov, u_eyebox.
+    metric_stderr: Optional[dict] = None
 
     @property
     def bounces_per_second(self) -> float:
@@ -142,6 +146,15 @@ class Simulator:
             import jax.numpy as jnp
 
             self._cp_dev = jnp.asarray(self._cp)
+            self._cpk = self._cpk_dev = None
+            if pers_accum_mode == "packed" and mesh is not None:
+                raise ValueError("accum_mode='packed' does not compose with "
+                                 "mesh sharding yet (positional shard_map "
+                                 "wrapper); use 'fma'")
+            if pers_accum_mode == "packed":
+                self._cpk = trace_pallas_persistent.pack_selection_params(
+                    self._cp, self.tgeom.num_fc, self.tgeom.num_oc)
+                self._cpk_dev = jnp.asarray(self._cpk)
         elif engine == "cellblock":
             import jax.numpy as jnp
 
@@ -415,9 +428,11 @@ class Simulator:
             batch, len(cell_ids), slots, rt
         )
         nominal = self._pers_nominal(slots, gens, rays_per_cell)
+        kw = ({"cell_params_packed": self._cpk[cell_ids]}
+              if self._cpk is not None else {})
         tiles, nb = self._pers_fn(rt)(
             self._cp[cell_ids], self._gr, rays_in, rng_in,
-            self._pers_ctrl(gens, rays_per_cell),
+            self._pers_ctrl(gens, rays_per_cell), **kw,
         )
         tiles = self._renorm_tiles(tiles, nb, nominal)
         return tiles, nb, nominal * len(cell_ids)
@@ -529,8 +544,17 @@ class Simulator:
         checkpoint_path: Optional[str] = None,
         checkpoint_every: int = 1,
         histogram_device: bool = False,
+        error_groups: bool = False,
     ) -> SimulationResult:
         """Trace the full workload and reduce metrics.
+
+        ``error_groups``: estimate per-metric Monte-Carlo standard errors by a
+        delete-one jackknife over the ``num_iter`` independent sample groups
+        (persistent fast path; needs ``num_iter >= 2``, so iteration folding
+        is suspended for the run).  Costs one extra device perception
+        reduction (~2 MB) per iteration; the result's ``metric_stderr`` maps
+        eff_R/G/B, delta_e, u_fov, u_eyebox to their standard errors at this
+        run's total sampling.
 
         ``wavelengths``: optional subset of wavelength indices to trace (e.g.
         ``(1,)`` for a green-only run); other cells receive no rays.
@@ -544,7 +568,12 @@ class Simulator:
         """
         rpf = rays_per_fov if rays_per_fov is not None else self.cfg.rays_per_fov
         iters = num_iter if num_iter is not None else self.cfg.num_iter
-        if (self._fold_iterations and iters > 1
+        if error_groups:
+            if self.engine != "pallas_persistent" or iters < 2:
+                raise ValueError(
+                    "error_groups needs the persistent engine and "
+                    "num_iter >= 2 (the iterations are the jackknife groups)")
+        if (not error_groups and self._fold_iterations and iters > 1
                 and self.engine == "pallas_persistent"):
             # fold the relaunch loop into kernel generations: one dispatch
             # traces num_iter x rays_per_fov samples per cell (continued
@@ -589,6 +618,10 @@ class Simulator:
             ny, nx = self.cfg.eyebox_bins
             tile_acc = {}   # batch position -> device tile accumulator
             nb_pending = []  # (nb, n) per dispatched batch, pulled after dispatch
+            _err_snaps = []  # error_groups: per-iteration perception snapshots
+            if error_groups and start_iter:
+                raise ValueError("error_groups does not compose with "
+                                 "checkpoint resume (groups would be lost)")
             if hist_acc is not None:
                 tile_acc = self._tiles_from_hist(hist_acc, all_cells,
                                                  cells_per_batch)
@@ -617,15 +650,23 @@ class Simulator:
                         rays_in, rng_in = self._device_ray_blocks(chunk, slots, it)
                         rt = slots // trace_pallas.LANES
                         c0 = int(chunk[0])
+                        kw = {}
                         if np.array_equal(chunk, np.arange(c0, c0 + len(chunk))):
                             cp_sel = jax.lax.dynamic_slice_in_dim(
                                 self._cp_dev, c0, len(chunk))
+                            if self._cpk_dev is not None:
+                                kw["cell_params_packed"] = (
+                                    jax.lax.dynamic_slice_in_dim(
+                                        self._cpk_dev, c0, len(chunk)))
                         else:
                             cp_sel = self._cp_dev[jnp.asarray(chunk)]
+                            if self._cpk_dev is not None:
+                                kw["cell_params_packed"] = (
+                                    self._cpk_dev[jnp.asarray(chunk)])
                         nominal = self._pers_nominal(slots, gens, rpf)
                         tiles, nb = self._pers_fn(rt)(
                             cp_sel, self._gr, rays_in, rng_in,
-                            self._pers_ctrl(gens, rpf),
+                            self._pers_ctrl(gens, rpf), **kw,
                         )
                         tiles = self._renorm_tiles(tiles, nb, nominal)
                         n = nominal * len(chunk)
@@ -637,6 +678,17 @@ class Simulator:
                         tiles, nb, n = self._trace_batch_tiles(batch, chunk, rpf)
                     tile_acc[b] = tiles if b not in tile_acc else tile_acc[b] + tiles
                     nb_pending.append((nb, n))
+                if error_groups:
+                    # cumulative per-iteration perception snapshot (device
+                    # reduction, ~2 MB); consecutive differences are the
+                    # independent jackknife groups
+                    from ..eval.metrics import eye_perceived_jnp
+
+                    snap = self._assemble_hist_dev(tile_acc, all_cells)
+                    _err_snaps.append((
+                        eye_perceived_jnp(snap, eval_cfg),
+                        jax.numpy.sum(snap, axis=(1, 2, 3, 4)),
+                    ))
                 if checkpoint_path and (it + 1) % checkpoint_every == 0:
                     _drain_nb_stats()
                     ck_hist = np.asarray(
@@ -715,6 +767,11 @@ class Simulator:
         if (self.engine == "pallas_persistent"
                 and (self._spawn_iters > 0 or self._spawn_mode == "count")):
             rays_traced = total_spawned
+
+        stderr = None
+        if self.engine == "pallas_persistent" and error_groups and _err_snaps:
+            stderr = self._jackknife_stderr(_err_snaps, actual_rpf, iters,
+                                            eval_cfg)
         return SimulationResult(
             histogram=histogram,
             efficiencies=eff,
@@ -722,7 +779,48 @@ class Simulator:
             rays_traced=rays_traced,
             total_bounces=total_bounces,
             trace_seconds=trace_seconds,
+            metric_stderr=stderr,
         )
+
+    def _jackknife_stderr(self, snaps, actual_rpf, iters, eval_cfg):
+        """Delete-one jackknife over the num_iter sample groups.
+
+        ``snaps`` holds per-iteration *cumulative* (perception, per-color-sum)
+        device pairs; consecutive differences are the K independent groups
+        (distinct seeds per iteration).  For each leave-one-out replicate the
+        remaining groups' perception stack re-normalizes to per-ray units and
+        the full metric set re-evaluates; SE = sqrt((K-1)/K * sum (m_i -
+        mean)^2) — the standard jackknife estimator, exact for the linear
+        efficiencies and first-order for delta_e / uniformities.  Ref: the
+        metrics are defined at AR_system_evaluation_functions.py:149-160."""
+        from ..eval.metrics import evaluate as _evaluate
+        from ..eval.metrics import wavelength_channel_names
+
+        K = len(snaps)
+        perc = [np.asarray(p) for p, _ in snaps]
+        sums = [np.asarray(s) for _, s in snaps]
+        P_tot, S_tot = perc[-1], sums[-1]
+        groups_p = [perc[0]] + [perc[i] - perc[i - 1] for i in range(1, K)]
+        groups_s = [sums[0]] + [sums[i] - sums[i - 1] for i in range(1, K)]
+        names = wavelength_channel_names(self.L)
+        reps = {k: [] for k in
+                [f"eff_{n}" for n in names] + ["delta_e", "u_fov", "u_eyebox"]}
+        num = actual_rpf * self.M * self.N * self.L * (iters - 1)
+        for i in range(K):
+            m = _evaluate(None, eval_cfg,
+                          perceive=(P_tot - groups_p[i])
+                          / actual_rpf / (iters - 1))
+            s = (S_tot - groups_s[i]) / num * self.L
+            for li, n in enumerate(names):
+                reps[f"eff_{n}"].append(float(s[li]))
+            reps["delta_e"].append(m.delta_e)
+            reps["u_fov"].append(m.u_fov)
+            reps["u_eyebox"].append(m.u_eyebox)
+        out = {}
+        for k, vals in reps.items():
+            v = np.asarray(vals, np.float64)
+            out[k] = float(np.sqrt((K - 1) / K * ((v - v.mean()) ** 2).sum()))
+        return out
 
 
 def format_report(result: SimulationResult) -> str:

@@ -53,7 +53,8 @@ def make_splitting_trace_fn(tables: CellTables, tgeom: TraceGeometry,
                             weight_threshold: float = 1e-5,
                             max_steps: int = 512,
                             table_arg: bool = False,
-                            fixed_steps: int = 0):
+                            fixed_steps: int = 0,
+                            soft_binning: bool = False):
     """Build ``trace(rays0) -> (hist_flat, out_w, trunc_w, steps)`` (jitted).
 
     ``rays0`` is a :func:`trace_jnp.make_ray_state` pytree whose length is the
@@ -68,6 +69,15 @@ def make_splitting_trace_fn(tables: CellTables, tgeom: TraceGeometry,
     ``lax.scan`` of that many steps.  ``while_loop`` is not reverse-mode
     differentiable; the scan is (each step is checkpointed, so memory stays
     O(capacity) per step boundary instead of O(steps x capacity x live values)).
+    ``soft_binning``: deposits splat bilinearly over the four nearest eyebox
+    bins (cloud-in-cell) instead of nearest-bin.  This makes the histogram a
+    *continuous* function of deposit position, so positions — and through
+    them the TIR hop vectors and the grating period/orientation that set them
+    (design/diff.py) — carry nonzero reverse-mode gradients; with hard
+    binning the dominant design sensitivity (hop spacing moving deposits
+    across bin boundaries) is a measure-zero jump AD correctly reports as 0.
+    Blurs the map by at most half a bin; use for optimization, not for
+    MC-parity metrics.
     """
     T_closed = None if table_arg else trace_jnp._as_jnp(tables)
     G = trace_jnp._geom_jnp(tgeom)
@@ -102,6 +112,44 @@ def make_splitting_trace_fn(tables: CellTables, tgeom: TraceGeometry,
         n = mn % N
         flat = ((l * N + n) * M + m) * (ny * nx) + iy * nx + ix
         return jnp.where(in_quad, flat, -1)
+
+    def deposit(hist, cid, x, y, w):
+        """Accumulate deposit weights into the flat histogram.
+
+        Hard mode: nearest bin.  Soft mode: bilinear (cloud-in-cell) splat
+        over the four surrounding bin centers — continuous (and hence
+        differentiable) in (x, y)."""
+        if not soft_binning:
+            idx = hist_index(cid, x, y)
+            return hist.at[jnp.maximum(idx, 0)].add(
+                jnp.where(idx >= 0, w, 0.0))
+        mn = jnp.remainder(cid, n_cells_mn)
+        er = G["eyebox_range"][mn]
+        tol = trace_jnp._EDGE_TOL
+        in_quad = ((x >= er[:, 0] - tol) & (x <= er[:, 1] + tol)
+                   & (y >= er[:, 2] - tol) & (y <= er[:, 3] + tol))
+        w = jnp.where(in_quad, w, 0.0)
+        dxb = (er[:, 1] - er[:, 0]) / nx
+        dyb = (er[:, 3] - er[:, 2]) / ny
+        # bin-center coordinates; clamp keeps all mass inside the map (the
+        # border clamp's zero gradient only affects the outermost half-bin)
+        u = jnp.clip((x - er[:, 0]) / dxb - 0.5, 0.0, nx - 1.0)
+        v = jnp.clip((y - er[:, 2]) / dyb - 0.5, 0.0, ny - 1.0)
+        ix0 = jnp.clip(jnp.floor(u).astype(jnp.int32), 0, nx - 2)
+        iy0 = jnp.clip(jnp.floor(v).astype(jnp.int32), 0, ny - 2)
+        fx = u - ix0
+        fy = v - iy0
+        l = cid // n_cells_mn
+        m = mn // N
+        n = mn % N
+        base = ((l * N + n) * M + m) * (ny * nx)
+        for di, dj, wf in ((0, 0, (1 - fx) * (1 - fy)),
+                           (1, 0, fx * (1 - fy)),
+                           (0, 1, (1 - fx) * fy),
+                           (1, 1, fx * fy)):
+            idx = base + (iy0 + dj) * nx + (ix0 + di)
+            hist = hist.at[idx].add(w * wf)
+        return hist
 
     def split_init(T, rays):
         """First IC interaction: both orders become children with weights."""
@@ -202,10 +250,9 @@ def make_splitting_trace_fn(tables: CellTables, tgeom: TraceGeometry,
         eff_b = trace_jnp._power(*pol_b) * s_b * inv_cos
         eff_c = trace_jnp._power(*pol_c) * T["oc_scale_out"][cid] * inv_cos
 
-        # deposit: weighted out-couple energy from OC hits
+        # deposit: weighted out-couple energy from OC hits (the eyebox-quad
+        # gate + binning live in ``deposit``)
         dep_w = jnp.where(hit_oc, w * eff_c, 0.0)
-        dep_idx = hist_index(cid, x, y)
-        dep_w = jnp.where(dep_idx >= 0, dep_w, 0.0)
 
         # miss transitions
         miss_fc2 = grp_fc & ~in_hull & (state == 2)
@@ -270,7 +317,7 @@ def make_splitting_trace_fn(tables: CellTables, tgeom: TraceGeometry,
         ch_a["state"] = jnp.where(not_int, surv_state, ch_a["state"])
         ch_a["state"] = jnp.where(alive, ch_a["state"], DEAD)
         ch_b["state"] = jnp.where(alive & interact, ch_b["state"], DEAD)
-        return ch_a, ch_b, dep_w, dep_idx, pruned
+        return ch_a, ch_b, dep_w, pruned
 
     keys = ("x", "y", "ter", "tei", "tmr", "tmi", "cos_th", "gap_x", "gap_y",
             "state", "w", "cid")
@@ -306,9 +353,8 @@ def make_splitting_trace_fn(tables: CellTables, tgeom: TraceGeometry,
 
         def body(carry):
             buf, hist, trunc, pruned, it = carry
-            ch_a, ch_b, dep_w, dep_idx, pr = split_step(T, buf)
-            hist = hist.at[jnp.maximum(dep_idx, 0)].add(
-                jnp.where(dep_idx >= 0, dep_w, 0.0))
+            ch_a, ch_b, dep_w, pr = split_step(T, buf)
+            hist = deposit(hist, buf["cid"], buf["x"], buf["y"], dep_w)
             children = {k: jnp.concatenate([ch_a[k], ch_b[k]]) for k in keys}
             buf, dropped = compact(children, capacity)
             return buf, hist, trunc + dropped, pruned + pr, it + 1

@@ -42,6 +42,64 @@ from .trace_pallas import (
 
 NY_PAD = 128   # eyebox x bins padded to the lane width
 _FLUSH_W = 32  # deposit-buffer flush period (iterations; power of two)
+_SEL_W = 50    # selection record: 34 shared params + 16 OC-only (q) params
+_SEL_NW = _SEL_W // 2  # packed two-per-word
+
+
+def selection_row_offsets(num_fc: int, num_oc: int):
+    """The unified site-selection rows: (kind, 34 p-offsets, 16 q-offsets).
+
+    One row per exclusive interaction site — IC, each FC strip, each OC
+    strip — listing where in the flat cell-parameter vector that site's
+    [A0 B0 A1 B1 s_a s_b] record (+ the OC-only branch-C Jones, ``q``) lives.
+    Single source of truth for the in-kernel one-hot selection AND the
+    host-side packed-table builder (:func:`pack_selection_params`).
+    """
+    rows = [("ic", [_IC_BLK + j for j in range(32)] + [_IC_SA, _IC_SB], None)]
+    for k in range(num_fc):
+        base = _FC_BLK + k * _FC_STRIDE
+        rows.append(("fc", [base + j for j in range(34)], None))
+    for k in range(num_oc):
+        base = _OC_BLK + k * _OC_STRIDE
+        rows.append((
+            "oc",
+            [base + j for j in range(8)]
+            + [base + 8 + j for j in range(8)]
+            + [base + 24 + j for j in range(8)]
+            + [base + 32 + j for j in range(8)]
+            + [base + 48, base + 49],
+            [base + 16 + j for j in range(8)] + [base + 40 + j for j in range(8)],
+        ))
+    return rows
+
+
+def pack_selection_params(cell_params: np.ndarray, num_fc: int,
+                          num_oc: int) -> np.ndarray:
+    """Pack the selection records as bf16 pairs: (C, rows x 25) int32.
+
+    Word ``w`` of a row holds param ``2w`` in bits 0-15 and param ``2w+1`` in
+    bits 16-31, both rounded to bf16 (round-to-nearest-even).  The kernel's
+    ``accum_mode="packed"`` selects whole words with one-hot ``where`` chains
+    (half the scalar loads / vector ops of the f32 FMA selection) and unpacks
+    by shift + same-width bitcast — the alternative reduced-precision
+    lowering named in STATUS r2 (the direct bf16 vector path faults the axon
+    Mosaic toolchain).  Precision cost: the parameters themselves round to
+    bf16 (~0.4% relative), equivalent to tabulating the RCWA LUT in bf16.
+    """
+    import ml_dtypes
+
+    rows = selection_row_offsets(num_fc, num_oc)
+    C = cell_params.shape[0]
+    vals = np.zeros((C, len(rows), _SEL_W), np.float32)
+    for r, (_, offs, qoffs) in enumerate(rows):
+        vals[:, r, :34] = cell_params[:, offs]
+        if qoffs is not None:
+            vals[:, r, 34:] = cell_params[:, qoffs]
+    bf = vals.astype(ml_dtypes.bfloat16).view(np.uint16)
+    lo = bf[..., 0::2].astype(np.uint32)
+    hi = bf[..., 1::2].astype(np.uint32)
+    words = (lo | (hi << np.uint32(16))).view(np.int32)
+    return np.ascontiguousarray(words.reshape(C, len(rows) * _SEL_NW))
 
 
 def make_persistent_trace_fn(cfg: TraceConfig, num_fc: int, num_oc: int,
@@ -109,13 +167,16 @@ def make_persistent_trace_fn(cfg: TraceConfig, num_fc: int, num_oc: int,
 
     n_hull, n_r1, n_r2 = edge_counts if edge_counts else (MAX_EDGES,) * 3
 
-    def kernel(ctrl_ref, g_ref, c_ref, rays_ref, rng_ref, hist_ref,
-               nb_ref, dscr):
+    def kernel_impl(ctrl_ref, g_ref, c_ref, cpk_ref, rays_ref, rng_ref,
+                    hist_ref, nb_ref, dscr):
         def g(j):
             return g_ref[0, 0, j]
 
         def c(j):
             return c_ref[0, 0, j]
+
+        def cpk(j):
+            return cpk_ref[0, 0, j]
 
         f32 = jnp.float32
         x0 = rays_ref[0, 0]
@@ -374,6 +435,28 @@ def make_persistent_trace_fn(cfg: TraceConfig, num_fc: int, num_oc: int,
                                        + mf * c(base + 40 + j).astype(bfd))
                 p = [v.astype(jnp.float32) for v in p_bf]
                 q = [v.astype(jnp.float32) for v in q_bf]
+            elif accum_mode == "packed":
+                # one-hot WORD selection over bf16-pair-packed records
+                # (pack_selection_params): rows are exclusive, so a
+                # where-chain picks the lane's whole record at half the
+                # scalar loads and vector ops of the f32 FMA selection;
+                # unpacking is shift + same-width bitcast (both supported by
+                # Mosaic, unlike the direct bf16 vector path).  Parameters
+                # are bf16-rounded: physics within MC tolerance of f32, not
+                # bitwise (cf. accum_mode="bf16").
+                acc = [zero_i for _ in range(_SEL_NW)]
+                for r, (mk, _) in enumerate(rows):
+                    for w in range(_SEL_NW):
+                        acc[w] = jnp.where(mk, cpk(r * _SEL_NW + w), acc[w])
+                vals = []
+                for w in range(_SEL_NW):
+                    lo = jax.lax.bitcast_convert_type(
+                        acc[w] << 16, jnp.float32)
+                    hi = jax.lax.bitcast_convert_type(
+                        acc[w] & jnp.int32(-65536), jnp.float32)
+                    vals.extend([lo, hi])
+                p = vals[:34]
+                q = vals[34:_SEL_W]
             else:
                 p = [zero for _ in range(W)]
                 for mk, offs in rows:
@@ -585,10 +668,23 @@ def make_persistent_trace_fn(cfg: TraceConfig, num_fc: int, num_oc: int,
         nb_ref[0, 0, 2] = jnp.sum(carry[10])  # rays spawned (gen counters)
         nb_ref[0, 0, 3] = carry[14]           # spill-code overflows (must be 0)
 
+    if accum_mode == "packed":
+        kernel = kernel_impl
+    else:
+        def kernel(ctrl_ref, g_ref, c_ref, rays_ref, rng_ref, hist_ref,
+                   nb_ref, dscr):
+            return kernel_impl(ctrl_ref, g_ref, c_ref, None, rays_ref,
+                               rng_ref, hist_ref, nb_ref, dscr)
+
     @jax.jit
-    def trace(cell_params, geom_row, rays_in, rng_in, ctrl=None):
+    def trace(cell_params, geom_row, rays_in, rng_in, ctrl=None,
+              cell_params_packed=None):
         if ctrl is None:
             ctrl = jnp.array([gens, 0], jnp.int32)
+        if (cell_params_packed is None) != (accum_mode != "packed"):
+            raise ValueError(
+                "cell_params_packed must be given exactly when "
+                "accum_mode='packed' (see pack_selection_params)")
         C = cell_params.shape[0]
         # geom_row may carry one geometry row per *design*: (D, PG) with the
         # cell grid laid out as D contiguous runs of C/D cells — the basis of
@@ -601,24 +697,36 @@ def make_persistent_trace_fn(cfg: TraceConfig, num_fc: int, num_oc: int,
             jax.ShapeDtypeStruct((C, ny, NY_PAD), jnp.float32),
             jax.ShapeDtypeStruct((C, 1, 4), jnp.int32),
         )
+        in_specs = [
+            pl.BlockSpec((1, 2), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            # unit middle dim so the (1, 1, PG) block equals the array's
+            # trailing dims (Mosaic rejects a (1, PG) block of a (D, PG)
+            # array for D > 1 — the multi-design sweep case)
+            pl.BlockSpec((1, 1, PG), lambda i: (i // cpd, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, PC), lambda i: (i, 0, 0),
+                         memory_space=pltpu.SMEM),
+        ]
+        operands = [ctrl.reshape(1, 2), geom_row[:, None, :],
+                    cell_params[:, None, :]]
+        if accum_mode == "packed":
+            PW = cell_params_packed.shape[-1]
+            in_specs.append(
+                pl.BlockSpec((1, 1, PW), lambda i: (i, 0, 0),
+                             memory_space=pltpu.SMEM))
+            operands.append(cell_params_packed[:, None, :])
+        in_specs += [
+            pl.BlockSpec((1, 6, RT, LANES), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, RT, LANES), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        operands += [rays_in, rng_in]
         hist, nb = pl.pallas_call(
             kernel,
             grid=(C,),
-            in_specs=[
-                pl.BlockSpec((1, 2), lambda i: (0, 0),
-                             memory_space=pltpu.SMEM),
-                # unit middle dim so the (1, 1, PG) block equals the array's
-                # trailing dims (Mosaic rejects a (1, PG) block of a (D, PG)
-                # array for D > 1 — the multi-design sweep case)
-                pl.BlockSpec((1, 1, PG), lambda i: (i // cpd, 0, 0),
-                             memory_space=pltpu.SMEM),
-                pl.BlockSpec((1, 1, PC), lambda i: (i, 0, 0),
-                             memory_space=pltpu.SMEM),
-                pl.BlockSpec((1, 6, RT, LANES), lambda i: (i, 0, 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, RT, LANES), lambda i: (i, 0, 0),
-                             memory_space=pltpu.VMEM),
-            ],
+            in_specs=in_specs,
             out_specs=(
                 pl.BlockSpec((1, ny, NY_PAD), lambda i: (i, 0, 0),
                              memory_space=pltpu.VMEM),
@@ -628,8 +736,7 @@ def make_persistent_trace_fn(cfg: TraceConfig, num_fc: int, num_oc: int,
             out_shape=out_shapes,
             scratch_shapes=[pltpu.VMEM((RT, LANES), jnp.int32)],
             interpret=interpret,
-        )(ctrl.reshape(1, 2), geom_row[:, None, :], cell_params[:, None, :],
-          rays_in, rng_in)
+        )(*operands)
         return hist, nb.reshape(C, 4)
 
     return trace

@@ -230,10 +230,13 @@ def make_grating_loss(
     )
 
     T0 = trace_jnp._as_jnp(tables)
+    # soft (cloud-in-cell) deposits: the grating parameters act mostly by
+    # *moving* deposits (hop spacing); hard binning makes that a measure-zero
+    # jump with zero a.e. gradient, bilinear splatting makes it continuous
     trace = splitting.make_splitting_trace_fn(
         tables, tgeom, cfg, capacity=capacity,
         weight_threshold=weight_threshold, table_arg=True,
-        fixed_steps=fixed_steps)
+        fixed_steps=fixed_steps, soft_binning=True)
     ny, nx = cfg.eyebox_bins
     L, M, N = tables.L, tables.M, tables.N
     n0 = max(len(rays0["x"]), 1)

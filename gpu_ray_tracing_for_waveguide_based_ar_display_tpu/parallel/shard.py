@@ -141,3 +141,47 @@ def make_sharded_cell_trace_fn(pers_fn, mesh: Mesh, axis: str = "rays"):
                        jnp.asarray(ctrl))
 
     return trace
+
+
+def make_sample_sharded_cell_trace_fn(pers_fn, mesh: Mesh,
+                                      axis: str = "samples"):
+    """MC-*sample*-axis data parallelism for the persistent Pallas tracer.
+
+    The orthogonal direction to :func:`make_sharded_cell_trace_fn`: every
+    device runs the kernel over ALL cells, but with its own slice of the RNG
+    streams — ``rng_in`` carries a leading device axis ``(n_dev, C, RT, 128)``
+    of *distinct* seeds — and its share of the per-cell sample budget (the
+    caller divides ``gens`` / the count-spawn target by the device count).
+    Per-cell histogram tiles merge with ONE ``psum`` over ICI at kernel exit;
+    nb counters sum.  This lifts pure cell sharding's ``cells >= devices``
+    requirement: cell sharding alone covers slices up to one chip per cell
+    (22,500 for the reference grid — beyond any single v5e/v5p slice), and a
+    2-D (cells x samples) mesh composes both for anything larger or for
+    small-grid workloads on big slices.
+    """
+
+    def _local(cp, geom_row, rays, rng, ctrl):
+        tiles, nb = pers_fn(cp, geom_row, rays, rng[0], ctrl)
+        tiles = jax.lax.psum(tiles, axis_name=axis)
+        nb = jax.lax.psum(nb, axis_name=axis)
+        return tiles, nb
+
+    sharded = shard_map(
+        _local,
+        mesh=mesh,
+        in_specs=(P(), P(), P(), P(axis), P()),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+
+    def trace(cell_params, geom_row, rays_in, rng_in, ctrl):
+        n_dev = mesh.devices.size
+        if rng_in.shape[0] != n_dev:
+            raise ValueError(
+                f"rng_in needs a leading device axis of {n_dev}, "
+                f"got shape {rng_in.shape}")
+        return sharded(jnp.asarray(cell_params), jnp.asarray(geom_row),
+                       jnp.asarray(rays_in), jnp.asarray(rng_in),
+                       jnp.asarray(ctrl))
+
+    return trace

@@ -146,6 +146,8 @@ def run_design_sweep_persistent(
     keep_histograms: bool = False,
     designs_per_batch: int = 64,
     _force_host_blocks: bool = False,
+    spawn_mode: str = "gens",
+    slots: Optional[int] = None,
 ) -> SweepResult:
     """Design sweep on the production persistent kernel (TPU speed-of-light path).
 
@@ -157,9 +159,22 @@ def run_design_sweep_persistent(
     dispatch in chunks (ray/tile buffers are ~60 MB HBM per design at the
     default config; 256 designs at once exhausts a v5e); the tail chunk is
     padded with repeats of the last design so every dispatch reuses the one
-    compiled kernel, and the padding's results are dropped.  Per-design
-    efficiencies reduce on device; full histograms are pulled only on
-    ``keep_histograms`` (a D x 0.3 GB pull otherwise).
+    compiled kernel, and the padding's results are dropped.
+
+    The loop is **host/device pipelined**: chunk k+1's per-design host prep
+    (geometry + LUT synthesis + table packing, ~50 ms/design single-core) runs
+    while chunk k traces on the device — dispatches are async and every
+    device->host pull (efficiency reductions, overflow counters) is deferred
+    to the end, so sweep wall-clock is max(host, device) instead of their sum.
+
+    ``spawn_mode="count"``: trace each cell's *exact* ``cfg.rays_per_fov``
+    sample target with the count-spawn kernel (lanes share the budget; see
+    trace_pallas_persistent) instead of a ``spawn_iters``-saturated
+    oversampled run — ~40x less device work at the default sweep config, the
+    right mode when ranking many designs.  ``slots`` overrides the lane count
+    per cell (count mode amortizes drain tails better with fewer slots).
+    Per-design efficiencies reduce on device; full histograms are pulled only
+    on ``keep_histograms`` (a D x 0.3 GB pull otherwise).
     """
     import jax.numpy as jnp
 
@@ -169,8 +184,13 @@ def run_design_sweep_persistent(
     L, M, N = 3, cfg.num_fov_x, cfg.num_fov_y
     n_cells = L * M * N
     ny, nx = cfg.eyebox_bins
+    if spawn_mode not in ("gens", "count"):
+        raise ValueError(f"unknown spawn_mode {spawn_mode!r}")
+    count_spawn = spawn_mode == "count"
+    if slots is None:
+        slots = min(cfg.rays_per_fov, 2048)
     slots = max(trace_pallas.LANES,
-                (min(cfg.rays_per_fov, 2048) // trace_pallas.LANES)
+                (min(slots, cfg.rays_per_fov) // trace_pallas.LANES)
                 * trace_pallas.LANES)
     rt = slots // trace_pallas.LANES
     gens = -(-cfg.rays_per_fov // slots)
@@ -189,46 +209,32 @@ def run_design_sweep_persistent(
     broadcast = (cfg.shared_pupil_samples and cfg.rng_mode == "fast"
                  and n_cells * slots <= 0xFFFFFFFF
                  and not _force_host_blocks)
-    cps, grs, rays_l, rngs_l, tgeoms = [], [], [], [], []
-    for d in designs:
+
+    import dataclasses as _dc
+
+    def prep(d: WaveguideDesign):
+        """Per-design host artifacts (geometry, tables, kernel rows, rays)."""
         geom = generate_geometry(d, cfg.num_fov_x, cfg.num_fov_y)
         luts = make_synthetic_luts(geom, seed=lut_seed)
         tables = build_cell_tables(geom, luts)
         tg = build_trace_geometry(geom, simplify_tol=0.05)
-        tgeoms.append(tg)
-        cps.append(trace_pallas.build_kernel_cell_params(tables,
-                                                         geom.eyebox_range))
-        grs.append(trace_pallas.build_kernel_geom(tg))
-        import dataclasses as _dc
-
+        cp = trace_pallas.build_kernel_cell_params(tables, geom.eyebox_range)
+        gr = trace_pallas.build_kernel_geom(tg)
         if broadcast:
             b = seeding.build_ray_batch(
                 geom, _dc.replace(cfg, rays_per_fov=slots),
                 cell_ids=np.array([0]), rays_per_cell=slots)
             tile, _ = trace_pallas.pack_ray_blocks(b, 1, slots, rt)
-            rays_l.append(tile[0])  # (6, RT, 128) host tile, per design
-        else:
-            b = seeding.build_ray_batch(
-                geom, _dc.replace(cfg, rays_per_fov=slots))
-            r_in, rng_in = trace_pallas.pack_ray_blocks(b, n_cells, slots, rt)
-            rays_l.append(r_in)
-            rngs_l.append(rng_in)
+            return tg, cp, gr, tile[0], None   # (6, RT, 128) per design
+        b = seeding.build_ray_batch(geom, _dc.replace(cfg, rays_per_fov=slots))
+        r_in, rng_in = trace_pallas.pack_ray_blocks(b, n_cells, slots, rt)
+        return tg, cp, gr, r_in, rng_in
 
-    num_fc = tgeoms[0].num_fc
-    num_oc = tgeoms[0].num_oc
-    if any(g.num_fc != num_fc or g.num_oc != num_oc for g in tgeoms):
-        raise ValueError("designs in one sweep batch must share strip counts")
-    edge_counts = (max(len(g.hull_hp) for g in tgeoms),
-                   max(len(g.r1_hp) for g in tgeoms),
-                   max(len(g.r2_hp) for g in tgeoms))
-
-    trace = trace_pallas_persistent.make_persistent_trace_fn(
-        cfg, num_fc, num_oc, rt, gens=gens, interpret=interpret,
-        phase_gating=(spawn_iters <= 0), max_iters=cfg.max_bounces,
-        edge_counts=edge_counts)
-    nominal = slots * gens
+    trace = None
+    nominal = cfg.rays_per_fov if count_spawn else slots * gens
     db = max(1, min(designs_per_batch, D))
-    eff_parts, bounce_parts, hist_parts = [], [], []
+    eff_parts, bounce_parts, hist_parts, nb_parts = [], [], [], []
+    rng_cell = None
     if broadcast:
         from ..ops import rng as rng_ops
 
@@ -237,57 +243,79 @@ def run_design_sweep_persistent(
                 + jnp.arange(slots, dtype=jnp.uint32)[None, :])
         rng_cell = rng_ops.seed_fast_device(ridx, cfg.seed).reshape(
             n_cells, rt, trace_pallas.LANES)
-    for start in range(0, D, db):
-        idx = list(range(start, min(start + db, D)))
+
+    chunks = [list(range(s, min(s + db, D))) for s in range(0, D, db)]
+    prepped = [prep(designs[i]) for i in chunks[0]]  # chunk 0 preps up front
+    for ci, idx in enumerate(chunks):
         pad = db - len(idx) if D > db else 0
-        sel = idx + [idx[-1]] * pad
+        sel_local = list(range(len(idx))) + [len(idx) - 1] * pad
         keep = len(idx)
+        tgs, cps, grs, rays_l, rngs_l = zip(*[prepped[j] for j in sel_local])
+        if trace is None:
+            num_fc, num_oc = tgs[0].num_fc, tgs[0].num_oc
+            edge_counts = (max(len(g.hull_hp) for g in tgs),
+                           max(len(g.r1_hp) for g in tgs),
+                           max(len(g.r2_hp) for g in tgs))
+            trace = trace_pallas_persistent.make_persistent_trace_fn(
+                cfg, num_fc, num_oc, rt, gens=gens, interpret=interpret,
+                phase_gating=(spawn_iters <= 0 and not count_spawn),
+                max_iters=cfg.max_bounces, edge_counts=edge_counts,
+                count_spawn=count_spawn)
+        if any(g.num_fc != num_fc or g.num_oc != num_oc for g in tgs):
+            raise ValueError(
+                "designs in one sweep batch must share strip counts")
         if broadcast:
-            base = jnp.asarray(np.stack([rays_l[i] for i in sel]))
+            base = jnp.asarray(np.stack(rays_l))
             rays_in = jnp.broadcast_to(
-                base[:, None], (len(sel), n_cells) + base.shape[1:]
-            ).reshape((len(sel) * n_cells,) + base.shape[1:])
+                base[:, None], (len(sel_local), n_cells) + base.shape[1:]
+            ).reshape((len(sel_local) * n_cells,) + base.shape[1:])
             rng_in = jnp.broadcast_to(
-                rng_cell[None], (len(sel),) + rng_cell.shape
-            ).reshape((len(sel) * n_cells,) + rng_cell.shape[1:])
+                rng_cell[None], (len(sel_local),) + rng_cell.shape
+            ).reshape((len(sel_local) * n_cells,) + rng_cell.shape[1:])
         else:
-            rays_in = jnp.concatenate(
-                [jnp.asarray(rays_l[i]) for i in sel], axis=0)
-            rng_in = jnp.concatenate(
-                [jnp.asarray(rngs_l[i]) for i in sel], axis=0)
+            rays_in = jnp.concatenate([jnp.asarray(r) for r in rays_l], axis=0)
+            rng_in = jnp.concatenate([jnp.asarray(r) for r in rngs_l], axis=0)
         tiles, nb = trace(
-            jnp.concatenate([jnp.asarray(cps[i]) for i in sel], axis=0),
-            jnp.asarray(np.stack([grs[i] for i in sel])),
+            jnp.concatenate([jnp.asarray(c) for c in cps], axis=0),
+            jnp.asarray(np.stack(grs)),
             rays_in, rng_in,
-            jnp.asarray([gens, spawn_iters], jnp.int32),
+            jnp.asarray([cfg.rays_per_fov if count_spawn else gens,
+                         spawn_iters], jnp.int32),
         )
-        overflowed = int(jnp.sum(nb[:, 3]))
-        if overflowed:
-            raise RuntimeError(
-                f"{overflowed} deposit codes overflowed the kernel's staging "
-                "slots (nb[:, 3] != 0) — the histogram undercounts; lower "
-                "flush_w")
-        # per-design device reductions (renormalized to nominal sample units)
+        # async device reductions only — every host pull is deferred so the
+        # next chunk's host prep overlaps this chunk's device trace
+        nb_parts.append(nb)
         spawned = jnp.maximum(nb[:, 2], 1).astype(jnp.float32)
-        factor = (nominal / spawned if spawn_iters > 0
+        factor = (nominal / spawned if (spawn_iters > 0 or count_spawn)
                   else jnp.ones_like(spawned))
         cell_sums = jnp.sum(tiles[:, :, :nx], axis=(1, 2)) * factor
-        per_design_l = cell_sums.reshape(len(sel), L, M * N).sum(axis=2)
-        eff_parts.append(
-            np.asarray(per_design_l)[:keep] / (nominal * M * N * L) * L)
-        bounce_parts.append(np.asarray(
-            jnp.sum(nb[:, 0].reshape(len(sel), n_cells), axis=1))[:keep])
+        per_design_l = cell_sums.reshape(len(sel_local), L, M * N).sum(axis=2)
+        eff_parts.append(per_design_l[:keep] / (nominal * M * N * L) * L)
+        bounce_parts.append(
+            jnp.sum(nb[:, 0].reshape(len(sel_local), n_cells), axis=1)[:keep])
         if keep_histograms:
             hist_parts.extend(
                 trace_pallas_persistent.hist_tiles_to_histogram(
-                    (tiles[i * n_cells:(i + 1) * n_cells]
-                     * factor[i * n_cells:(i + 1) * n_cells, None, None]),
+                    np.asarray(tiles[i * n_cells:(i + 1) * n_cells]
+                               * factor[i * n_cells:(i + 1) * n_cells,
+                                        None, None]),
                     np.arange(n_cells), L, M, N, ny, nx)
                 for i in range(keep)
             )
+        if ci + 1 < len(chunks):
+            prepped = [prep(designs[i]) for i in chunks[ci + 1]]
+
+    overflowed = int(np.asarray(
+        jnp.concatenate([nb[:, 3] for nb in nb_parts])).sum())
+    if overflowed:
+        raise RuntimeError(
+            f"{overflowed} deposit codes overflowed the kernel's staging "
+            "slots (nb[:, 3] != 0) — the histogram undercounts; lower "
+            "flush_w")
     return SweepResult(
         designs=list(designs),
         histograms=np.stack(hist_parts) if keep_histograms else None,
-        efficiencies=np.concatenate(eff_parts, axis=0),
-        bounces=np.concatenate(bounce_parts, axis=0),
+        efficiencies=np.concatenate(
+            [np.asarray(e) for e in eff_parts], axis=0),
+        bounces=np.concatenate([np.asarray(b) for b in bounce_parts], axis=0),
     )

@@ -328,3 +328,61 @@ def test_bf16_accum_mode_close_to_f32(setup):
     assert dep_f > 0 and dep_b > 0
     assert abs(dep_b - dep_f) / dep_f < 0.15
     assert abs(nb_b - nb_f) / nb_f < 0.05
+
+
+def test_packed_accum_mode_close_to_f32(setup):
+    """accum_mode='packed' (bf16-pair words, where-chain selection, shift +
+    bitcast unpack — the Mosaic-compatible reduced-precision lowering) must
+    agree with the f32 path within bf16-rounding statistics, and exactly with
+    accum_mode='bf16' at the selected-parameter level (same rounding)."""
+    geom, tgeom, cfg, n_cells, cp, gr, rays_in, rng_in = setup
+    cpk = trace_pallas_persistent.pack_selection_params(
+        np.asarray(cp), tgeom.num_fc, tgeom.num_oc)
+    res = {}
+    for mode in ("fma", "packed"):
+        pers = trace_pallas_persistent.make_persistent_trace_fn(
+            cfg, tgeom.num_fc, tgeom.num_oc, RT, gens=2, interpret=True,
+            max_iters=1300, accum_mode=mode)
+        kw = {"cell_params_packed": cpk} if mode == "packed" else {}
+        tiles, nb = pers(cp, gr, rays_in, rng_in, **kw)
+        res[mode] = (float(np.asarray(tiles).sum()),
+                     int(np.asarray(nb)[:, 0].sum()))
+    dep_f, nb_f = res["fma"]
+    dep_p, nb_p = res["packed"]
+    assert dep_f > 0 and dep_p > 0
+    assert abs(dep_p - dep_f) / dep_f < 0.15
+    assert abs(nb_p - nb_f) / nb_f < 0.05
+
+    # missing / superfluous packed tables are rejected
+    pers_p = trace_pallas_persistent.make_persistent_trace_fn(
+        cfg, tgeom.num_fc, tgeom.num_oc, RT, gens=2, interpret=True,
+        max_iters=1300, accum_mode="packed")
+    with pytest.raises(ValueError, match="packed"):
+        pers_p(cp, gr, rays_in, rng_in)
+
+
+def test_pack_selection_params_round_trip():
+    """The packed words hold exactly the bf16 roundings of the row params."""
+    import ml_dtypes
+
+    rng = np.random.default_rng(0)
+    num_fc, num_oc = 3, 2
+    rows = trace_pallas_persistent.selection_row_offsets(num_fc, num_oc)
+    pc = max(max(o) for _, o, q in rows for o in [o + (q or [])]) + 1
+    cp = rng.normal(size=(5, pc)).astype(np.float32)
+    words = trace_pallas_persistent.pack_selection_params(cp, num_fc, num_oc)
+    assert words.shape == (5, len(rows) * trace_pallas_persistent._SEL_NW)
+    w = words.view(np.uint32).reshape(5, len(rows),
+                                      trace_pallas_persistent._SEL_NW)
+    lo = (w & 0xFFFF).astype(np.uint16).view(ml_dtypes.bfloat16)
+    hi = (w >> 16).astype(np.uint16).view(ml_dtypes.bfloat16)
+    got = np.stack([lo, hi], axis=-1).reshape(5, len(rows),
+                                              trace_pallas_persistent._SEL_W)
+    for r, (_, offs, qoffs) in enumerate(rows):
+        want = np.zeros((5, trace_pallas_persistent._SEL_W), np.float32)
+        want[:, :34] = cp[:, offs]
+        if qoffs is not None:
+            want[:, 34:] = cp[:, qoffs]
+        np.testing.assert_array_equal(
+            got[:, r].astype(np.float32),
+            want.astype(ml_dtypes.bfloat16).astype(np.float32))

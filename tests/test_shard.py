@@ -142,6 +142,71 @@ def test_sharded_persistent_cells_bitwise():
     np.testing.assert_array_equal(np.asarray(nb_single), np.asarray(nb_shard))
 
 
+def test_sample_sharded_persistent_bitwise():
+    """MC-sample-axis sharding: k devices with distinct RNG slices psum-merge
+    to exactly the sum of the k corresponding single-device runs."""
+    import jax.numpy as jnp
+    from gpu_ray_tracing_for_waveguide_based_ar_display_tpu.engine import (
+        seeding,
+        trace_pallas,
+        trace_pallas_persistent,
+    )
+    from gpu_ray_tracing_for_waveguide_based_ar_display_tpu.engine.trace_geometry import (
+        build_trace_geometry,
+    )
+    from gpu_ray_tracing_for_waveguide_based_ar_display_tpu.luts import (
+        make_synthetic_luts,
+    )
+    from gpu_ray_tracing_for_waveguide_based_ar_display_tpu.luts.packing import (
+        build_cell_tables,
+    )
+    from gpu_ray_tracing_for_waveguide_based_ar_display_tpu.parallel.shard import (
+        make_mesh,
+        make_sample_sharded_cell_trace_fn,
+    )
+
+    M, N = 2, 2
+    geom = generate_geometry(num_fov_x=M, num_fov_y=N)
+    luts = make_synthetic_luts(geom)
+    tables = build_cell_tables(geom, luts)
+    tgeom = build_trace_geometry(geom, simplify_tol=0.05)
+    cfg = TraceConfig(num_fov_x=M, num_fov_y=N, rays_per_fov=128,
+                      max_bounces=500, rng_mode="fast", ic_test="circle",
+                      seed=9)
+    n_cells = 3 * M * N
+    cp = trace_pallas.build_kernel_cell_params(tables, geom.eyebox_range)
+    gr = trace_pallas.build_kernel_geom(tgeom)[None, :]
+    batch = seeding.build_ray_batch(geom, cfg)
+    rays_in, rng_in = trace_pallas.pack_ray_blocks(batch, n_cells, 128, 1)
+    fn = trace_pallas_persistent.make_persistent_trace_fn(
+        cfg, tgeom.num_fc, tgeom.num_oc, 1, gens=1, interpret=True,
+        max_iters=1100)
+    ctrl = jnp.asarray([1, 0], jnp.int32)
+
+    import jax
+
+    k = 2
+    rng_dev = np.stack([np.asarray(rng_in) + np.uint32(17 * (d + 1))
+                        for d in range(k)])
+    mesh = make_mesh(jax.devices()[:k], ("samples",), (k,))
+    sampled = make_sample_sharded_cell_trace_fn(fn, mesh, axis="samples")
+    t_merged, nb_merged = sampled(cp, gr, rays_in, jnp.asarray(rng_dev), ctrl)
+
+    t_sum = None
+    nb_sum = None
+    for d in range(k):
+        t_d, nb_d = fn(cp, gr, rays_in, jnp.asarray(rng_dev[d]), ctrl)
+        t_sum = t_d if t_sum is None else t_sum + t_d
+        nb_sum = nb_d if nb_sum is None else nb_sum + nb_d
+    np.testing.assert_array_equal(np.asarray(t_merged), np.asarray(t_sum))
+    np.testing.assert_array_equal(np.asarray(nb_merged), np.asarray(nb_sum))
+    assert float(np.asarray(t_merged).sum()) > 0
+
+    # wrong leading axis is rejected
+    with pytest.raises(ValueError, match="leading device axis"):
+        sampled(cp, gr, rays_in, jnp.asarray(rng_dev[0]), ctrl)
+
+
 def test_simulator_mesh_persistent():
     """Simulator(mesh=...) shards the persistent engine's cell axis."""
     from gpu_ray_tracing_for_waveguide_based_ar_display_tpu.engine.pipeline import (

@@ -49,10 +49,14 @@ def kernel_case(slots: int, spawn: int, cells: int = 4500, reps: int = 3):
     rays_in, rng_in = sim._device_ray_blocks(chunk, s, 0)
     rt = s // 128
     cp_sel = jax.lax.dynamic_slice_in_dim(sim._cp_dev, 0, len(chunk))
+    kw = {}
+    if getattr(sim, "_cpk_dev", None) is not None:
+        kw["cell_params_packed"] = jax.lax.dynamic_slice_in_dim(
+            sim._cpk_dev, 0, len(chunk))
     fn = sim._pers_fn(rt)
     ctrl = jnp.asarray([gens, spawn], jnp.int32)
     # warm + force completion via a host readback
-    _, nbw = fn(cp_sel, sim._gr, rays_in, rng_in, ctrl)
+    _, nbw = fn(cp_sel, sim._gr, rays_in, rng_in, ctrl, **kw)
     np.asarray(nbw)
     best = None
     bounces = None
@@ -60,7 +64,7 @@ def kernel_case(slots: int, spawn: int, cells: int = 4500, reps: int = 3):
         rng2 = rng_in + jnp.uint32(rep + 1)
         np.asarray(rng2[0, 0, :1])  # perturbation completes outside the timer
         t0 = time.perf_counter()
-        tiles, nb = fn(cp_sel, sim._gr, rays_in, rng2, ctrl)
+        tiles, nb = fn(cp_sel, sim._gr, rays_in, rng2, ctrl, **kw)
         nbh = np.asarray(nb)  # blocks on kernel completion
         dt = time.perf_counter() - t0
         if best is None or dt < best:
