@@ -87,7 +87,10 @@ def run(engine: str):
         spawn_iters=int(os.environ.get("BENCH_SPAWN_ITERS", 4096)),
         pers_phase_gating=(None if "BENCH_PHASE_GATING" not in os.environ
                            else os.environ["BENCH_PHASE_GATING"] != "0"),
-        pers_accum_mode=os.environ.get("BENCH_ACCUM", "fma"),
+        # packed (bf16-pair) selection is the fastest production mode:
+        # 2.29 G vs 1.65 G kernel-level on v5e; physics within bf16-rounding
+        # MC tolerance of the bitwise-parity fma mode (test_persistent)
+        pers_accum_mode=os.environ.get("BENCH_ACCUM", "packed"),
     )
     reps = REPS if engine == "pallas_persistent" else 1
     sims = _rep_sims(make_cfg, reps, **sim_kwargs)
@@ -144,6 +147,7 @@ def run_reference_workload():
         make_cfg, REPS, engine="pallas_persistent", geometry_simplify_tol=0.05,
         persistent_slots=int(os.environ.get("BENCH_REF_SLOTS", 2048)),
         spawn_mode="count", fold_iterations=True,
+        pers_accum_mode=os.environ.get("BENCH_REF_ACCUM", "packed"),
     )
     # warm-up compiles the kernel + grid shapes on a small spawn target
     sims[0].run(num_iter=1, rays_per_fov=2048, cells_per_batch=4500,
@@ -195,16 +199,24 @@ def run_sweep_figure():
     ]
     cfg = TraceConfig(num_fov_x=16, num_fov_y=12, rays_per_fov=2048,
                       max_bounces=4096, seed=0, rng_mode="fast")
+    # count-spawn sweep: trace each cell's exact rays_per_fov sample target
+    # (~40x less device work than the spawn-budget mode at this config; the
+    # per-design host prep pipelines behind the device trace).  Sampling is
+    # the ranking-resolution knob: 2048 rays x 576 cells/design resolves
+    # efficiency to ~0.5% relative.
+    sweep_kw = dict(spawn_iters=0, spawn_mode="count", slots=1024)
+    if os.environ.get("BENCH_SWEEP_MODE") == "gens":
+        sweep_kw = dict(spawn_iters=256)
     # warm-up must compile the *chunk-sized* grid the timed run dispatches
     # (C = designs_per_batch x cells); a 1-design warm-up compiles a
     # different XLA program and the cold compile would land inside the timer
     warm = designs[:1] * min(64, n_designs)
-    run_design_sweep_persistent(warm, cfg, spawn_iters=256)
+    run_design_sweep_persistent(warm, cfg, **sweep_kw)
     walls, results = [], []
     for rep in range(REPS):
         t0 = time.perf_counter()
-        res = run_design_sweep_persistent(designs, cfg, spawn_iters=256,
-                                          lut_seed=1234 + rep)
+        res = run_design_sweep_persistent(designs, cfg, lut_seed=1234 + rep,
+                                          **sweep_kw)
         walls.append(time.perf_counter() - t0)
         results.append(res)
     wall = statistics.median(walls)
