@@ -74,34 +74,44 @@ def eye_perceived(matrix_eb: np.ndarray, cfg: EvalConfig) -> np.ndarray:
     return out
 
 
+_PERCEIVE_CACHE = {}
+
+
 def eye_perceived_jnp(matrix_eb, cfg: EvalConfig = EvalConfig()):
     """Device-side :func:`eye_perceived` for a jnp histogram.
 
     The eyebox histogram is ~0.9 GB fp32 at reference resolution; on a
     relay-attached TPU pulling it to the host dominates everything else, while
     the pupil-integrated perception stack is only (L, fy, fx, 7, 8) ~ 2 MB.
-    Slices are static, so this jits to one fused reduction pass.
+    Slices are static, so this jits to one fused reduction pass.  The jitted
+    reduction is memoized per (eval config, eyebox shape, dtype): a fresh
+    closure per call would re-trace every run (~0.5 s of the reference
+    workload's wall clock).
     """
     import jax
     import jax.numpy as jnp
 
-    mask = jnp.asarray(pupil_mask(cfg.pupil_mask_bins), matrix_eb.dtype)
     msize = cfg.pupil_mask_bins
     n_eby, n_ebx = matrix_eb.shape[-2:]
-    y0s = range(0, n_eby - msize + 1, cfg.eye_step_y)
-    x0s = range(0, n_ebx - msize + 1, cfg.eye_step_x)
+    key = (msize, cfg.eye_step_y, cfg.eye_step_x, n_eby, n_ebx,
+           str(matrix_eb.dtype))
+    if key not in _PERCEIVE_CACHE:
+        mask = jnp.asarray(pupil_mask(msize), matrix_eb.dtype)
+        y0s = range(0, n_eby - msize + 1, cfg.eye_step_y)
+        x0s = range(0, n_ebx - msize + 1, cfg.eye_step_x)
 
-    @jax.jit
-    def _perceive(m):
-        cols = []
-        for y0 in y0s:
-            row = [jnp.einsum("...yx,yx->...",
-                              m[..., y0:y0 + msize, x0:x0 + msize], mask)
-                   for x0 in x0s]
-            cols.append(jnp.stack(row, axis=-1))
-        return jnp.stack(cols, axis=-2)
+        @jax.jit
+        def _perceive(m):
+            cols = []
+            for y0 in y0s:
+                row = [jnp.einsum("...yx,yx->...",
+                                  m[..., y0:y0 + msize, x0:x0 + msize], mask)
+                       for x0 in x0s]
+                cols.append(jnp.stack(row, axis=-1))
+            return jnp.stack(cols, axis=-2)
 
-    return _perceive(matrix_eb)
+        _PERCEIVE_CACHE[key] = _perceive
+    return _PERCEIVE_CACHE[key](matrix_eb)
 
 
 def evaluate(matrix_eb: Optional[np.ndarray], cfg: EvalConfig = EvalConfig(),

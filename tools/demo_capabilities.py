@@ -38,7 +38,7 @@ if os.environ.get("DEMO_CONV", "1") != "0":
                       ic_test="circle")
     sim = Simulator(cfg=cfg, engine="pallas_persistent",
                     geometry_simplify_tol=0.05, persistent_slots=4096,
-                    spawn_iters=1400)
+                    spawn_mode="count", pers_accum_mode="packed")
     t0 = time.perf_counter()
     res = sim.run(num_iter=1, cells_per_batch=4500, evaluate_metrics=True,
                   histogram_device=True)
@@ -68,10 +68,12 @@ if os.environ.get("DEMO_SWEEP", "1") != "0":
     ]
     cfg = TraceConfig(num_fov_x=16, num_fov_y=12, rays_per_fov=2048,
                       max_bounces=4096, seed=0, rng_mode="fast")
-    # warm the chunk-sized grid (C = 64 x cells) the timed run dispatches
-    run_design_sweep_persistent(designs[:1] * 64, cfg, spawn_iters=256)
+    # count-spawn sweep at the exact per-cell sample target; warm the
+    # chunk-sized grid (C = 64 x cells) the timed run dispatches
+    kw = dict(spawn_iters=0, spawn_mode="count", slots=1024)
+    run_design_sweep_persistent(designs[:1] * 64, cfg, **kw)
     t0 = time.perf_counter()
-    res = run_design_sweep_persistent(designs, cfg, spawn_iters=256)
+    res = run_design_sweep_persistent(designs, cfg, **kw)
     wall = time.perf_counter() - t0
     best = int(np.argmax(res.efficiencies.mean(axis=1)))
     out["sweep_256"] = {
