@@ -148,6 +148,7 @@ def run_design_sweep_persistent(
     _force_host_blocks: bool = False,
     spawn_mode: str = "gens",
     slots: Optional[int] = None,
+    accum_mode: str = "fma",
 ) -> SweepResult:
     """Design sweep on the production persistent kernel (TPU speed-of-light path).
 
@@ -219,16 +220,19 @@ def run_design_sweep_persistent(
         tables = build_cell_tables(geom, luts)
         tg = build_trace_geometry(geom, simplify_tol=0.05)
         cp = trace_pallas.build_kernel_cell_params(tables, geom.eyebox_range)
+        cpk = (trace_pallas_persistent.pack_selection_params(
+                   cp, tg.num_fc, tg.num_oc)
+               if accum_mode == "packed" else None)
         gr = trace_pallas.build_kernel_geom(tg)
         if broadcast:
             b = seeding.build_ray_batch(
                 geom, _dc.replace(cfg, rays_per_fov=slots),
                 cell_ids=np.array([0]), rays_per_cell=slots)
             tile, _ = trace_pallas.pack_ray_blocks(b, 1, slots, rt)
-            return tg, cp, gr, tile[0], None   # (6, RT, 128) per design
+            return tg, cp, cpk, gr, tile[0], None  # (6, RT, 128) per design
         b = seeding.build_ray_batch(geom, _dc.replace(cfg, rays_per_fov=slots))
         r_in, rng_in = trace_pallas.pack_ray_blocks(b, n_cells, slots, rt)
-        return tg, cp, gr, r_in, rng_in
+        return tg, cp, cpk, gr, r_in, rng_in
 
     trace = None
     nominal = cfg.rays_per_fov if count_spawn else slots * gens
@@ -250,7 +254,8 @@ def run_design_sweep_persistent(
         pad = db - len(idx) if D > db else 0
         sel_local = list(range(len(idx))) + [len(idx) - 1] * pad
         keep = len(idx)
-        tgs, cps, grs, rays_l, rngs_l = zip(*[prepped[j] for j in sel_local])
+        tgs, cps, cpks, grs, rays_l, rngs_l = zip(
+            *[prepped[j] for j in sel_local])
         if trace is None:
             num_fc, num_oc = tgs[0].num_fc, tgs[0].num_oc
             edge_counts = (max(len(g.hull_hp) for g in tgs),
@@ -260,7 +265,7 @@ def run_design_sweep_persistent(
                 cfg, num_fc, num_oc, rt, gens=gens, interpret=interpret,
                 phase_gating=(spawn_iters <= 0 and not count_spawn),
                 max_iters=cfg.max_bounces, edge_counts=edge_counts,
-                count_spawn=count_spawn)
+                count_spawn=count_spawn, accum_mode=accum_mode)
         if any(g.num_fc != num_fc or g.num_oc != num_oc for g in tgs):
             raise ValueError(
                 "designs in one sweep batch must share strip counts")
@@ -275,12 +280,16 @@ def run_design_sweep_persistent(
         else:
             rays_in = jnp.concatenate([jnp.asarray(r) for r in rays_l], axis=0)
             rng_in = jnp.concatenate([jnp.asarray(r) for r in rngs_l], axis=0)
+        kw = ({"cell_params_packed": jnp.concatenate(
+                  [jnp.asarray(c) for c in cpks], axis=0)}
+              if accum_mode == "packed" else {})
         tiles, nb = trace(
             jnp.concatenate([jnp.asarray(c) for c in cps], axis=0),
             jnp.asarray(np.stack(grs)),
             rays_in, rng_in,
             jnp.asarray([cfg.rays_per_fov if count_spawn else gens,
                          spawn_iters], jnp.int32),
+            **kw,
         )
         # async device reductions only — every host pull is deferred so the
         # next chunk's host prep overlaps this chunk's device trace

@@ -78,6 +78,40 @@ def test_design_sweep_persistent_kernel():
     np.testing.assert_array_equal(res.efficiencies[1], solo.efficiencies[0])
 
 
+def test_design_sweep_persistent_count_and_packed():
+    """count-spawn sweeps hit the exact per-cell sample target, and the
+    packed-selection sweep agrees with fma within bf16-rounding statistics."""
+    import dataclasses
+
+    from gpu_ray_tracing_for_waveguide_based_ar_display_tpu.sweep import (
+        run_design_sweep_persistent,
+    )
+
+    base = presets.get("paper_default")
+    designs = [
+        dataclasses.replace(base, lambda_ic=p, lambda_oc=p)
+        for p in (380.0, 392.0)
+    ]
+    cfg = TraceConfig(num_fov_x=4, num_fov_y=3, rays_per_fov=200,
+                      max_bounces=256, seed=5)
+    res = run_design_sweep_persistent(designs, cfg, interpret=True,
+                                      spawn_iters=0, spawn_mode="count")
+    assert res.efficiencies.shape == (2, 3)
+    assert np.all(res.bounces > 0)
+    # determinism of the count schedule
+    res2 = run_design_sweep_persistent(designs, cfg, interpret=True,
+                                       spawn_iters=0, spawn_mode="count")
+    np.testing.assert_array_equal(res.efficiencies, res2.efficiencies)
+
+    resp = run_design_sweep_persistent(designs, cfg, interpret=True,
+                                       spawn_iters=0, spawn_mode="count",
+                                       accum_mode="packed")
+    # bf16 parameter rounding: statistically close, not bitwise
+    np.testing.assert_allclose(resp.efficiencies, res.efficiencies,
+                               rtol=0.25, atol=5e-3)
+    assert not np.array_equal(resp.efficiencies, res.efficiencies)
+
+
 def test_design_sweep_persistent_chunked():
     """designs_per_batch chunking (with tail padding) must be invisible:
     chunked results equal the single-dispatch sweep exactly."""

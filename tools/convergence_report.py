@@ -15,9 +15,15 @@ import os
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-os.environ.setdefault("JAX_PLATFORMS", os.environ.get("CONV_PLATFORM", "cpu"))
+# runs on whatever backend is active (TPU via sitecustomize in the default
+# shell — fastest; CPU with JAX_PLATFORMS=cpu PALLAS_AXON_POOL_IPS= on the
+# command line, where the persistent kernel switches to interpret mode)
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
 if os.environ["JAX_PLATFORMS"] == "cpu":
-    os.environ["PALLAS_AXON_POOL_IPS"] = ""
+    os.environ.setdefault("PALLAS_AXON_POOL_IPS", "")
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
 
 import numpy as np
 
@@ -50,24 +56,43 @@ M, N = 16, 12
 
 
 def exact_metrics(geom, tables, tgeom, cfg, eval_cfg):
-    """Exact expectation via the splitting tracer: 64 launch directions/FoV
-    (the pupil-sample average), weights follow every branch."""
-    batch = seeding.build_ray_batch(geom, cfg)
-    rays0 = trace_jnp.make_ray_state(
-        batch["x"], batch["y"], batch["te"], batch["tm"], batch["cid"],
-        batch["idx"], batch["rng"])
-    res = splitting.run_splitting(
-        tables, tgeom, cfg, rays0, capacity=1 << 15,
-        weight_threshold=1e-7, max_steps=1024)
-    n0 = len(batch["x"])
-    # per-launch-direction expectation; normalize like the MC pipeline
-    hist = res.histogram * (3 * M * N / n0)
+    """Exact expectation via the splitting tracer: 64 launch positions/FoV
+    (the pupil-sample average), weights follow every branch.  Cells chunk so
+    the wavefront buffer never truncates (the zero-variance guarantee needs
+    truncated_weight ~ 0)."""
+    n_cells = 3 * M * N
+    per_chunk = int(os.environ.get("CONV_EXACT_CHUNK", 6))
+    hist = None
+    pruned = truncated = 0.0
+    n0 = 0
+    trace = splitting.make_splitting_trace_fn(
+        tables, tgeom, cfg,
+        capacity=int(os.environ.get("CONV_EXACT_CAP", 1 << 16)),
+        weight_threshold=float(os.environ.get("CONV_EXACT_THRESH", 1e-6)),
+        max_steps=1024)
+    import jax
+
+    for start in range(0, n_cells, per_chunk):
+        cells = np.arange(start, min(start + per_chunk, n_cells))
+        batch = seeding.build_ray_batch(geom, cfg, cell_ids=cells)
+        rays0 = trace_jnp.make_ray_state(
+            batch["x"], batch["y"], batch["te"], batch["tm"], batch["cid"],
+            batch["idx"], batch["rng"])
+        h, out_w, trunc, pr, _ = jax.block_until_ready(trace(rays0))
+        ny, nx = cfg.eyebox_bins
+        h = np.asarray(h).reshape(3, N, M, ny, nx)
+        hist = h if hist is None else hist + h
+        pruned += float(pr)
+        truncated += float(trunc)
+        n0 += len(batch["x"])
+    # per-launch-position expectation; normalize like the MC pipeline
+    hist = hist * (3 * M * N / n0)
     m = evaluate(hist, eval_cfg)
     effs = hist.sum(axis=(1, 2, 3, 4)) * 3 / (3 * M * N)
     return {"eff_B": float(effs[0]), "eff_G": float(effs[1]),
             "eff_R": float(effs[2]), "delta_e": m.delta_e, "u_fov": m.u_fov,
-            "u_eyebox": m.u_eyebox, "pruned_weight": res.pruned,
-            "truncated_weight": res.truncated}
+            "u_eyebox": m.u_eyebox, "pruned_weight": pruned,
+            "truncated_weight": truncated}
 
 
 def mc_metrics(geom, cfg, rpf, groups=4):
