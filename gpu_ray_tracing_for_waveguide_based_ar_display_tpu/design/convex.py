@@ -195,3 +195,27 @@ def simplify_to_max_edges(verts: np.ndarray, max_edges: int,
     # fall back to the convex hull of a decimated ring
     step = int(np.ceil(len(verts) / max_edges))
     return verts[::step]
+
+
+def count_polygons(polys) -> int:
+    """Number of polygon rings in a geometry (``count_polygons`` parity,
+    /root/reference/couplers_coor.py:112-120).
+
+    The reference counts shapely (Multi)Polygon members; here geometry soups are
+    CSR packs, so ``polys`` may be a CSR offset array (``FC_offset``-style,
+    monotone int array of length n_rings + 1), a list/tuple of vertex rings, or
+    a single (N, 2) ring.  An empty geometry counts 0; anything else raises
+    TypeError like the reference.
+    """
+    if isinstance(polys, (list, tuple)):
+        return len(polys)
+    arr = np.asarray(polys)
+    if arr.size == 0:
+        return 0
+    if arr.ndim == 1 and np.issubdtype(arr.dtype, np.integer):
+        if len(arr) < 1 or np.any(np.diff(arr) < 0):
+            raise TypeError("offset arrays must be monotone non-decreasing")
+        return len(arr) - 1
+    if arr.ndim == 2 and arr.shape[1] == 2:
+        return 1
+    raise TypeError("Input is not a vertex ring, ring list, or CSR offsets.")

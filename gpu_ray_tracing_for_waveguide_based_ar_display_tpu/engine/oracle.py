@@ -82,6 +82,39 @@ def _jones(lut_row, quad):
     return lut_row[a], lut_row[b], lut_row[c], lut_row[d]
 
 
+def lut_find_position(lut: np.ndarray, theta, phi, tol2: float = 1e-5):
+    """Nearest (theta, phi) grid-cell search (``LUT_find_position`` parity,
+    /root/reference/GPU_ray_tracing_functions.py:110-122).
+
+    The reference scans the (J, K) grid row-major and returns the FIRST cell
+    whose squared distance to ``(theta, phi)`` is below ``tol2`` (not the
+    global minimum) — this vectorized rebuild keeps that first-match contract.
+    ``lut`` is (C, J, K) with channel 0 = theta and channel 1 = phi; the
+    production engines never need this (cells are indexed directly by (m, n)),
+    it exists for API parity and as a test oracle.
+
+    ``theta``/``phi`` broadcast; returns ``(j, k, found)`` int/int/bool arrays
+    (scalars in, scalars out), with (-1, -1, False) where nothing is in range.
+    """
+    theta = np.asarray(theta, dtype=np.float64)
+    phi = np.asarray(phi, dtype=np.float64)
+    scalar = theta.ndim == 0 and phi.ndim == 0
+    theta, phi = np.broadcast_arrays(np.atleast_1d(theta), np.atleast_1d(phi))
+    grid_t = np.asarray(lut[0], dtype=np.float64).ravel()
+    grid_p = np.asarray(lut[1], dtype=np.float64).ravel()
+    d2 = ((theta[..., None] - grid_t) ** 2
+          + (phi[..., None] - grid_p) ** 2)          # (..., J*K)
+    hit = d2 < tol2
+    found = hit.any(axis=-1)
+    flat = np.argmax(hit, axis=-1)                    # first True, row-major
+    K = np.asarray(lut[0]).shape[1]
+    j = np.where(found, flat // K, -1)
+    k = np.where(found, flat % K, -1)
+    if scalar:
+        return int(j[0]), int(k[0]), bool(found[0])
+    return j, k, found
+
+
 class OracleTracer:
     """Scalar tracer over a design + LUT set.  Use tiny ray counts only."""
 

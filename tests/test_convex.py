@@ -73,3 +73,16 @@ def test_point_in_polygon_square():
     assert not convex.point_in_polygon(1.5, 0.5, sq)
     assert convex.point_on_edge(1.0, 0.5, sq)
     assert convex.point_in_or_on(1.0, 0.5, sq)
+
+
+def test_count_polygons():
+    ring = np.array([[0, 0], [1, 0], [1, 1]], dtype=float)
+    assert convex.count_polygons(ring) == 1
+    assert convex.count_polygons([ring, ring + 2.0]) == 2
+    # CSR offsets (FC_offset-style, reference couplers_coor.py:713-728)
+    assert convex.count_polygons(np.array([0, 5, 9, 14])) == 3
+    assert convex.count_polygons(np.array([], dtype=float)) == 0
+    with pytest.raises(TypeError):
+        convex.count_polygons(np.array([3.0, 1.0, 2.0]))
+    with pytest.raises(TypeError):
+        convex.count_polygons(np.array([0, 5, 3]))

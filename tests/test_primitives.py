@@ -115,3 +115,37 @@ def test_seed_fast_device_bitwise_matches_host():
         got = np.asarray(rng.seed_fast_device(
             jnp.asarray(idx.astype(np.uint32)), seed))
         np.testing.assert_array_equal(want, got)
+
+
+def test_lut_find_position_first_match_contract():
+    """Vectorized rebuild keeps the reference's first-match-below-tol scan
+    order (GPU_ray_tracing_functions.py:110-122), not the global minimum."""
+    rs = np.random.RandomState(7)
+    J, K = 9, 11
+    lut = np.zeros((2, J, K))
+    lut[0] = rs.uniform(-1, 1, (J, K))
+    lut[1] = rs.uniform(-3, 3, (J, K))
+
+    def ref_scalar(theta, phi):
+        for j in range(J):
+            for k in range(K):
+                dt, dp = theta - lut[0, j, k], phi - lut[1, j, k]
+                if dt * dt + dp * dp < 1e-5:
+                    return j, k, True
+        return -1, -1, False
+
+    # queries: exact grid hits, near-hits with multiple in-range cells
+    # (duplicate a grid point so scan order matters), and guaranteed misses
+    lut[0, 5, 5], lut[1, 5, 5] = lut[0, 2, 3], lut[1, 2, 3]
+    qs = [(lut[0, 2, 3], lut[1, 2, 3]), (lut[0, 8, 0] + 1e-4, lut[1, 8, 0]),
+          (99.0, 99.0), (lut[0, 0, 0], lut[1, 0, 0] + 3e-3)]
+    for theta, phi in qs:
+        assert oracle.lut_find_position(lut, theta, phi) == ref_scalar(theta, phi)
+    # vectorized over all queries at once
+    th = np.array([q[0] for q in qs])
+    ph = np.array([q[1] for q in qs])
+    j, k, f = oracle.lut_find_position(lut, th, ph)
+    exp = [ref_scalar(t, p) for t, p in qs]
+    assert list(j) == [e[0] for e in exp]
+    assert list(k) == [e[1] for e in exp]
+    assert list(f) == [e[2] for e in exp]
