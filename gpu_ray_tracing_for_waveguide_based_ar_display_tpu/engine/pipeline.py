@@ -848,4 +848,10 @@ def format_report(result: SimulationResult) -> str:
             f"FoV uniformity       : {result.metrics.u_fov * 100:8.2f} %",
             f"Eyebox uniformity    : {result.metrics.u_eyebox * 100:8.2f} %",
         ]
+        if getattr(result.metrics, "starved_eye_positions", 0):
+            n = result.metrics.starved_eye_positions
+            lines.append(
+                f"  [unconverged: {n} eye position(s) have empty (FoV, eye) "
+                "bins at this sample budget; u_eyebox/u_fov are biased low — "
+                "raise rays_per_fov or num_iter]")
     return "\n".join(lines)

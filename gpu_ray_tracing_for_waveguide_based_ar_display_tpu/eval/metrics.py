@@ -43,6 +43,12 @@ class EvalResult:
     u_eyebox: float          # eyebox luminance uniformity, 0-1
     output_image: np.ndarray  # (FoVy, FoVx, 3, n_epy, n_epx) simulated eye views
     eye_luminance: np.ndarray  # (n_epy, n_epx) mean luminance per eye position
+    # eye positions with >= 1 zero-luminance FoV pixel.  Any nonzero count means
+    # u_eyebox degenerates to 0 and u_fov is biased low — the MC sample budget
+    # has not populated every (FoV, eye-position) bin yet (at the reference's
+    # default 5,000 rays/FoV x 4 iters the corner positions are starved; see
+    # tools/convergence_report.py), not that the display has a dead region.
+    starved_eye_positions: int = 0
 
 
 def pupil_mask(size: int) -> np.ndarray:
@@ -167,12 +173,14 @@ def evaluate(matrix_eb: Optional[np.ndarray], cfg: EvalConfig = EvalConfig(),
     delta_e = delta_e_sum / (n_epy * n_epx)
     u_fov = u_fov_sum / (n_epy * n_epx)
     u_eyebox = 0.0 if u_eb.max() == 0 else float(u_eb.min() / u_eb.max())
+    starved = int((u_eb == 0.0).sum())
     return EvalResult(
         delta_e=delta_e,
         u_fov=u_fov,
         u_eyebox=u_eyebox,
         output_image=output_image,
         eye_luminance=u_eb,
+        starved_eye_positions=starved,
     )
 
 

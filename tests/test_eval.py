@@ -158,3 +158,19 @@ def test_eye_perceived_jnp_matches_numpy():
     a = metrics.eye_perceived(m, cfg)
     b = np.asarray(metrics.eye_perceived_jnp(jnp.asarray(m), cfg))
     np.testing.assert_allclose(b, a, rtol=2e-6)
+
+
+def test_evaluate_flags_starved_eye_positions():
+    """An eye position whose pupil window caught zero photons must zero
+    u_eyebox AND be reported via starved_eye_positions (the MC-convergence
+    diagnostic: u_eyebox=0 means under-sampled, not a dead display)."""
+    cfg = EvalConfig()
+    eb = np.full((3, 6, 8, 80, 120), 0.001)
+    dense = metrics.evaluate(eb, cfg)
+    assert dense.starved_eye_positions == 0
+
+    eb2 = eb.copy()
+    eb2[..., :30, :30] = 0.0   # empty the (0, 0) eye position's pupil window
+    res = metrics.evaluate(eb2, cfg)
+    assert res.u_eyebox == 0.0
+    assert res.starved_eye_positions == 1
