@@ -75,6 +75,8 @@ def cmd_simulate(args) -> int:
             "delta_e": res.metrics.delta_e if res.metrics else None,
             "u_fov": res.metrics.u_fov if res.metrics else None,
             "u_eyebox": res.metrics.u_eyebox if res.metrics else None,
+            "starved_eye_positions": (res.metrics.starved_eye_positions
+                                      if res.metrics else None),
             "rays_traced": res.rays_traced,
             "total_bounces": res.total_bounces,
             "trace_seconds": res.trace_seconds,

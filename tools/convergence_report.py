@@ -79,6 +79,9 @@ def exact_metrics(geom, tables, tgeom, cfg, eval_cfg):
             batch["x"], batch["y"], batch["te"], batch["tm"], batch["cid"],
             batch["idx"], batch["rng"])
         h, out_w, trunc, pr, _ = jax.block_until_ready(trace(rays0))
+        if start % (50 * per_chunk) == 0:
+            print(f"exact: cells {start}/{n_cells} trunc={truncated:.3g}",
+                  file=sys.stderr, flush=True)
         ny, nx = cfg.eyebox_bins
         h = np.asarray(h).reshape(3, N, M, ny, nx)
         hist = h if hist is None else hist + h
