@@ -56,10 +56,16 @@ M, N = 16, 12
 
 
 def exact_metrics(geom, tables, tgeom, cfg, eval_cfg):
-    """Exact expectation via the splitting tracer: 64 launch positions/FoV
-    (the pupil-sample average), weights follow every branch.  Cells chunk so
-    the wavefront buffer never truncates (the zero-variance guarantee needs
-    truncated_weight ~ 0)."""
+    """Exact branch expectation via the splitting tracer.  Cells chunk so the
+    wavefront buffer never truncates (the zero-variance guarantee needs
+    truncated_weight ~ 0).
+
+    Caveat: "exact" is exact over the *branch tree* (no roulette variance),
+    but still a quadrature over ``cfg.rays_per_fov`` launch positions in the
+    in-coupler pupil (default 64; CONV_EXACT_CHUNK/CAP trade positions for
+    wall).  Against MC (which samples thousands of positions) the residual
+    position-quadrature offset is a few percent on efficiencies — compare
+    uniformity/dispersion estimator *bias* with it, not absolute efficiency."""
     n_cells = 3 * M * N
     per_chunk = int(os.environ.get("CONV_EXACT_CHUNK", 6))
     hist = None
