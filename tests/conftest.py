@@ -25,3 +25,33 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+
+# ---- test tiers: the heaviest interpret-mode kernel tests (> ~1 min each on
+# one CPU core) are marked "slow" at collection so a quick tier exists
+# (`pytest tests/ -m "not slow"`, ~10 min) alongside the full default run.
+import pytest  # noqa: E402
+
+_SLOW_TESTS = {
+    "test_bf16_accum_mode_close_to_f32",
+    "test_flush_window_invariance",
+    "test_design_sweep_persistent_broadcast_seeding",
+    "test_cond_interval_invariance",
+    "test_design_sweep_persistent_count_and_packed",
+    "test_dryrun_multichip_8",
+    "test_dryrun_multichip_2",
+    "test_design_sweep_persistent_chunked",
+    "test_design_sweep_persistent_kernel",
+    "test_runtime_ctrl_equals_baked_gens",
+    "test_sharded_persistent_cells_bitwise",
+    "test_simulator_spawn_iters",
+    "test_sample_sharded_persistent_bitwise",
+    "test_checkpoint_resume_persistent_fast_path",
+    "test_segmented_pallas_matches_monolithic",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        if item.name.split("[")[0] in _SLOW_TESTS:
+            item.add_marker(pytest.mark.slow)
