@@ -215,7 +215,11 @@ def main(argv=None) -> int:
     p.add_argument("--profile-dir", default="",
                    help="capture a jax.profiler trace of the run to this dir")
     p.add_argument("--engine", default="jnp",
-                   choices=("jnp", "pallas", "pallas_persistent", "cellblock"))
+                   choices=("jnp", "pallas", "pallas_persistent", "cellblock",
+                            "splitting"),
+                   help="'splitting' = deterministic zero-variance transport: "
+                        "exact branch expectation, rays-per-fov becomes the "
+                        "pupil quadrature point count (small grids only)")
     p.add_argument("--spawn-iters", type=int, default=0,
                    help="saturating-spawn iteration budget (pallas_persistent; "
                         "0 = fixed generations)")

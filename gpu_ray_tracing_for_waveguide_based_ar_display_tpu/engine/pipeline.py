@@ -81,8 +81,12 @@ class Simulator:
         mesh=None,
         spawn_mode: str = "gens",
         fold_iterations: bool = False,
+        splitting_capacity: int = 1 << 16,
+        splitting_threshold: float = 1e-6,
+        splitting_max_steps: int = 1024,
     ):
-        if engine not in ("jnp", "pallas", "pallas_persistent", "cellblock"):
+        if engine not in ("jnp", "pallas", "pallas_persistent", "cellblock",
+                          "splitting"):
             raise ValueError(f"unknown engine {engine!r}")
         self.engine = engine
         self.design = design
@@ -136,6 +140,25 @@ class Simulator:
         if engine == "jnp":
             self.trace_fn = trace_jnp.make_trace_fn(self.tables, self.tgeom, cfg)
             self._resume_fns = {}
+        elif engine == "splitting":
+            # zero-variance engine: deterministic all-branch transport
+            # (engine/splitting.py) producing the *exact* branch expectation
+            # of the MC tracer for the traced launch positions.  rays_per_fov
+            # becomes the pupil-quadrature point count per cell; num_iter > 1
+            # adds further independent position batches.  Use small FoV grids:
+            # cost scales with the branch-tree width, not ray count.
+            from . import splitting
+
+            self._split_capacity = splitting_capacity
+            self._split_trace = splitting.make_splitting_trace_fn(
+                self.tables, self.tgeom, cfg, capacity=splitting_capacity,
+                weight_threshold=splitting_threshold,
+                max_steps=splitting_max_steps)
+            # running weight-loss diagnostics (per run() call the caller can
+            # difference these; truncated must stay ~0 for the zero-variance
+            # guarantee — warned about in trace_batch)
+            self.split_truncated = 0.0
+            self.split_pruned = 0.0
         elif engine == "pallas_persistent":
             self._cp = trace_pallas.build_kernel_cell_params(
                 self.tables, self.geom.eyebox_range
@@ -203,6 +226,32 @@ class Simulator:
                 rays_f["dep"], rays_f["cid"], self.L, self.M, self.N, ny, nx
             )
             return hist, bounces, len(batch["x"])
+
+        if self.engine == "splitting":
+            import warnings
+
+            if 2 * len(batch["x"]) > self._split_capacity:
+                raise ValueError(
+                    f"{len(batch['x'])} launch rays cannot even seed the "
+                    f"{self._split_capacity}-slot wavefront buffer; lower "
+                    "cells_per_batch / rays_per_fov or raise "
+                    "splitting_capacity")
+            rays = trace_jnp.make_ray_state(
+                batch["x"], batch["y"], batch["te"], batch["tm"],
+                batch["cid"], batch["idx"], batch["rng"],
+            )
+            hist_flat, _out_w, trunc, pruned, steps = self._split_trace(rays)
+            self.split_pruned += float(pruned)
+            tr = float(trunc)
+            self.split_truncated += tr
+            if tr > 1e-3 * len(batch["x"]):
+                warnings.warn(
+                    f"splitting wavefront truncated {tr:.3g} weight "
+                    f"({tr / len(batch['x']):.2%} of this batch's launch "
+                    "weight) — the expectation is biased low; lower "
+                    "cells_per_batch or raise splitting_capacity")
+            hist = hist_flat.reshape(self._hist_shape)
+            return hist, int(steps), len(batch["x"])
 
         if self.engine == "cellblock":
             blocks = trace_cellblock.make_ray_blocks(
