@@ -170,10 +170,6 @@ class Simulator:
 
             self._cp_dev = jnp.asarray(self._cp)
             self._cpk = self._cpk_dev = None
-            if pers_accum_mode == "packed" and mesh is not None:
-                raise ValueError("accum_mode='packed' does not compose with "
-                                 "mesh sharding yet (positional shard_map "
-                                 "wrapper); use 'fma'")
             if pers_accum_mode == "packed":
                 self._cpk = trace_pallas_persistent.pack_selection_params(
                     self._cp, self.tgeom.num_fc, self.tgeom.num_oc)
@@ -506,7 +502,8 @@ class Simulator:
                 from ..parallel.shard import make_sharded_cell_trace_fn
 
                 fn = make_sharded_cell_trace_fn(
-                    fn, self._mesh, axis=self._mesh.axis_names[0])
+                    fn, self._mesh, axis=self._mesh.axis_names[0],
+                    packed=(self._pers_accum_mode == "packed"))
             self._pers_cache[rt] = fn
         return self._pers_cache[rt]
 

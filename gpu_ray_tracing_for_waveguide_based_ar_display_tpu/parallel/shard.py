@@ -106,7 +106,8 @@ def shard_ray_batch(rays: dict, mesh: Mesh) -> dict:
     return {k: jax.device_put(jnp.asarray(v), sharding) for k, v in rays.items()}
 
 
-def make_sharded_cell_trace_fn(pers_fn, mesh: Mesh, axis: str = "rays"):
+def make_sharded_cell_trace_fn(pers_fn, mesh: Mesh, axis: str = "rays",
+                               packed: bool = False):
     """Shard the *cell* axis of the persistent Pallas tracer over a mesh.
 
     The persistent kernel already grids over (wavelength, FoV) cells on one
@@ -120,22 +121,46 @@ def make_sharded_cell_trace_fn(pers_fn, mesh: Mesh, axis: str = "rays"):
     mesh with ``interpret=True`` kernels and on real TPU slices compiled.
     """
 
-    def _local(cp, geom_row, rays, rng, ctrl):
-        return pers_fn(cp, geom_row, rays, rng, ctrl)
+    if packed:
+        # the packed bf16-pair selection table shards with the cell axis like
+        # cell_params; shard_map wants positionals, the public trace keeps the
+        # engine's keyword contract
+        def _local(cp, cpk, geom_row, rays, rng, ctrl):
+            return pers_fn(cp, geom_row, rays, rng, ctrl,
+                           cell_params_packed=cpk)
 
-    sharded = shard_map(
-        _local,
-        mesh=mesh,
-        in_specs=(P(axis), P(), P(axis), P(axis), P()),
-        out_specs=(P(axis), P(axis)),
-        check_vma=False,
-    )
+        sharded = shard_map(
+            _local,
+            mesh=mesh,
+            in_specs=(P(axis), P(axis), P(), P(axis), P(axis), P()),
+            out_specs=(P(axis), P(axis)),
+            check_vma=False,
+        )
+    else:
+        def _local(cp, geom_row, rays, rng, ctrl):
+            return pers_fn(cp, geom_row, rays, rng, ctrl)
 
-    def trace(cell_params, geom_row, rays_in, rng_in, ctrl):
+        sharded = shard_map(
+            _local,
+            mesh=mesh,
+            in_specs=(P(axis), P(), P(axis), P(axis), P()),
+            out_specs=(P(axis), P(axis)),
+            check_vma=False,
+        )
+
+    def trace(cell_params, geom_row, rays_in, rng_in, ctrl,
+              cell_params_packed=None):
         n_dev = mesh.devices.size
         if cell_params.shape[0] % n_dev:
             raise ValueError(
                 f"{cell_params.shape[0]} cells do not divide over {n_dev} devices")
+        if packed:
+            if cell_params_packed is None:
+                raise ValueError("packed=True needs cell_params_packed")
+            return sharded(jnp.asarray(cell_params),
+                           jnp.asarray(cell_params_packed),
+                           jnp.asarray(geom_row), jnp.asarray(rays_in),
+                           jnp.asarray(rng_in), jnp.asarray(ctrl))
         return sharded(jnp.asarray(cell_params), jnp.asarray(geom_row),
                        jnp.asarray(rays_in), jnp.asarray(rng_in),
                        jnp.asarray(ctrl))
@@ -144,7 +169,8 @@ def make_sharded_cell_trace_fn(pers_fn, mesh: Mesh, axis: str = "rays"):
 
 
 def make_sample_sharded_cell_trace_fn(pers_fn, mesh: Mesh,
-                                      axis: str = "samples"):
+                                      axis: str = "samples",
+                                      packed: bool = False):
     """MC-*sample*-axis data parallelism for the persistent Pallas tracer.
 
     The orthogonal direction to :func:`make_sharded_cell_trace_fn`: every
@@ -160,26 +186,51 @@ def make_sample_sharded_cell_trace_fn(pers_fn, mesh: Mesh,
     small-grid workloads on big slices.
     """
 
-    def _local(cp, geom_row, rays, rng, ctrl):
-        tiles, nb = pers_fn(cp, geom_row, rays, rng[0], ctrl)
-        tiles = jax.lax.psum(tiles, axis_name=axis)
-        nb = jax.lax.psum(nb, axis_name=axis)
-        return tiles, nb
+    if packed:
+        # every device sees all cells, so the packed table replicates
+        def _local(cp, cpk, geom_row, rays, rng, ctrl):
+            tiles, nb = pers_fn(cp, geom_row, rays, rng[0], ctrl,
+                                cell_params_packed=cpk)
+            tiles = jax.lax.psum(tiles, axis_name=axis)
+            nb = jax.lax.psum(nb, axis_name=axis)
+            return tiles, nb
 
-    sharded = shard_map(
-        _local,
-        mesh=mesh,
-        in_specs=(P(), P(), P(), P(axis), P()),
-        out_specs=(P(), P()),
-        check_vma=False,
-    )
+        sharded = shard_map(
+            _local,
+            mesh=mesh,
+            in_specs=(P(), P(), P(), P(), P(axis), P()),
+            out_specs=(P(), P()),
+            check_vma=False,
+        )
+    else:
+        def _local(cp, geom_row, rays, rng, ctrl):
+            tiles, nb = pers_fn(cp, geom_row, rays, rng[0], ctrl)
+            tiles = jax.lax.psum(tiles, axis_name=axis)
+            nb = jax.lax.psum(nb, axis_name=axis)
+            return tiles, nb
 
-    def trace(cell_params, geom_row, rays_in, rng_in, ctrl):
+        sharded = shard_map(
+            _local,
+            mesh=mesh,
+            in_specs=(P(), P(), P(), P(axis), P()),
+            out_specs=(P(), P()),
+            check_vma=False,
+        )
+
+    def trace(cell_params, geom_row, rays_in, rng_in, ctrl,
+              cell_params_packed=None):
         n_dev = mesh.devices.size
         if rng_in.shape[0] != n_dev:
             raise ValueError(
                 f"rng_in needs a leading device axis of {n_dev}, "
                 f"got shape {rng_in.shape}")
+        if packed:
+            if cell_params_packed is None:
+                raise ValueError("packed=True needs cell_params_packed")
+            return sharded(jnp.asarray(cell_params),
+                           jnp.asarray(cell_params_packed),
+                           jnp.asarray(geom_row), jnp.asarray(rays_in),
+                           jnp.asarray(rng_in), jnp.asarray(ctrl))
         return sharded(jnp.asarray(cell_params), jnp.asarray(geom_row),
                        jnp.asarray(rays_in), jnp.asarray(rng_in),
                        jnp.asarray(ctrl))

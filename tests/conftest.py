@@ -44,6 +44,7 @@ _SLOW_TESTS = {
     "test_design_sweep_persistent_kernel",
     "test_runtime_ctrl_equals_baked_gens",
     "test_sharded_persistent_cells_bitwise",
+    "test_sharded_persistent_cells_packed_bitwise",
     "test_simulator_spawn_iters",
     "test_sample_sharded_persistent_bitwise",
     "test_checkpoint_resume_persistent_fast_path",

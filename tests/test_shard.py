@@ -232,3 +232,60 @@ def test_simulator_mesh_persistent():
     np.testing.assert_array_equal(np.asarray(rm.histogram),
                                   np.asarray(r1.histogram))
     assert rm.total_bounces == r1.total_bounces
+
+
+def test_sharded_persistent_cells_packed_bitwise():
+    """Cell sharding composes with the packed bf16-pair selection mode: the
+    sharded packed run equals the single-device packed run tile for tile."""
+    import jax.numpy as jnp
+    from gpu_ray_tracing_for_waveguide_based_ar_display_tpu.engine import (
+        seeding,
+        trace_pallas,
+        trace_pallas_persistent,
+    )
+    from gpu_ray_tracing_for_waveguide_based_ar_display_tpu.engine.trace_geometry import (
+        build_trace_geometry,
+    )
+    from gpu_ray_tracing_for_waveguide_based_ar_display_tpu.luts import (
+        make_synthetic_luts,
+    )
+    from gpu_ray_tracing_for_waveguide_based_ar_display_tpu.luts.packing import (
+        build_cell_tables,
+    )
+    from gpu_ray_tracing_for_waveguide_based_ar_display_tpu.parallel.shard import (
+        make_mesh,
+        make_sharded_cell_trace_fn,
+    )
+
+    M, N = 4, 2
+    geom = generate_geometry(num_fov_x=M, num_fov_y=N)
+    luts = make_synthetic_luts(geom)
+    tables = build_cell_tables(geom, luts)
+    tgeom = build_trace_geometry(geom, simplify_tol=0.05)
+    cfg = TraceConfig(num_fov_x=M, num_fov_y=N, rays_per_fov=128,
+                      max_bounces=500, rng_mode="fast", ic_test="circle",
+                      seed=9)
+    n_cells = 3 * M * N
+    cp = trace_pallas.build_kernel_cell_params(tables, geom.eyebox_range)
+    cpk = trace_pallas_persistent.pack_selection_params(
+        cp, tgeom.num_fc, tgeom.num_oc)
+    gr = trace_pallas.build_kernel_geom(tgeom)[None, :]
+    batch = seeding.build_ray_batch(geom, cfg)
+    rays_in, rng_in = trace_pallas.pack_ray_blocks(batch, n_cells, 128, 1)
+    fn = trace_pallas_persistent.make_persistent_trace_fn(
+        cfg, tgeom.num_fc, tgeom.num_oc, 1, gens=2, interpret=True,
+        max_iters=1100, accum_mode="packed")
+    ctrl = jnp.asarray([2, 0], jnp.int32)
+    t_single, nb_single = fn(cp, gr, rays_in, rng_in, ctrl,
+                             cell_params_packed=cpk)
+
+    mesh = make_mesh()
+    sharded = make_sharded_cell_trace_fn(fn, mesh, packed=True)
+    t_shard, nb_shard = sharded(cp, gr, rays_in, rng_in, ctrl,
+                                cell_params_packed=cpk)
+    np.testing.assert_array_equal(np.asarray(t_single), np.asarray(t_shard))
+    np.testing.assert_array_equal(np.asarray(nb_single), np.asarray(nb_shard))
+    assert float(np.asarray(t_shard).sum()) > 0
+
+    with pytest.raises(ValueError, match="cell_params_packed"):
+        sharded(cp, gr, rays_in, rng_in, ctrl)
