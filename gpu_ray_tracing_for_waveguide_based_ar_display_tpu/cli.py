@@ -24,6 +24,13 @@ from .models import presets
 def _add_common(p: argparse.ArgumentParser) -> None:
     p.add_argument("--design", default="paper_default",
                    choices=sorted(presets.PRESETS), help="design preset")
+    p.add_argument("--set", action="append", default=[], dest="overrides",
+                   metavar="FIELD=VALUE",
+                   help="override a WaveguideDesign field of the preset "
+                        "(repeatable; the reference edits these in-source, "
+                        "couplers_coor.py:124-188), e.g. --set lambda_ic=380 "
+                        "--set phi_ic=-0.67; tuple fields take comma lists: "
+                        "--set eyebox_center=1,15")
     p.add_argument("--fov-x", type=int, default=100, help="FoV grid columns")
     p.add_argument("--fov-y", type=int, default=75, help="FoV grid rows")
     p.add_argument("--luts-dir", default=None,
@@ -31,21 +38,72 @@ def _add_common(p: argparse.ArgumentParser) -> None:
     p.add_argument("--seed", type=int, default=0)
 
 
+def _design(args):
+    """The chosen preset with any ``--set FIELD=VALUE`` overrides applied."""
+    d = presets.get(args.design)
+    fields = {f.name: f for f in dataclasses.fields(d)}
+    repl = {}
+    for ov in args.overrides:
+        key, sep, val = ov.partition("=")
+        key = key.strip()
+        if not sep or key not in fields:
+            raise SystemExit(
+                f"--set expects FIELD=VALUE with a WaveguideDesign field; "
+                f"got {ov!r} (fields: {', '.join(sorted(fields))})")
+        cur = getattr(d, key)
+        try:
+            if isinstance(cur, tuple):
+                elem = type(cur[0]) if cur else float
+                repl[key] = tuple(elem(v) for v in val.split(","))
+            elif isinstance(cur, bool):
+                repl[key] = val.strip().lower() in ("1", "true", "yes")
+            elif isinstance(cur, int):
+                repl[key] = int(val)
+            else:
+                repl[key] = float(val)
+        except ValueError:
+            raise SystemExit(f"--set {key}: cannot parse {val!r} as "
+                             f"{type(cur).__name__}")
+    return dataclasses.replace(d, **repl) if repl else d
+
+
 def cmd_simulate(args) -> int:
     from .engine.pipeline import Simulator, format_report
     from .eval.image import save_eyebox_center_view
 
+    if args.fetch_luts:
+        from .luts.io import fetch_luts
+
+        if fetch_luts(args.fetch_luts):
+            print(f"fetched reference LUTs into {args.fetch_luts}")
+            args.luts_dir = args.fetch_luts
+        else:
+            print(f"LUT fetch failed (offline?); falling back to "
+                  f"{'--luts-dir' if args.luts_dir else 'synthetic LUTs'}")
+    mesh = None
+    if args.mesh:
+        import jax
+        from jax.sharding import Mesh
+
+        devs = jax.devices()
+        if len(devs) < args.mesh:
+            raise SystemExit(
+                f"--mesh {args.mesh}: only {len(devs)} device(s) visible "
+                f"(use XLA_FLAGS=--xla_force_host_platform_device_count=N "
+                f"JAX_PLATFORMS=cpu for a virtual mesh)")
+        mesh = Mesh(np.asarray(devs[:args.mesh]), ("cells",))
     cfg = TraceConfig(
         num_fov_x=args.fov_x, num_fov_y=args.fov_y,
         rays_per_fov=args.rays_per_fov, num_iter=args.num_iter,
         max_bounces=args.max_bounces, seed=args.seed,
     )
-    sim = Simulator(design=presets.get(args.design), cfg=cfg,
+    sim = Simulator(design=_design(args), cfg=cfg,
                     luts_dir=args.luts_dir,
                     geometry_simplify_tol=args.simplify_tol,
                     engine=args.engine, spawn_iters=args.spawn_iters,
                     spawn_mode=args.spawn_mode,
-                    fold_iterations=args.fold_iterations)
+                    fold_iterations=args.fold_iterations,
+                    pers_accum_mode=args.accum_mode, mesh=mesh)
     wl = (tuple(int(w) for w in args.wavelengths.split(","))
           if args.wavelengths else None)
     from .utils import xla_trace
@@ -69,6 +127,12 @@ def cmd_simulate(args) -> int:
 
         save_fov_efficiency_heatmaps(args.heatmaps, res.histogram)
         print(f"FoV efficiency heatmaps written to {args.heatmaps}")
+    if args.save_histogram:
+        # the reference exports matrix_EB via scipy.io.savemat
+        # (gpu_ray_tracing_pro_fullColor.py); same array, .npy format,
+        # same (L, FoVy, FoVx, 80, 120) index order
+        np.save(args.save_histogram, np.asarray(res.histogram))
+        print(f"eyebox histogram written to {args.save_histogram}")
     if args.json:
         out = {
             "efficiencies": res.efficiencies,
@@ -91,7 +155,7 @@ def cmd_plot_design(args) -> int:
     from .design.geometry import generate_geometry
     from .design.plotting import plot_design
 
-    geom = generate_geometry(presets.get(args.design), args.fov_x, args.fov_y)
+    geom = generate_geometry(_design(args), args.fov_x, args.fov_y)
     paths = plot_design(geom, prefix=args.prefix)
     for p in paths:
         print(f"wrote {p}")
@@ -103,7 +167,7 @@ def cmd_sweep(args) -> int:
 
     from .sweep import run_design_sweep, run_design_sweep_persistent
 
-    base = presets.get(args.design)
+    base = _design(args)
     periods = np.linspace(args.period_min, args.period_max, args.num_designs)
     designs = [
         dataclasses.replace(base, lambda_ic=float(p), lambda_oc=float(p))
@@ -148,7 +212,7 @@ def cmd_optimize(args) -> int:
     cfg = TraceConfig(num_fov_x=args.fov_x, num_fov_y=args.fov_y,
                       rays_per_fov=args.rays_per_fov,
                       max_bounces=args.max_bounces, seed=args.seed)
-    geom = generate_geometry(presets.get(args.design), args.fov_x, args.fov_y)
+    geom = generate_geometry(_design(args), args.fov_x, args.fov_y)
     luts = load_or_synthesize(geom, args.luts_dir)
     tables = build_cell_tables(geom, luts)
     tgeom = build_trace_geometry(geom)
@@ -236,6 +300,22 @@ def main(argv=None) -> int:
                    help="comma-separated wavelength indices (e.g. '1' = green only)")
     p.add_argument("--checkpoint", default=None, help="resumable checkpoint path")
     p.add_argument("--json", default=None, help="write metrics JSON here")
+    p.add_argument("--save-histogram", default=None, metavar="PATH",
+                   help="write the (L, FoVy, FoVx, 80, 120) eyebox histogram "
+                        "as .npy (the reference's matrix_EB savemat export)")
+    p.add_argument("--fetch-luts", default=None, metavar="DIR",
+                   help="download the reference's seven Drive-hosted RCWA LUT "
+                        ".npy files into DIR and use them (download_lut.py "
+                        "parity; degrades gracefully offline)")
+    p.add_argument("--accum-mode", default="fma",
+                   choices=("fma", "select", "packed"),
+                   help="persistent-kernel parameter-selection lowering: fma "
+                        "= bitwise reference parity; packed = bf16-pair "
+                        "selection, ~1.4x faster, physics within MC tolerance")
+    p.add_argument("--mesh", type=int, default=0, metavar="N",
+                   help="shard the cell axis over an N-device "
+                        "jax.sharding.Mesh (requires N visible devices; "
+                        "cells-per-batch must divide N)")
     p.add_argument("--verbose", action="store_true")
     p.set_defaults(fn=cmd_simulate)
 

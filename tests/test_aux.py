@@ -227,6 +227,47 @@ def test_cli_simulate_small(tmp_path, capsys):
     assert os.path.exists(js)
 
 
+def test_cli_design_overrides():
+    """--set FIELD=VALUE rewrites preset fields (the reference's in-source
+    constant edits, couplers_coor.py:124-188); unknown fields exit."""
+    import argparse
+
+    from gpu_ray_tracing_for_waveguide_based_ar_display_tpu.cli import _design
+
+    args = argparse.Namespace(
+        design="paper_default",
+        overrides=["lambda_ic=380", "eyebox_center=1,14", "num_fc=8"])
+    d = _design(args)
+    assert d.lambda_ic == 380.0
+    assert d.eyebox_center == (1.0, 14.0)
+    assert d.num_fc == 8 and isinstance(d.num_fc, int)
+    for bad in (["nope=1"], ["lambda_ic"], ["lambda_ic=abc"]):
+        with pytest.raises(SystemExit):
+            _design(argparse.Namespace(design="paper_default", overrides=bad))
+
+
+def test_cli_histogram_export_and_offline_fetch(tmp_path, capsys):
+    """--save-histogram writes the reference-shaped matrix_EB array; an
+    offline --fetch-luts degrades to synthetic tables instead of failing."""
+    from gpu_ray_tracing_for_waveguide_based_ar_display_tpu.cli import main
+
+    h = str(tmp_path / "hist.npy")
+    rc = main([
+        "simulate", "--fov-x", "4", "--fov-y", "3", "--rays-per-fov", "32",
+        "--num-iter", "1", "--max-bounces", "128", "--image", "",
+        "--set", "lambda_ic=380", "--set", "lambda_oc=380",
+        "--save-histogram", h, "--fetch-luts", str(tmp_path / "luts"),
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "LUT fetch failed" in out or "fetched reference LUTs" in out
+    hist = np.load(h)
+    # (L, FoVy, FoVx, 80, 120) — the reference's matrix_EB index order
+    # (gpu_ray_tracing_pro_fullColor.py:37)
+    assert hist.shape == (3, 3, 4, 80, 120)
+    assert hist.sum() > 0
+
+
 def test_cli_sweep_small(capsys):
     from gpu_ray_tracing_for_waveguide_based_ar_display_tpu.cli import main
 
