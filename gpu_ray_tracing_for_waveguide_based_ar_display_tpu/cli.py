@@ -163,16 +163,39 @@ def cmd_plot_design(args) -> int:
 
 
 def cmd_sweep(args) -> int:
+    import itertools
     import time
 
     from .sweep import run_design_sweep, run_design_sweep_persistent
 
     base = _design(args)
-    periods = np.linspace(args.period_min, args.period_max, args.num_designs)
-    designs = [
-        dataclasses.replace(base, lambda_ic=float(p), lambda_oc=float(p))
-        for p in periods
-    ]
+    if args.sweep:
+        # generalized sweep: Cartesian grid over any WaveguideDesign fields
+        fields = {f.name for f in dataclasses.fields(base)}
+        axes = []
+        for spec in args.sweep:
+            key, sep, rng = spec.partition("=")
+            parts = rng.split(":")
+            if not sep or key not in fields or len(parts) != 3:
+                raise SystemExit(
+                    f"--sweep expects FIELD=MIN:MAX:N over a WaveguideDesign "
+                    f"field; got {spec!r}")
+            lo, hi, n = float(parts[0]), float(parts[1]), int(parts[2])
+            axes.append((key, np.linspace(lo, hi, n)))
+        keys = [k for k, _ in axes]
+        designs = [
+            dataclasses.replace(base, **{k: float(v)
+                                         for k, v in zip(keys, vals)})
+            for vals in itertools.product(*(v for _, v in axes))
+        ]
+    else:
+        keys = ["lambda_ic"]
+        periods = np.linspace(args.period_min, args.period_max,
+                              args.num_designs)
+        designs = [
+            dataclasses.replace(base, lambda_ic=float(p), lambda_oc=float(p))
+            for p in periods
+        ]
     cfg = TraceConfig(
         num_fov_x=args.fov_x, num_fov_y=args.fov_y,
         rays_per_fov=args.rays_per_fov, max_bounces=args.max_bounces,
@@ -191,12 +214,14 @@ def cmd_sweep(args) -> int:
     print(f"{len(designs)} designs in {wall:.2f} s "
           f"({len(designs) / wall * 3600:,.0f} designs/hour, "
           f"{int(res.bounces.sum()):,} bounces)")
+    def _label(d):
+        return " ".join(f"{k}={getattr(d, k):.4g}" for k in keys)
+
     for d, eff in zip(res.designs, res.efficiencies):
-        print(f"period {d.lambda_ic:7.2f} nm -> efficiency B/G/R = "
+        print(f"{_label(d)} -> efficiency B/G/R = "
               f"{eff[0]*100:6.3f}% {eff[1]*100:6.3f}% {eff[2]*100:6.3f}%")
     best = int(np.argmax(res.efficiencies.mean(axis=1)))
-    print(f"best mean efficiency: design {best} "
-          f"(period {res.designs[best].lambda_ic:.2f} nm)")
+    print(f"best mean efficiency: design {best} ({_label(res.designs[best])})")
     return 0
 
 
@@ -324,11 +349,18 @@ def main(argv=None) -> int:
     p.add_argument("--prefix", default="design", help="output file prefix")
     p.set_defaults(fn=cmd_plot_design)
 
-    p = sub.add_parser("sweep", help="batched coupler-period design sweep")
+    p = sub.add_parser("sweep", help="batched design sweep (default: coupler "
+                                     "period; --sweep for arbitrary fields)")
     _add_common(p)
     p.add_argument("--num-designs", type=int, default=8)
     p.add_argument("--period-min", type=float, default=370.0)
     p.add_argument("--period-max", type=float, default=405.0)
+    p.add_argument("--sweep", action="append", default=[],
+                   metavar="FIELD=MIN:MAX:N",
+                   help="sweep any WaveguideDesign field over a linspace "
+                        "(repeatable; multiple axes form a Cartesian grid), "
+                        "e.g. --sweep lambda_ic=370:405:16 "
+                        "--sweep thickness=0.5:0.9:4")
     p.add_argument("--rays-per-fov", type=int, default=256)
     p.add_argument("--max-bounces", type=int, default=2048)
     p.add_argument("--engine", default="jnp",

@@ -88,6 +88,16 @@ class Simulator:
         if engine not in ("jnp", "pallas", "pallas_persistent", "cellblock",
                           "splitting"):
             raise ValueError(f"unknown engine {engine!r}")
+        if engine.startswith("pallas") and not interpret:
+            # Mosaic kernels only compile on TPU; on other backends (CPU
+            # tests, virtual meshes) the Pallas engines transparently fall
+            # back to interpret mode so the same CLI/API works everywhere
+            import jax
+
+            try:
+                interpret = jax.devices()[0].platform not in ("tpu", "axon")
+            except Exception:
+                pass
         self.engine = engine
         self.design = design
         self.cfg = cfg

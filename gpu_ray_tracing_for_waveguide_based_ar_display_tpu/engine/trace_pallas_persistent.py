@@ -445,8 +445,14 @@ def make_persistent_trace_fn(cfg: TraceConfig, num_fc: int, num_oc: int,
                 # are bf16-rounded: physics within MC tolerance of f32, not
                 # bitwise (cf. accum_mode="bf16").
                 acc = [zero_i for _ in range(_SEL_NW)]
+                # the 8 q-words (OC-only branch-C Jones, record words 17-24)
+                # are stored zero on the IC/FC rows (pack_selection_params),
+                # so chaining them only over the OC rows (r > num_fc) drops
+                # ~64 of the ~400 selection ops/iteration, bitwise-identical
+                n_p_words = (W + 1) // 2
                 for r, (mk, _) in enumerate(rows):
-                    for w in range(_SEL_NW):
+                    nw = _SEL_NW if r > num_fc else n_p_words
+                    for w in range(nw):
                         acc[w] = jnp.where(mk, cpk(r * _SEL_NW + w), acc[w])
                 vals = []
                 for w in range(_SEL_NW):

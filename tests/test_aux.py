@@ -227,6 +227,19 @@ def test_cli_simulate_small(tmp_path, capsys):
     assert os.path.exists(js)
 
 
+def test_simulator_auto_interpret_on_cpu():
+    """Pallas engines flip to interpret mode automatically off-TPU, so the
+    same CLI/API works on any backend without an --interpret flag."""
+    from gpu_ray_tracing_for_waveguide_based_ar_display_tpu.engine.pipeline import (
+        Simulator,
+    )
+
+    cfg = TraceConfig(num_fov_x=4, num_fov_y=3, rays_per_fov=32,
+                      max_bounces=128, seed=0)
+    sim = Simulator(cfg=cfg, engine="pallas_persistent")
+    assert sim._interpret is True  # CPU backend (conftest pins it)
+
+
 def test_cli_design_overrides():
     """--set FIELD=VALUE rewrites preset fields (the reference's in-source
     constant edits, couplers_coor.py:124-188); unknown fields exit."""
@@ -277,6 +290,24 @@ def test_cli_sweep_small(capsys):
     ])
     assert rc == 0
     assert "best mean efficiency" in capsys.readouterr().out
+
+
+def test_cli_sweep_generalized_grid(capsys):
+    """--sweep FIELD=MIN:MAX:N builds a Cartesian design grid over arbitrary
+    WaveguideDesign fields (the reference hard-codes one design)."""
+    from gpu_ray_tracing_for_waveguide_based_ar_display_tpu.cli import main
+
+    rc = main([
+        "sweep", "--fov-x", "4", "--fov-y", "3", "--rays-per-fov", "24",
+        "--max-bounces", "96", "--sweep", "lambda_ic=380:396:2",
+        "--sweep", "thickness=0.6:0.8:2",
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert out.count("lambda_ic=") == 5  # 4 designs + the best-design line
+    assert "thickness=0.6" in out and "thickness=0.8" in out
+    with pytest.raises(SystemExit):
+        main(["sweep", "--sweep", "nope=1:2:2"])
 
 
 def test_cli_optimize_small(tmp_path, capsys):

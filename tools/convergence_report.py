@@ -67,7 +67,10 @@ def exact_metrics(geom, tables, tgeom, cfg, eval_cfg):
     position-quadrature offset is a few percent on efficiencies — compare
     uniformity/dispersion estimator *bias* with it, not absolute efficiency."""
     n_cells = 3 * M * N
-    per_chunk = int(os.environ.get("CONV_EXACT_CHUNK", 6))
+    # default chunk keeps seeds/chunk ~ constant as CONV_EXACT_POS grows, so
+    # the wavefront buffer never truncates (zero-variance needs trunc ~ 0)
+    default_chunk = max(1, 6 * 64 // max(cfg.rays_per_fov, 1))
+    per_chunk = int(os.environ.get("CONV_EXACT_CHUNK", default_chunk))
     hist = None
     pruned = truncated = 0.0
     n0 = 0
@@ -121,7 +124,11 @@ def mc_metrics(geom, cfg, rpf, groups=4):
 
 
 def main():
-    cfg = TraceConfig(num_fov_x=M, num_fov_y=N, rays_per_fov=64,
+    # CONV_EXACT_POS: pupil launch positions per cell for the exact pass.
+    # 64 leaves a few-percent position-quadrature offset vs MC (README);
+    # on TPU 512-1024 is affordable and shrinks it ~ 1/sqrt(P).
+    n_pos = int(os.environ.get("CONV_EXACT_POS", 64))
+    cfg = TraceConfig(num_fov_x=M, num_fov_y=N, rays_per_fov=n_pos,
                       max_bounces=4096, seed=0, rng_mode="fast",
                       ic_test="circle")
     eval_cfg = EvalConfig()

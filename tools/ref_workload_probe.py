@@ -32,12 +32,14 @@ from gpu_ray_tracing_for_waveguide_based_ar_display_tpu.engine.pipeline import S
 
 def probe(slots: int, reps: int = 2, spawn_mode: str = "count",
           fold: bool = True):
+    accum = os.environ.get("PROBE_ACCUM", "fma")
     cfg = TraceConfig(num_fov_x=100, num_fov_y=75, rays_per_fov=5000,
                       max_bounces=100000, seed=0, rng_mode="fast",
                       ic_test="circle")
     s0 = Simulator(cfg=cfg, engine="pallas_persistent",
                    geometry_simplify_tol=0.05, persistent_slots=slots,
-                   spawn_mode=spawn_mode, fold_iterations=fold)
+                   spawn_mode=spawn_mode, fold_iterations=fold,
+                   pers_accum_mode=accum)
     # warm-up: same grid shapes + kernel, small target
     t0 = time.perf_counter()
     s0.run(num_iter=1, rays_per_fov=min(2048, slots), cells_per_batch=4500,
@@ -51,7 +53,8 @@ def probe(slots: int, reps: int = 2, spawn_mode: str = "count",
         s = Simulator(cfg=dataclasses.replace(cfg, seed=rep),
                       engine="pallas_persistent", geom=s0.geom, luts=s0.luts,
                       geometry_simplify_tol=0.05, persistent_slots=slots,
-                      spawn_mode=spawn_mode, fold_iterations=fold)
+                      spawn_mode=spawn_mode, fold_iterations=fold,
+                      pers_accum_mode=accum)
         s._pers_cache = s0._pers_cache  # kernel is seed-independent
         sims.append(s)
     for rep, s in enumerate(sims):
@@ -78,8 +81,11 @@ def probe(slots: int, reps: int = 2, spawn_mode: str = "count",
     rt = slots_eff // 128
     rays_in, rng_in = s0._device_ray_blocks(chunk, slots_eff, 0)
     cp_sel = s0._cp_dev[:4500]
+    kw = {}
+    if getattr(s0, "_cpk_dev", None) is not None:
+        kw["cell_params_packed"] = s0._cpk_dev[:4500]
     tiles, nb = s0._pers_fn(rt)(cp_sel, s0._gr, rays_in, rng_in,
-                                s0._pers_ctrl(gens, rpf))
+                                s0._pers_ctrl(gens, rpf), **kw)
     nb = np.asarray(jax.block_until_ready(nb))
     iters = nb[:, 1].astype(np.float64)
     bounces = nb[:, 0].astype(np.float64)
