@@ -386,3 +386,11 @@ def test_pack_selection_params_round_trip():
         np.testing.assert_array_equal(
             got[:, r].astype(np.float32),
             want.astype(ml_dtypes.bfloat16).astype(np.float32))
+    # the kernel's packed selection chains the 8 q-words (record words
+    # 17-24) only over the OC rows; that is sound iff the IC/FC rows store
+    # zeros there — guard the invariant the q-skip relies on
+    for r, (kind, _, qoffs) in enumerate(rows):
+        if qoffs is None:
+            np.testing.assert_array_equal(
+                got[:, r, 34:].astype(np.float32), 0.0,
+                err_msg=f"non-OC row {r} ({kind}) must store zero q-words")
