@@ -61,6 +61,8 @@ _FC_BLK = 96          # 7 strips x 36: JA_b0, JB_b0, JA_b1, JB_b1, s_a, s_b, pad
 _FC_STRIDE = 36
 _OC_BLK = 352         # 6 strips x 56: JA/JB/JC per bit (48), s_a, s_b, pad6
 _OC_STRIDE = 56
+_EBT = 688            # 4: deposit rect pre-widened by _EDGE_TOL (persistent)
+_EBS = 692            # 2: deposit bin scales nx/(x1-x0), ny/(y1-y0) (persistent)
 PC = 704
 
 # ---- geometry SMEM row layout ------------------------------------------------
@@ -72,10 +74,16 @@ _G_OC_TOP = 6
 _G_OC_INVW = 7
 _G_OC_B = 8           # 4: OC rect bounds
 _G_IC = 12            # 3: cx, cy, r^2
-_G_HULL = 16          # 3*MAX_EDGES: nx[24], ny[24], c[24]
+_G_HULL = 16          # 3*MAX_EDGES: nx[24], ny[24], c+tol[24] (tol host-folded)
 _G_R1 = 88
 _G_R2 = 160
-PG = 256
+# negated thresholds -(c+tol) per region, for the packed-mode max-chain
+# region test (fma-friendly: d = x*nx + (y*ny + mc), inside = max_e d <= 0)
+_G_MC_HULL = 232      # MAX_EDGES each
+_G_MC_R1 = 256
+_G_MC_R2 = 280
+_G_OC_BT = 304        # 4: OC rect bounds pre-widened by _EDGE_TOL
+PG = 320
 
 _EDGE_TOL = 1e-6
 
@@ -174,7 +182,25 @@ def build_kernel_geom(tgeom: TraceGeometry) -> np.ndarray:
     g[_G_HULL:_G_HULL + 3 * MAX_EDGES] = _hp_from_existing(tgeom.hull_hp)
     g[_G_R1:_G_R1 + 3 * MAX_EDGES] = _hp_from_existing(tgeom.r1_hp)
     g[_G_R2:_G_R2 + 3 * MAX_EDGES] = _hp_from_existing(tgeom.r2_hp)
-    return g.astype(np.float32)
+    g32 = g.astype(np.float32)
+    # fold the edge tolerance into the thresholds in f32 — the exact IEEE op
+    # the kernels used to run per edge per iteration (`c + _EDGE_TOL` on
+    # device), so region booleans are bitwise-unchanged while the per-edge
+    # scalar-unit add disappears from the hot loop
+    tol = np.float32(_EDGE_TOL)
+    for base in (_G_HULL, _G_R1, _G_R2):
+        g32[base + 2 * MAX_EDGES:base + 3 * MAX_EDGES] += tol
+    # negated thresholds for the packed-mode max-chain form
+    for base, mc in ((_G_HULL, _G_MC_HULL), (_G_R1, _G_MC_R1),
+                     (_G_R2, _G_MC_R2)):
+        g32[mc:mc + MAX_EDGES] = -g32[base + 2 * MAX_EDGES:
+                                      base + 3 * MAX_EDGES]
+    # OC rect bounds pre-widened by the tolerance (same f32 ops as in-kernel)
+    g32[_G_OC_BT + 0] = g32[_G_OC_B + 0] - tol
+    g32[_G_OC_BT + 1] = g32[_G_OC_B + 1] + tol
+    g32[_G_OC_BT + 2] = g32[_G_OC_B + 2] - tol
+    g32[_G_OC_BT + 3] = g32[_G_OC_B + 3] + tol
+    return g32
 
 
 def _hp_from_existing(hp: np.ndarray) -> np.ndarray:
@@ -197,6 +223,9 @@ def _hp_from_existing(hp: np.ndarray) -> np.ndarray:
 def _region_test(g, base: int, x, y, n_edges: int = MAX_EDGES):
     """All-of half-plane containment with SMEM scalar coefficients.
 
+    The packed thresholds already carry ``+ _EDGE_TOL`` (folded in f32 by
+    :func:`build_kernel_geom`, bitwise-equal to the former in-kernel add).
+
     ``n_edges`` may be the region's *actual* edge count (the packed layout pads
     to MAX_EDGES with always-true rows, so truncating the loop is exact and
     saves ~10 tautology edges per region on the production design)."""
@@ -205,17 +234,37 @@ def _region_test(g, base: int, x, y, n_edges: int = MAX_EDGES):
         nx = g(base + e)
         ny = g(base + MAX_EDGES + e)
         c = g(base + 2 * MAX_EDGES + e)
-        t = x * nx + y * ny <= c + _EDGE_TOL
+        t = x * nx + y * ny <= c
         inside = t if inside is None else (inside & t)
     return inside
 
 
+def _region_test_max(g, base: int, mc_base: int, x, y,
+                     n_edges: int = MAX_EDGES):
+    """Max-chain half-plane containment: ``max_e(x*nx + (y*ny + mc_e)) <= 0``
+    with ``mc_e = -(c_e + tol)`` packed by :func:`build_kernel_geom`.
+
+    One fewer vector op per edge than the cmp+and chain (2 fma + max vs
+    mul + fma + cmp + and).  The float compare happens once against the
+    *accumulated maximum* instead of per-edge, so results can differ from
+    :func:`_region_test` by one ulp of rounding for points within ~1e-13 of
+    an edge — used only by the packed (bf16-parameter) production mode,
+    whose physics is already within-MC-tolerance rather than bitwise."""
+    m = None
+    for e in range(n_edges):
+        d = x * g(base + e) + (y * g(base + MAX_EDGES + e) + g(mc_base + e))
+        m = d if m is None else jnp.maximum(m, d)
+    return m <= 0.0
+
+
 def _region_test_unrolled(g, base: int, x, y):
-    """Unrolled all-of half-plane test (hoisted-scalar mode: g is list access)."""
+    """Unrolled all-of half-plane test (hoisted-scalar mode: g is list access).
+
+    Thresholds carry the host-folded ``+ _EDGE_TOL`` (see _region_test)."""
     inside = None
     for e in range(MAX_EDGES):
         t = (x * g(base + e) + y * g(base + MAX_EDGES + e)
-             <= g(base + 2 * MAX_EDGES + e) + _EDGE_TOL)
+             <= g(base + 2 * MAX_EDGES + e))
         inside = t if inside is None else (inside & t)
     return inside
 
@@ -453,11 +502,12 @@ def make_pallas_trace_fn(cfg: TraceConfig, num_fc: int, num_oc: int,
                 0, num_fc - 1,
             )
             yr = g(_G_OC_ROT) * x + g(_G_OC_ROT + 1) * y
+            # bounds pre-widened by _EDGE_TOL on host (same f32 ops; bitwise)
             in_rect = (
-                (x >= g(_G_OC_B) - _EDGE_TOL)
-                & (x <= g(_G_OC_B + 1) + _EDGE_TOL)
-                & (y >= g(_G_OC_B + 2) - _EDGE_TOL)
-                & (y <= g(_G_OC_B + 3) + _EDGE_TOL)
+                (x >= g(_G_OC_BT))
+                & (x <= g(_G_OC_BT + 1))
+                & (y >= g(_G_OC_BT + 2))
+                & (y <= g(_G_OC_BT + 3))
             )
             oc_strip = jnp.clip(
                 jnp.floor(

@@ -33,11 +33,13 @@ from jax.experimental.pallas import tpu as pltpu
 from ..config import TraceConfig
 from .trace_pallas import (
     LANES, PC, PG,
+    _EBR, _EBS, _EBT,
     _EDGE_TOL, _FC_BLK, _FC_STRIDE, _GAPS, _G_FC_INVW, _G_FC_ROT, _G_FC_TOP,
-    _G_IC, _G_OC_B, _G_OC_INVW, _G_OC_ROT, _G_OC_TOP, _G_HULL, _G_R1, _G_R2,
+    _G_IC, _G_MC_HULL, _G_MC_R1, _G_MC_R2, _G_OC_B, _G_OC_BT, _G_OC_INVW,
+    _G_OC_ROT, _G_OC_TOP, _G_HULL, _G_R1, _G_R2,
     _HOP2_PH, _IC_BLK, _IC_SA, _IC_SB, _INIT_COS0, _INIT_JA, _INIT_JB,
     _INIT_SA, _INIT_SB, _OC_BLK, _OC_SOUT, _OC_STRIDE, _TIR_PH,
-    _jones_scalar, _jones_vec, _region_test, _xorshift,
+    _jones_scalar, _jones_vec, _region_test, _region_test_max, _xorshift,
 )
 
 NY_PAD = 128   # eyebox x bins padded to the lane width
@@ -219,6 +221,16 @@ def make_persistent_trace_fn(cfg: TraceConfig, num_fc: int, num_oc: int,
             dy = py - g(_G_IC + 1)
             return dx * dx + dy * dy <= g(_G_IC + 2)
 
+        # packed (within-MC-tolerance) mode uses the cheaper max-chain region
+        # test (3 ops/edge vs 4); the exact modes keep the cmp+and chain whose
+        # booleans are bitwise-identical to the reference oracle path
+        _MC = {_G_HULL: _G_MC_HULL, _G_R1: _G_MC_R1, _G_R2: _G_MC_R2}
+
+        def rtest(base, px, py, n):
+            if accum_mode == "packed":
+                return _region_test_max(g, base, _MC[base], px, py, n)
+            return _region_test(g, base, px, py, n)
+
         # carry: x, y, ter, tei, tmr, tmi, cos_th, gx, gy, state, gen,
         # rng, nb, it, ov, dcode, scode
         # The initializers must NOT fold to splat constants: Mosaic gives those a
@@ -278,6 +290,7 @@ def make_persistent_trace_fn(cfg: TraceConfig, num_fc: int, num_oc: int,
              nb, it, ov) = carry[:15]
             codes = list(carry[15:15 + n_codes])
             spawned = carry[15 + n_codes] if count_spawn else None
+            kdep = carry[-1]   # staged-deposit cursor (per-lane)
 
             # ---- respawn: dead slots with generations remaining re-enter init.
             # No field resets needed: init reads only the hoisted per-slot
@@ -338,8 +351,11 @@ def make_persistent_trace_fn(cfg: TraceConfig, num_fc: int, num_oc: int,
 
             # ---- one bounce for live slots
             alive = state < 6
-            nb = nb + jnp.sum(alive.astype(jnp.int32))
-            in_r1 = _region_test(g, _G_R1, x, y, n_r1)
+            # per-lane bounce counter: a vector add here, one cross-lane
+            # reduce at kernel exit (vs a reduce per iteration) — the int
+            # sum is associative, so totals are bitwise-unchanged
+            nb = nb + alive.astype(jnp.int32)
+            in_r1 = rtest(_G_R1, x, y, n_r1)
             state = jnp.where(alive & ~in_r1, 6, state)
             alive = state < 6
 
@@ -349,15 +365,14 @@ def make_persistent_trace_fn(cfg: TraceConfig, num_fc: int, num_oc: int,
             bit = (state & 1) == 1
 
             yrot = g(_G_FC_ROT) * x + g(_G_FC_ROT + 1) * y
-            in_hull = _region_test(g, _G_HULL, x, y, n_hull)
+            in_hull = rtest(_G_HULL, x, y, n_hull)
             fc_strip = jnp.clip(
                 jnp.floor((g(_G_FC_TOP) - yrot) * g(_G_FC_INVW)).astype(jnp.int32),
                 0, num_fc - 1)
             yr = g(_G_OC_ROT) * x + g(_G_OC_ROT + 1) * y
-            in_rect = ((x >= g(_G_OC_B) - _EDGE_TOL)
-                       & (x <= g(_G_OC_B + 1) + _EDGE_TOL)
-                       & (y >= g(_G_OC_B + 2) - _EDGE_TOL)
-                       & (y <= g(_G_OC_B + 3) + _EDGE_TOL))
+            # bounds pre-widened by _EDGE_TOL on host (same f32 ops; bitwise)
+            in_rect = ((x >= g(_G_OC_BT)) & (x <= g(_G_OC_BT + 1))
+                       & (y >= g(_G_OC_BT + 2)) & (y <= g(_G_OC_BT + 3)))
             oc_strip = jnp.clip(
                 jnp.floor((g(_G_OC_TOP) - yr) * g(_G_OC_INVW)).astype(jnp.int32),
                 0, num_oc - 1)
@@ -539,20 +554,17 @@ def make_persistent_trace_fn(cfg: TraceConfig, num_fc: int, num_oc: int,
             st_b = jnp.where(goc, 5, jnp.where(gfc, 3, jnp.where(icin, 1, 6)))
             st_acc = jnp.where(br_a, st_a, st_b)
 
-            # ---- deposit: accumulate into the per-cell VMEM histogram tile
-            from .trace_pallas import _EBR
-
-            ebx0 = c(_EBR)
-            ebx1 = c(_EBR + 1)
-            eby0 = c(_EBR + 2)
-            eby1 = c(_EBR + 3)
-            in_quad = ((x >= ebx0 - _EDGE_TOL) & (x <= ebx1 + _EDGE_TOL)
-                       & (y >= eby0 - _EDGE_TOL) & (y <= eby1 + _EDGE_TOL))
+            # ---- deposit: accumulate into the per-cell VMEM histogram tile.
+            # Bounds pre-widened and bin scales precomputed on device in
+            # trace() with the same f32 ops the kernel used to run per
+            # iteration (bitwise-equal booleans/bins, fewer scalar-unit ops).
+            in_quad = ((x >= c(_EBT)) & (x <= c(_EBT + 1))
+                       & (y >= c(_EBT + 2)) & (y <= c(_EBT + 3)))
             ix = jnp.clip(
-                jnp.floor((x - ebx0) * (nx / (ebx1 - ebx0))).astype(jnp.int32),
+                jnp.floor((x - c(_EBR)) * c(_EBS)).astype(jnp.int32),
                 0, nx - 1)
             iy = jnp.clip(
-                jnp.floor((y - eby0) * (ny / (eby1 - eby0))).astype(jnp.int32),
+                jnp.floor((y - c(_EBR + 2)) * c(_EBS + 1)).astype(jnp.int32),
                 0, ny - 1)
             dep_valid = br_c & in_quad
 
@@ -579,15 +591,19 @@ def make_persistent_trace_fn(cfg: TraceConfig, num_fc: int, num_oc: int,
             # on a nonzero count rather than trust the argument.  Invalid
             # lanes carry -1, whose arithmetic-shift row index (-1) matches
             # no histogram row.
-            code_new = jnp.where(dep_valid, iy * NY_PAD + ix, -1)
-            placed = ~dep_valid
+            # cursor-indexed staging: kdep counts this window's staged codes
+            # per lane, which IS the first empty slot (slots fill in order and
+            # only the flush clears them) — same staged contents as the former
+            # first-fit ``placed`` chain at roughly half the vector ops
+            code_new = iy * NY_PAD + ix
+            kcur = jnp.where(dep_valid, kdep, -2)
             for i in range(n_codes):
-                can = ~placed & (codes[i] < 0)
-                codes[i] = jnp.where(can, code_new, codes[i])
-                placed = placed | can
-            ov = ov + jnp.sum((~placed).astype(jnp.int32))
+                codes[i] = jnp.where(kcur == i, code_new, codes[i])
+            ov = ov + (kcur >= n_codes).astype(jnp.int32)
+            kdep = kdep + dep_valid.astype(jnp.int32)
 
-            def do_flush(codes):
+            def do_flush(args):
+                codes, _k = args[:-1], args[-1]
                 # slot 0 holds every first-in-window deposit -> drain
                 # unconditionally; later slots are occupied only when a lane
                 # deposited 2+ times in one window (rare) -> gate each on an
@@ -607,16 +623,17 @@ def make_persistent_trace_fn(cfg: TraceConfig, num_fc: int, num_oc: int,
                 # reset codes from concrete float data instead (cf. the carry
                 # initializers above)
                 empty = (x * 0.0).astype(jnp.int32) - 1
-                return (empty,) * n_codes
+                return (empty,) * n_codes + (empty + 1,)
 
-            codes = list(jax.lax.cond(
+            *codes, kdep = jax.lax.cond(
                 (it & (flush_w - 1)) == (flush_w - 1), do_flush,
-                lambda cs: tuple(cs), tuple(codes)))
+                lambda a: a, tuple(codes) + (kdep,))
+            codes = list(codes)
 
             # ---- misses
             miss_fc2 = grp_fc & ~in_hull & (state == 2)
             miss_fc3 = grp_fc & ~in_hull & (state == 3)
-            in_r2 = _region_test(g, _G_R2, x, y, n_r2)
+            in_r2 = rtest(_G_R2, x, y, n_r2)
             fc3_to_oc = miss_fc3 & ~in_r2
             hop = (miss_fc2 | (miss_fc3 & in_r2)
                    | (grp_oc & ~in_rect & (state == 4)))
@@ -640,14 +657,17 @@ def make_persistent_trace_fn(cfg: TraceConfig, num_fc: int, num_oc: int,
             gy = jnp.where(accept, gy_n, gy)
             out = (x, y, ter, tei, tmr, tmi, cos_th, gx, gy, state, gen, rng,
                    nb, it + 1, ov, *codes)
-            return out + (spawned,) if count_spawn else out
+            return out + ((spawned, kdep) if count_spawn else (kdep,))
 
+        # nb (12) and ov (14) are per-lane vectors reduced once at exit;
+        # it (13) stays scalar (drives the flush phase and the loop cond)
         carry = (x0, y0, ter0, tei0, tmr0, tmi0, zeros + 1.0,
-                 zeros, zeros, state0, gen0, rng_ref[0], jnp.int32(0),
-                 jnp.int32(0), jnp.int32(0)) + (zero_i - 1,) * n_codes
+                 zeros, zeros, state0, gen0, rng_ref[0], zero_i,
+                 jnp.int32(0), zero_i) + (zero_i - 1,) * n_codes
         if count_spawn:
             # every lane's initial spawn (state0 = 7) counts toward the target
             carry = carry + (jnp.int32(RT * LANES),)
+        carry = carry + (zero_i,)   # kdep: staged-deposit cursor
 
         def chunk(carry):
             return jax.lax.fori_loop(
@@ -669,10 +689,10 @@ def make_persistent_trace_fn(cfg: TraceConfig, num_fc: int, num_oc: int,
         for i in range(1, n_codes):
             jax.lax.cond(jnp.any(carry[15 + i] >= 0), _exit_flush,
                          lambda _: 0, carry[15 + i])
-        nb_ref[0, 0, 0] = carry[12]
+        nb_ref[0, 0, 0] = jnp.sum(carry[12])  # bounces (per-lane counters)
         nb_ref[0, 0, 1] = carry[13]   # iterations (diagnostics)
         nb_ref[0, 0, 2] = jnp.sum(carry[10])  # rays spawned (gen counters)
-        nb_ref[0, 0, 3] = carry[14]           # spill-code overflows (must be 0)
+        nb_ref[0, 0, 3] = jnp.sum(carry[14])  # spill-code overflows (must be 0)
 
     if accum_mode == "packed":
         kernel = kernel_impl
@@ -692,6 +712,20 @@ def make_persistent_trace_fn(cfg: TraceConfig, num_fc: int, num_oc: int,
                 "cell_params_packed must be given exactly when "
                 "accum_mode='packed' (see pack_selection_params)")
         C = cell_params.shape[0]
+        # fill the precomputed deposit slots (_EBT: tol-widened rect, _EBS:
+        # bin scales) from the per-cell rects with the exact f32 ops the
+        # kernel used to run per iteration — bitwise-equal deposits, ~10
+        # scalar-unit ops fewer per iteration.  Runs under the caller's jit,
+        # once per dispatch.
+        ebr = cell_params[:, _EBR:_EBR + 4]
+        tol = jnp.float32(_EDGE_TOL)
+        ext = jnp.stack(
+            [ebr[:, 0] - tol, ebr[:, 1] + tol, ebr[:, 2] - tol,
+             ebr[:, 3] + tol,
+             jnp.float32(nx) / (ebr[:, 1] - ebr[:, 0]),
+             jnp.float32(ny) / (ebr[:, 3] - ebr[:, 2])], axis=-1)
+        cell_params = jax.lax.dynamic_update_slice(
+            cell_params, ext.astype(jnp.float32), (0, _EBT))
         # geom_row may carry one geometry row per *design*: (D, PG) with the
         # cell grid laid out as D contiguous runs of C/D cells — the basis of
         # production-throughput design sweeps (each grid step reads its
