@@ -189,3 +189,62 @@ def test_segmented_pallas_matches_monolithic(setup):
     hist_d, bounces_d = seg2.trace(cp, gr, rays_in, rng_in, hist_base=base)
     np.testing.assert_array_equal(hist_m, np.asarray(hist_d))
     assert bounces_d == bounces_m
+
+
+def test_geom_row_precomputed_banks(setup):
+    """The packed geometry row's precomputed banks must stay consistent:
+
+    - thresholds carry the host-folded ``+ _EDGE_TOL`` in f32 (the exact op
+      the kernels used to run per edge per iteration);
+    - the ``_G_MC_*`` banks are the bitwise negation of those thresholds
+      (consumed by the packed-mode max-chain region test);
+    - ``_G_OC_BT`` is the OC rect widened by the tolerance in f32.
+    """
+    geom, tables, tgeom, cfg, batch = setup
+    g = trace_pallas.build_kernel_geom(tgeom)
+    ME = trace_pallas.MAX_EDGES
+    tol = np.float32(trace_pallas._EDGE_TOL)
+    for base, mc, hp in (
+        (trace_pallas._G_HULL, trace_pallas._G_MC_HULL, tgeom.hull_hp),
+        (trace_pallas._G_R1, trace_pallas._G_MC_R1, tgeom.r1_hp),
+        (trace_pallas._G_R2, trace_pallas._G_MC_R2, tgeom.r2_hp),
+    ):
+        c_bank = g[base + 2 * ME:base + 3 * ME]
+        e = len(hp)
+        # f32(c) + f32(tol), the kernel's former in-loop op, bitwise
+        np.testing.assert_array_equal(
+            c_bank[:e], hp[:, 2].astype(np.float32) + tol)
+        # padding rows stay always-true (0*x + 0*y <= 1 + tol)
+        np.testing.assert_array_equal(c_bank[e:], np.float32(1.0) + tol)
+        # negated bank is the bitwise negation
+        np.testing.assert_array_equal(g[mc:mc + ME], -c_bank)
+    b = g[trace_pallas._G_OC_B:trace_pallas._G_OC_B + 4]
+    bt = g[trace_pallas._G_OC_BT:trace_pallas._G_OC_BT + 4]
+    np.testing.assert_array_equal(
+        bt, [b[0] - tol, b[1] + tol, b[2] - tol, b[3] + tol])
+
+
+def test_region_test_max_matches_chain(setup):
+    """Packed-mode max-chain region test agrees with the cmp+and chain on
+    random points (away from ulp-of-edge cases, the two forms are equal)."""
+    geom, tables, tgeom, cfg, batch = setup
+    import jax.numpy as jnp
+
+    g_row = trace_pallas.build_kernel_geom(tgeom)
+
+    def g(j):
+        return jnp.float32(g_row[j])
+
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.uniform(-40, 40, size=512).astype(np.float32))
+    y = jnp.asarray(rng.uniform(-40, 40, size=512).astype(np.float32))
+    for base, mc, hp in (
+        (trace_pallas._G_HULL, trace_pallas._G_MC_HULL, tgeom.hull_hp),
+        (trace_pallas._G_R1, trace_pallas._G_MC_R1, tgeom.r1_hp),
+        (trace_pallas._G_R2, trace_pallas._G_MC_R2, tgeom.r2_hp),
+    ):
+        n = len(hp)
+        a = np.asarray(trace_pallas._region_test(g, base, x, y, n))
+        b = np.asarray(trace_pallas._region_test_max(g, base, mc, x, y, n))
+        np.testing.assert_array_equal(a, b)
+        assert a.any() and not a.all()
