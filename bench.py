@@ -83,7 +83,7 @@ def run(engine: str):
         geometry_simplify_tol=0.05 if engine.startswith("pallas") else 1e-3,
         pallas_segmented=(engine == "pallas" and segmented),
         persistent_slots=int(os.environ.get("BENCH_SLOTS", 4096)),
-        cond_interval=int(os.environ.get("BENCH_COND_INTERVAL", 8)),
+        cond_interval=int(os.environ.get("BENCH_COND_INTERVAL", 16)),
         spawn_iters=int(os.environ.get("BENCH_SPAWN_ITERS", 4096)),
         pers_phase_gating=(None if "BENCH_PHASE_GATING" not in os.environ
                            else os.environ["BENCH_PHASE_GATING"] != "0"),

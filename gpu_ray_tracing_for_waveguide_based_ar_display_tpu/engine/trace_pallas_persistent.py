@@ -469,15 +469,30 @@ def make_persistent_trace_fn(cfg: TraceConfig, num_fc: int, num_oc: int,
                     nw = _SEL_NW if r > num_fc else n_p_words
                     for w in range(nw):
                         acc[w] = jnp.where(mk, cpk(r * _SEL_NW + w), acc[w])
-                vals = []
-                for w in range(_SEL_NW):
-                    lo = jax.lax.bitcast_convert_type(
-                        acc[w] << 16, jnp.float32)
-                    hi = jax.lax.bitcast_convert_type(
-                        acc[w] & jnp.int32(-65536), jnp.float32)
-                    vals.extend([lo, hi])
-                p = vals[:34]
-                q = vals[34:_SEL_W]
+
+                # select by the state bit at the WORD level before unpacking
+                # (record layout: words 0-3 ja|bit0, 4-7 jb|bit0, 8-11 ja|bit1,
+                # 12-15 jb|bit1, 16 = (s_a, s_b), 17-20 jc|bit0, 21-24
+                # jc|bit1).  Selecting packed words then unpacking yields the
+                # same bits as unpacking then selecting values, so this is
+                # bitwise-identical at half the unpack ops and zero per-value
+                # merge selects (~60 fewer vector ops/iteration).
+                def unpk(ws):
+                    out = []
+                    for wv in ws:
+                        out.append(jax.lax.bitcast_convert_type(
+                            wv << 16, jnp.float32))
+                        out.append(jax.lax.bitcast_convert_type(
+                            wv & jnp.int32(-65536), jnp.float32))
+                    return out
+
+                jab = unpk([jnp.where(bit, acc[8 + j], acc[j])
+                            for j in range(8)])
+                ja = jab[:8]
+                jb = jab[8:]
+                jc = unpk([jnp.where(bit, acc[21 + j], acc[17 + j])
+                           for j in range(4)])
+                s_a, s_b = unpk([acc[16]])
             else:
                 p = [zero for _ in range(W)]
                 for mk, offs in rows:
@@ -492,14 +507,15 @@ def make_persistent_trace_fn(cfg: TraceConfig, num_fc: int, num_oc: int,
                         q[j] = q[j] + mf * c(base + 16 + j)
                         q[8 + j] = q[8 + j] + mf * c(base + 40 + j)
 
-            ja = [jnp.where(bit, p[16 + j], p[j]) for j in range(8)]
-            jb = [jnp.where(bit, p[24 + j], p[8 + j]) for j in range(8)]
-            jc = [jnp.where(bit, q[8 + j], q[j]) for j in range(8)]
+            if accum_mode != "packed":
+                ja = [jnp.where(bit, p[16 + j], p[j]) for j in range(8)]
+                jb = [jnp.where(bit, p[24 + j], p[8 + j]) for j in range(8)]
+                jc = [jnp.where(bit, q[8 + j], q[j]) for j in range(8)]
+                s_a = p[32]
+                s_b = p[33]
             pol_a = _jones_vec(ja, 0, ter, tei, tmr, tmi)
             pol_b = _jones_vec(jb, 0, ter, tei, tmr, tmi)
             pol_c = _jones_vec(jc, 0, ter, tei, tmr, tmi)
-            s_a = p[32]
-            s_b = p[33]
             s_c = c(_OC_SOUT)
 
             inv_cos = 1.0 / cos_th
