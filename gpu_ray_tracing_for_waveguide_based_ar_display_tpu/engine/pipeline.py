@@ -171,7 +171,8 @@ class Simulator:
             self.split_pruned = 0.0
         elif engine == "pallas_persistent":
             self._cp = trace_pallas.build_kernel_cell_params(
-                self.tables, self.geom.eyebox_range
+                self.tables, self.geom.eyebox_range,
+                eyebox_bins=cfg.eyebox_bins,
             )
             self._gr = trace_pallas.build_kernel_geom(self.tgeom)[None, :]
             self._pers_cache = {}
@@ -196,7 +197,8 @@ class Simulator:
             )
         else:
             self._cp = trace_pallas.build_kernel_cell_params(
-                self.tables, self.geom.eyebox_range
+                self.tables, self.geom.eyebox_range,
+                eyebox_bins=cfg.eyebox_bins,
             )
             self._gr = trace_pallas.build_kernel_geom(self.tgeom)[None, :]
             self._rt_cache = {}

@@ -111,11 +111,20 @@ def _flat_jones(j: np.ndarray) -> np.ndarray:
 
 
 def build_kernel_cell_params(tables: CellTables,
-                             eyebox_range_mn: np.ndarray) -> np.ndarray:
+                             eyebox_range_mn: np.ndarray,
+                             eyebox_bins: tuple = (80, 120)) -> np.ndarray:
     """(C, PC) float32 SMEM rows from the packed cell tables.
 
     ``eyebox_range_mn``: (M, N, 4) per-FoV deposit rects, tiled over wavelength in
     cid order (l major).
+
+    ``eyebox_bins``: (ny, nx) deposit bin counts — MUST match the consuming
+    ``TraceConfig.eyebox_bins`` (the persistent kernel reads the precomputed
+    ``_EBT``/``_EBS`` slots derived from them; the default matches the
+    reference's 80x120 grid and ``TraceConfig``'s default).  The slots are
+    computed with the same f32 ops the kernel used to run per iteration
+    (tol-widened rect, ``nx/(x1-x0)`` bin scales), so deposits are
+    bitwise-unchanged.
     """
     C = tables.num_cells
     S_fc = tables.fc_jones.shape[1]
@@ -140,6 +149,16 @@ def build_kernel_cell_params(tables: CellTables,
         eyebox_range_mn.reshape(-1, 4), (tables.L, 1)
     ).astype(np.float32)
     p[:, _EBR:_EBR + 4] = ebr
+    # precomputed deposit slots (persistent kernel): tol-widened rect + bin
+    # scales, in f32 (bitwise-equal to the former in-kernel per-iteration ops)
+    ny, nx = eyebox_bins
+    tol = np.float32(_EDGE_TOL)
+    p[:, _EBT + 0] = ebr[:, 0] - tol
+    p[:, _EBT + 1] = ebr[:, 1] + tol
+    p[:, _EBT + 2] = ebr[:, 2] - tol
+    p[:, _EBT + 3] = ebr[:, 3] + tol
+    p[:, _EBS + 0] = np.float32(nx) / (ebr[:, 1] - ebr[:, 0])
+    p[:, _EBS + 1] = np.float32(ny) / (ebr[:, 3] - ebr[:, 2])
     for bit in range(2):
         for br in range(2):
             off = _IC_BLK + (bit * 2 + br) * 8

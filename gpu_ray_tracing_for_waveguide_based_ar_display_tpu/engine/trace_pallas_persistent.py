@@ -34,7 +34,7 @@ from ..config import TraceConfig
 from .trace_pallas import (
     LANES, PC, PG,
     _EBR, _EBS, _EBT,
-    _EDGE_TOL, _FC_BLK, _FC_STRIDE, _GAPS, _G_FC_INVW, _G_FC_ROT, _G_FC_TOP,
+    _FC_BLK, _FC_STRIDE, _GAPS, _G_FC_INVW, _G_FC_ROT, _G_FC_TOP,
     _G_IC, _G_MC_HULL, _G_MC_R1, _G_MC_R2, _G_OC_B, _G_OC_BT, _G_OC_INVW,
     _G_OC_ROT, _G_OC_TOP, _G_HULL, _G_R1, _G_R2,
     _HOP2_PH, _IC_BLK, _IC_SA, _IC_SB, _INIT_COS0, _INIT_JA, _INIT_JB,
@@ -728,20 +728,11 @@ def make_persistent_trace_fn(cfg: TraceConfig, num_fc: int, num_oc: int,
                 "cell_params_packed must be given exactly when "
                 "accum_mode='packed' (see pack_selection_params)")
         C = cell_params.shape[0]
-        # fill the precomputed deposit slots (_EBT: tol-widened rect, _EBS:
-        # bin scales) from the per-cell rects with the exact f32 ops the
-        # kernel used to run per iteration — bitwise-equal deposits, ~10
-        # scalar-unit ops fewer per iteration.  Runs under the caller's jit,
-        # once per dispatch.
-        ebr = cell_params[:, _EBR:_EBR + 4]
-        tol = jnp.float32(_EDGE_TOL)
-        ext = jnp.stack(
-            [ebr[:, 0] - tol, ebr[:, 1] + tol, ebr[:, 2] - tol,
-             ebr[:, 3] + tol,
-             jnp.float32(nx) / (ebr[:, 1] - ebr[:, 0]),
-             jnp.float32(ny) / (ebr[:, 3] - ebr[:, 2])], axis=-1)
-        cell_params = jax.lax.dynamic_update_slice(
-            cell_params, ext.astype(jnp.float32), (0, _EBT))
+        # NOTE: the kernel reads precomputed deposit slots (_EBT: tol-widened
+        # rect, _EBS: bin scales) from the cell-param rows — filled host-side
+        # by build_kernel_cell_params(eyebox_bins=cfg.eyebox_bins).  Filling
+        # them here per dispatch would cost ~8 eager relay round-trips per
+        # trace call (trace() is not jitted by its callers).
         # geom_row may carry one geometry row per *design*: (D, PG) with the
         # cell grid laid out as D contiguous runs of C/D cells — the basis of
         # production-throughput design sweeps (each grid step reads its

@@ -219,7 +219,8 @@ def run_design_sweep_persistent(
         luts = make_synthetic_luts(geom, seed=lut_seed)
         tables = build_cell_tables(geom, luts)
         tg = build_trace_geometry(geom, simplify_tol=0.05)
-        cp = trace_pallas.build_kernel_cell_params(tables, geom.eyebox_range)
+        cp = trace_pallas.build_kernel_cell_params(
+            tables, geom.eyebox_range, eyebox_bins=cfg.eyebox_bins)
         cpk = (trace_pallas_persistent.pack_selection_params(
                    cp, tg.num_fc, tg.num_oc)
                if accum_mode == "packed" else None)

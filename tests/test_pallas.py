@@ -248,3 +248,23 @@ def test_region_test_max_matches_chain(setup):
         b = np.asarray(trace_pallas._region_test_max(g, base, mc, x, y, n))
         np.testing.assert_array_equal(a, b)
         assert a.any() and not a.all()
+
+
+def test_cell_params_precomputed_deposit_slots(setup):
+    """_EBT/_EBS slots must be the f32 tol-widened rect + bin scales derived
+    from _EBR with the exact ops the kernel used to run per iteration."""
+    geom, tables, tgeom, cfg, batch = setup
+    cp = trace_pallas.build_kernel_cell_params(
+        tables, geom.eyebox_range, eyebox_bins=cfg.eyebox_bins)
+    ebr = cp[:, trace_pallas._EBR:trace_pallas._EBR + 4]
+    tol = np.float32(trace_pallas._EDGE_TOL)
+    ny, nx = cfg.eyebox_bins
+    ebt = cp[:, trace_pallas._EBT:trace_pallas._EBT + 4]
+    np.testing.assert_array_equal(ebt[:, 0], ebr[:, 0] - tol)
+    np.testing.assert_array_equal(ebt[:, 1], ebr[:, 1] + tol)
+    np.testing.assert_array_equal(ebt[:, 2], ebr[:, 2] - tol)
+    np.testing.assert_array_equal(ebt[:, 3], ebr[:, 3] + tol)
+    np.testing.assert_array_equal(
+        cp[:, trace_pallas._EBS], np.float32(nx) / (ebr[:, 1] - ebr[:, 0]))
+    np.testing.assert_array_equal(
+        cp[:, trace_pallas._EBS + 1], np.float32(ny) / (ebr[:, 3] - ebr[:, 2]))
