@@ -571,9 +571,10 @@ def make_persistent_trace_fn(cfg: TraceConfig, num_fc: int, num_oc: int,
             st_acc = jnp.where(br_a, st_a, st_b)
 
             # ---- deposit: accumulate into the per-cell VMEM histogram tile.
-            # Bounds pre-widened and bin scales precomputed on device in
-            # trace() with the same f32 ops the kernel used to run per
-            # iteration (bitwise-equal booleans/bins, fewer scalar-unit ops).
+            # Bounds pre-widened and bin scales precomputed host-side by
+            # build_kernel_cell_params with the same f32 ops the kernel used
+            # to run per iteration (bitwise-equal booleans/bins, fewer
+            # scalar-unit ops).
             in_quad = ((x >= c(_EBT)) & (x <= c(_EBT + 1))
                        & (y >= c(_EBT + 2)) & (y <= c(_EBT + 3)))
             ix = jnp.clip(

@@ -145,33 +145,38 @@ def evaluate(matrix_eb: Optional[np.ndarray], cfg: EvalConfig = EvalConfig(),
 
     lab_white = color.xyz_to_lab(color.D65_XYZ_100)
 
-    output_image = np.empty_like(adjusted)
-    delta_e_sum = 0.0
-    u_fov_sum = 0.0
-    u_eb = np.zeros((n_epy, n_epx))
-    for i in range(n_epy):
-        for j in range(n_epx):
-            pix = adjusted[:, :, :, i, j]  # (fy, fx, 3)
-            rgb_linear = np.clip(pix @ DISPLAY_M.T, 0.0, 1.0)
-            srgb = color.apply_srgb_gamma(rgb_linear)
-            output_image[:, :, :, i, j] = color.normalize_brightness(srgb)
+    # vectorized over the (n_epy, n_epx) eye-position grid — the former
+    # 56-iteration Python loop cost ~0.6 s/run on a 1-core host (~20% of the
+    # reference-workload wall); identical math, batched leading axes
+    ep = np.transpose(adjusted, (3, 4, 0, 1, 2))  # (epy, epx, fy, fx, 3)
+    rgb_linear = np.clip(ep @ DISPLAY_M.T, 0.0, 1.0)
+    srgb = color.apply_srgb_gamma(rgb_linear)
+    # per-position brightness normalization (color.normalize_brightness
+    # batched: scale each eye image so its peak channel value is 1)
+    peak = srgb.max(axis=(2, 3, 4), keepdims=True)
+    normed = np.where(peak > 0, srgb / np.where(peak > 0, peak, 1.0), srgb)
+    output_image = np.transpose(normed, (2, 3, 4, 0, 1))
 
-            xyz = pix @ DISPLAY_M_XYZ.T
-            y_chan = xyz[..., 1]
-            y_safe = np.maximum(y_chan, 1e-10)
-            xyz_norm = xyz / y_safe[..., None] * 100.0
-            lab = color.xyz_to_lab(xyz_norm)
-            lab[y_chan == 0] = 0.0
-            de = color.delta_e_2000(lab, lab_white)
-            delta_e_sum += float(np.mean(de))
-            if np.any(y_chan == 0):
-                u_eb[i, j] = 0.0
-            else:
-                u_fov_sum += float(np.min(y_chan) / np.max(y_chan))
-                u_eb[i, j] = float(np.mean(y_chan))
+    xyz = ep @ DISPLAY_M_XYZ.T
+    y_chan = xyz[..., 1]                           # (epy, epx, fy, fx)
+    y_safe = np.maximum(y_chan, 1e-10)
+    xyz_norm = xyz / y_safe[..., None] * 100.0
+    lab = color.xyz_to_lab(xyz_norm)
+    lab[y_chan == 0] = 0.0
+    de = color.delta_e_2000(lab, lab_white)        # (epy, epx, fy, fx)
+    # mean over FoV per position, then over positions (equal counts: = global
+    # mean up to float association)
+    delta_e = float(np.mean(de))
+    # a position with any empty (FoV, eye) bin is starved: it contributes 0 to
+    # u_eb and is excluded from the u_fov sum (but still divides by the full
+    # position count) — exactly the former per-position branch
+    any0 = np.any(y_chan == 0, axis=(2, 3))
+    ymax = y_chan.max(axis=(2, 3))
+    ratio = np.where(any0, 0.0,
+                     y_chan.min(axis=(2, 3)) / np.where(ymax > 0, ymax, 1.0))
+    u_eb = np.where(any0, 0.0, y_chan.mean(axis=(2, 3)))
 
-    delta_e = delta_e_sum / (n_epy * n_epx)
-    u_fov = u_fov_sum / (n_epy * n_epx)
+    u_fov = float(ratio.sum()) / (n_epy * n_epx)
     u_eyebox = 0.0 if u_eb.max() == 0 else float(u_eb.min() / u_eb.max())
     starved = int((u_eb == 0.0).sum())
     return EvalResult(
