@@ -155,8 +155,11 @@ def run_reference_workload():
     runs = []
     for rep, sim in enumerate(sims):
         t0 = time.perf_counter()
+        # metrics_device: whole colorimetry in one on-device jit (f32; agrees
+        # with the host float64 path to ~1e-4 rel, tested in test_eval) —
+        # saves the ~0.3-0.6 s host colorimetry pass per run
         res = sim.run(num_iter=4, cells_per_batch=4500, evaluate_metrics=True,
-                      histogram_device=True)
+                      histogram_device=True, metrics_device=True)
         wall = time.perf_counter() - t0
         runs.append((wall, res))
     walls = [w for w, _ in runs]

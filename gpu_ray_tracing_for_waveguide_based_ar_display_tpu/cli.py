@@ -108,11 +108,16 @@ def cmd_simulate(args) -> int:
           if args.wavelengths else None)
     from .utils import xla_trace
 
+    # device-side metric colorimetry (one f32 jit, ~1e-4 rel of the host
+    # path) whenever the eye-view image is not requested — it is the only
+    # consumer of the host path's output_image
     with xla_trace(args.profile_dir or None):
         res = sim.run(cells_per_batch=args.cells_per_batch,
                       verbose=args.verbose, wavelengths=wl,
                       checkpoint_path=args.checkpoint,
                       histogram_device=(args.engine == "pallas_persistent"),
+                      metrics_device=(args.engine == "pallas_persistent"
+                                      and not args.image),
                       error_groups=args.error_bars)
     print(format_report(res))
     if res.metric_stderr:

@@ -603,8 +603,16 @@ class Simulator:
         checkpoint_every: int = 1,
         histogram_device: bool = False,
         error_groups: bool = False,
+        metrics_device: bool = False,
     ) -> SimulationResult:
         """Trace the full workload and reduce metrics.
+
+        ``metrics_device``: with a device histogram, run the whole metric
+        colorimetry on device in ONE jit (f32) and pull only scalars + the
+        (epy, epx) luminance grid — saves the host colorimetry pass
+        (~0.3-0.6 s on a 1-core host).  The result's ``output_image`` is None
+        in this mode (use the default host path when exporting eye-view
+        PNGs); metric values agree with the host path to ~1e-4 relative.
 
         ``error_groups``: estimate per-metric Monte-Carlo standard errors by a
         delete-one jackknife over the ``num_iter`` independent sample groups
@@ -815,6 +823,11 @@ class Simulator:
         if evaluate_metrics:
             if isinstance(histogram, np.ndarray):
                 met = evaluate(histogram / actual_rpf / iters, eval_cfg)
+            elif metrics_device:
+                from ..eval.metrics import evaluate_jnp, eye_perceived_jnp
+
+                met = evaluate_jnp(eye_perceived_jnp(histogram, eval_cfg),
+                                   eval_cfg, norm=actual_rpf * iters)
             else:
                 from ..eval.metrics import eye_perceived_jnp
 

@@ -174,3 +174,52 @@ def test_evaluate_flags_starved_eye_positions():
     res = metrics.evaluate(eb2, cfg)
     assert res.u_eyebox == 0.0
     assert res.starved_eye_positions == 1
+
+
+def test_evaluate_jnp_matches_host():
+    """Device-path evaluate (one jit, f32) agrees with the float64 host path,
+    including the starved-position branches."""
+    jnp = pytest.importorskip("jax.numpy")
+
+    rng = np.random.default_rng(5)
+    perc = rng.random((3, 10, 12, 4, 5)) * 1e-3
+    perc[:, :, :, 0, 0] = 0.0       # fully starved eye position
+    perc[0, 2, 3, 1, 1] = 0.0       # single empty (FoV, eye) bin
+    host = metrics.evaluate(None, perceive=perc / 2.0)
+    dev = metrics.evaluate_jnp(jnp.asarray(perc, jnp.float32), norm=2.0)
+    assert dev.delta_e == pytest.approx(host.delta_e, rel=1e-4)
+    assert dev.u_fov == pytest.approx(host.u_fov, rel=1e-4, abs=1e-7)
+    assert dev.u_eyebox == pytest.approx(host.u_eyebox, rel=1e-4, abs=1e-7)
+    assert dev.starved_eye_positions == host.starved_eye_positions
+    np.testing.assert_allclose(dev.eye_luminance, host.eye_luminance,
+                               rtol=1e-4)
+    assert dev.output_image is None
+
+    dev_img = metrics.evaluate_jnp(jnp.asarray(perc, jnp.float32), norm=2.0,
+                                   with_image=True)
+    np.testing.assert_allclose(dev_img.output_image, host.output_image,
+                               rtol=2e-3, atol=1e-5)
+
+
+def test_simulator_metrics_device_matches_host():
+    """run(metrics_device=True) reproduces the host metric path on a device
+    histogram (CPU jax backend; persistent engine interpret mode)."""
+    pytest.importorskip("jax")
+    from gpu_ray_tracing_for_waveguide_based_ar_display_tpu.config import TraceConfig
+    from gpu_ray_tracing_for_waveguide_based_ar_display_tpu.engine.pipeline import (
+        Simulator,
+    )
+
+    cfg = TraceConfig(num_fov_x=4, num_fov_y=3, rays_per_fov=256, num_iter=2,
+                      max_bounces=300, seed=11, rng_mode="fast",
+                      ic_test="circle")
+    sim = Simulator(cfg=cfg, engine="pallas_persistent")
+    a = sim.run(histogram_device=True, metrics_device=False)
+    b = sim.run(histogram_device=True, metrics_device=True)
+    assert b.metrics.delta_e == pytest.approx(a.metrics.delta_e, rel=1e-4)
+    assert b.metrics.u_fov == pytest.approx(a.metrics.u_fov, rel=1e-4,
+                                            abs=1e-7)
+    assert b.metrics.u_eyebox == pytest.approx(a.metrics.u_eyebox, rel=1e-4,
+                                               abs=1e-7)
+    assert (b.metrics.starved_eye_positions
+            == a.metrics.starved_eye_positions)

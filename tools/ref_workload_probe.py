@@ -60,7 +60,7 @@ def probe(slots: int, reps: int = 2, spawn_mode: str = "count",
     for rep, s in enumerate(sims):
         t0 = time.perf_counter()
         res = s.run(num_iter=4, cells_per_batch=4500, evaluate_metrics=True,
-                    histogram_device=True)
+                    histogram_device=True, metrics_device=True)
         wall = time.perf_counter() - t0
         out["runs"].append({
             "rep": rep, "wall_s": round(wall, 2),
