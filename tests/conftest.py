@@ -33,6 +33,21 @@ jax.config.update("jax_platforms", "cpu")
 import pytest  # noqa: E402
 
 _SLOW_TESTS = {
+    # second tranche (r3): heavy tests whose subsystem keeps a lighter smoke
+    # test in the quick tier — persistent parity keeps gen1/gens-match/packed,
+    # pipeline keeps test_simulator_persistent_engine, sharding keeps the jnp
+    # mesh tests + the driver dryrun, device metrics keeps the test_eval pair,
+    # optimization keeps the gradient checks, splitting keeps its unit tests
+    "test_simulator_mesh_persistent",
+    "test_persistent_wavelength_subset",
+    "test_saturating_spawn",
+    "test_persistent_parity_rng_branch",
+    "test_no_deposit_buffer_overflow",
+    "test_simulator_persistent_trace_batch_direct",
+    "test_device_metrics_path_matches_host",
+    "test_error_groups_produces_stderr",
+    "test_optimize_grating_moves_parameters",
+    "test_simulator_splitting_engine",
     "test_bf16_accum_mode_close_to_f32",
     "test_flush_window_invariance",
     "test_design_sweep_persistent_broadcast_seeding",
