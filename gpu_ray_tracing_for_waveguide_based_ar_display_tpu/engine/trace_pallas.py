@@ -657,19 +657,17 @@ def make_pallas_trace_fn(cfg: TraceConfig, num_fc: int, num_oc: int,
             st_b = jnp.where(goc, 5, jnp.where(gfc, 3, jnp.where(icin, 1, 6)))
             st_acc = jnp.where(br_a, st_a, st_b)
 
-            # deposit (branch C)
-            ebx0 = c(_EBR)
-            ebx1 = c(_EBR + 1)
-            eby0 = c(_EBR + 2)
-            eby1 = c(_EBR + 3)
-            in_quad = ((x >= ebx0 - _EDGE_TOL) & (x <= ebx1 + _EDGE_TOL)
-                       & (y >= eby0 - _EDGE_TOL) & (y <= eby1 + _EDGE_TOL))
+            # deposit (branch C) — bounds pre-widened and bin scales
+            # precomputed host-side by build_kernel_cell_params (_EBT/_EBS;
+            # same f32 ops as the former in-loop math, bitwise deposits)
+            in_quad = ((x >= c(_EBT)) & (x <= c(_EBT + 1))
+                       & (y >= c(_EBT + 2)) & (y <= c(_EBT + 3)))
             ix = jnp.clip(
-                jnp.floor((x - ebx0) * (nx / (ebx1 - ebx0))).astype(jnp.int32),
+                jnp.floor((x - c(_EBR)) * c(_EBS)).astype(jnp.int32),
                 0, nx - 1,
             )
             iy = jnp.clip(
-                jnp.floor((y - eby0) * (ny / (eby1 - eby0))).astype(jnp.int32),
+                jnp.floor((y - c(_EBR + 2)) * c(_EBS + 1)).astype(jnp.int32),
                 0, ny - 1,
             )
             dep = jnp.where(br_c & in_quad, iy * nx + ix, dep)
