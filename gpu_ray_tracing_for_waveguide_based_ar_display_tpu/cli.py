@@ -96,6 +96,7 @@ def cmd_simulate(args) -> int:
         num_fov_x=args.fov_x, num_fov_y=args.fov_y,
         rays_per_fov=args.rays_per_fov, num_iter=args.num_iter,
         max_bounces=args.max_bounces, seed=args.seed,
+        pupil_sampling=args.pupil_sampling,
     )
     sim = Simulator(design=_design(args), cfg=cfg,
                     luts_dir=args.luts_dir,
@@ -314,6 +315,11 @@ def main(argv=None) -> int:
                    help="'splitting' = deterministic zero-variance transport: "
                         "exact branch expectation, rays-per-fov becomes the "
                         "pupil quadrature point count (small grids only)")
+    p.add_argument("--pupil-sampling", default="uniform",
+                   choices=("uniform", "r2"),
+                   help="'r2' = randomized low-discrepancy pupil points "
+                        "(unbiased RQMC; lower pupil-axis variance than the "
+                        "reference's uniform sampler)")
     p.add_argument("--spawn-iters", type=int, default=0,
                    help="saturating-spawn iteration budget (pallas_persistent; "
                         "0 = fixed generations)")

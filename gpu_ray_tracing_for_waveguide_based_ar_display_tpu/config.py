@@ -102,6 +102,14 @@ class TraceConfig:
     # 'numpy' or 'native' (C++ host sampler via ctypes, numpy fallback)
     pupil_sampler: str = "numpy"
 
+    # Pupil point distribution: 'uniform' = rejection-sampled uniform points
+    # (the reference's sampler, GPU_ray_tracing_functions.py:12-23); 'r2' =
+    # randomized low-discrepancy points (R2 lattice + per-iteration
+    # Cranley-Patterson rotation, concentric-mapped into the in-coupler's
+    # inscribed disk).  'r2' is an unbiased RQMC estimator with the same mean
+    # and lower pupil-axis variance — a beyond-reference capability.
+    pupil_sampling: str = "uniform"
+
 
 @dataclasses.dataclass(frozen=True)
 class EvalConfig:

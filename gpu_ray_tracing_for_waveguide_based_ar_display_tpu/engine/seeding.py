@@ -37,6 +37,52 @@ def sample_points_in_polygon(
     return out[:num]
 
 
+_PLASTIC = 1.32471795724474602596  # plastic number, root of x^3 = x + 1
+
+
+def sample_points_r2_disk(
+    poly: np.ndarray, num: int, rng: np.random.Generator
+) -> np.ndarray:
+    """Randomized low-discrepancy points in the polygon's inscribed disk.
+
+    The R2 lattice (additive recurrence with the plastic-number ratios) under
+    a Cranley-Patterson rotation (one uniform 2-D shift drawn from ``rng``,
+    making the estimator unbiased — randomized QMC), mapped square->disk with
+    the concentric (Shirley-Chiu) map so stratification survives the warp.
+    Points land in the polygon's *inscribed* circle (inradius = min
+    center-to-edge distance), which for the reference's 100-gon in-coupler
+    gives up only a ``1 - cos(pi/100) ~ 5e-4`` radius band while guaranteeing
+    strict polygon containment for either ``ic_test`` mode.
+    """
+    center = poly.mean(axis=0)
+    a = poly
+    b = np.roll(poly, -1, axis=0)
+    e = b - a
+    elen = np.hypot(e[:, 0], e[:, 1])
+    real = elen > 1e-12  # skip the zero-length closing edge of closed rings
+    dist = np.abs(e[real, 0] * (center[1] - a[real, 1])
+                  - e[real, 1] * (center[0] - a[real, 0])) / elen[real]
+    r_in = float(dist.min())
+
+    i = np.arange(num, dtype=np.float64)
+    alpha = np.array([1.0 / _PLASTIC, 1.0 / _PLASTIC ** 2])
+    u = (i[:, None] * alpha[None, :] + rng.uniform(0.0, 1.0, size=2)) % 1.0
+    ab = 2.0 * u - 1.0
+    ax, by = ab[:, 0], ab[:, 1]
+    use_a = np.abs(ax) > np.abs(by)
+    r = np.where(use_a, ax, by)
+    phi = np.where(
+        use_a,
+        (np.pi / 4.0) * np.divide(by, ax, out=np.zeros_like(by),
+                                  where=ax != 0.0),
+        np.pi / 2.0 - (np.pi / 4.0) * np.divide(ax, by,
+                                                out=np.zeros_like(ax),
+                                                where=by != 0.0),
+    )
+    return center[None, :] + (r_in * r)[:, None] * np.stack(
+        [np.cos(phi), np.sin(phi)], axis=1)
+
+
 def build_ray_batch(
     geom: DesignGeometry,
     cfg: TraceConfig,
@@ -60,6 +106,8 @@ def build_ray_batch(
     host_rng = np.random.default_rng(cfg.seed + 7919 * iteration)
 
     def sample(n):
+        if cfg.pupil_sampling == "r2":
+            return sample_points_r2_disk(geom.ic, n, host_rng)
         if cfg.pupil_sampler == "native":
             from . import native
 

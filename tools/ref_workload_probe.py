@@ -35,7 +35,9 @@ def probe(slots: int, reps: int = 2, spawn_mode: str = "count",
     accum = os.environ.get("PROBE_ACCUM", "fma")
     cfg = TraceConfig(num_fov_x=100, num_fov_y=75, rays_per_fov=5000,
                       max_bounces=100000, seed=0, rng_mode="fast",
-                      ic_test="circle")
+                      ic_test="circle",
+                      pupil_sampling=os.environ.get("PROBE_SAMPLING",
+                                                    "uniform"))
     s0 = Simulator(cfg=cfg, engine="pallas_persistent",
                    geometry_simplify_tol=0.05, persistent_slots=slots,
                    spawn_mode=spawn_mode, fold_iterations=fold,
@@ -69,6 +71,10 @@ def probe(slots: int, reps: int = 2, spawn_mode: str = "count",
             "bounces_per_sec": round(res.bounces_per_second),
             "eff_G": round(res.efficiencies.get("G", 0.0), 6),
             "u_fov": round(res.metrics.u_fov, 5) if res.metrics else None,
+            "u_eyebox": (round(res.metrics.u_eyebox, 5)
+                         if res.metrics else None),
+            "starved": (res.metrics.starved_eye_positions
+                        if res.metrics else None),
         })
         print(json.dumps(out["runs"][-1]), flush=True)
 
