@@ -97,10 +97,11 @@ def pack_selection_params(cell_params: np.ndarray, num_fc: int,
         vals[:, r, :34] = cell_params[:, offs]
         if qoffs is not None:
             vals[:, r, 34:] = cell_params[:, qoffs]
-    bf = vals.astype(ml_dtypes.bfloat16).view(np.uint16)
-    lo = bf[..., 0::2].astype(np.uint32)
-    hi = bf[..., 1::2].astype(np.uint32)
-    words = (lo | (hi << np.uint32(16))).view(np.int32)
+    bf = vals.astype(ml_dtypes.bfloat16)
+    # adjacent bf16 pairs ARE the packed little-endian word (param 2w in bits
+    # 0-15, 2w+1 in 16-31), so the pack is a zero-copy uint32 view — the
+    # former strided 0::2/1::2 gathers were ~20x slower on chunk-sized inputs
+    words = bf.view(np.uint32).view(np.int32)
     return np.ascontiguousarray(words.reshape(C, len(rows) * _SEL_NW))
 
 

@@ -22,6 +22,7 @@ J tables carry a state-bit axis while scales/targets do not.
 from __future__ import annotations
 
 import dataclasses
+from typing import Sequence
 
 import numpy as np
 
@@ -42,6 +43,10 @@ class CellTables:
 
     Jones arrays are complex64 with a leading state-bit axis where the two states of a
     phase group read different channels; scales/cosines are float32.
+
+    ``D > 1`` marks a *design-batched* table pack (``build_cell_tables_synthetic_batch``):
+    the cell axis spans D contiguous per-design runs of L*M*N rows, exactly the layout
+    the persistent kernel's multi-design grid consumes (trace_pallas_persistent.trace).
     """
 
     L: int
@@ -71,9 +76,12 @@ class CellTables:
     tir_phasor: np.ndarray      # (C, 4) complex64 e^{i delta_TIR}
     hop2_phasor: np.ndarray     # (C, 4) complex64 e^{2 i delta_TIR}
 
+    # design-batch size (see class docstring); 1 for single-design packs
+    D: int = 1
+
     @property
     def num_cells(self) -> int:
-        return self.L * self.M * self.N
+        return self.D * self.L * self.M * self.N
 
 
 def _jones_from(lut: np.ndarray, quad) -> np.ndarray:
@@ -158,6 +166,119 @@ def build_cell_tables(geom: DesignGeometry, luts: RcwaLuts) -> CellTables:
 
     return CellTables(
         L=L, M=M, N=N,
+        init_jones=init_jones, init_scale=init_scale, init_cos0=init_cos0,
+        ic_jones=ic_jones, ic_scale=ic_scale,
+        fc_jones=fc_jones, fc_scale=fc_scale,
+        oc_jones=oc_jones, oc_scale=oc_scale, oc_scale_out=oc_scale_out,
+        gaps=gaps, tir_phasor=tir_phasor, hop2_phasor=hop2_phasor,
+    )
+
+
+def build_cell_tables_synthetic_batch(
+    geoms: Sequence[DesignGeometry], seed: int = 1234
+) -> CellTables:
+    """Synthetic-LUT cell tables for a whole design batch, fused.
+
+    Equivalent to ``build_cell_tables(g, make_synthetic_luts(g, seed))`` per design
+    with the results concatenated along the cell axis (D contiguous runs of C =
+    L*M*N rows — the persistent kernel's multi-design layout), but **without
+    materializing the channel-layout LUT arrays**: the synthetic Jones branches
+    (synthetic._synth_quads, the single source of the RNG draw order) cast straight
+    into the complex64 tables, and the channel put/gather round-trip — ~10x the
+    final tables' footprint in complex128 traffic — disappears.  Field values are
+    bitwise-identical to the unfused path (tests/test_luts_io.py pins this), since
+    the channel arrays only ever stored these exact values.
+    """
+    from .synthetic import _stack_angles, _synth_quads
+
+    A = _stack_angles(geoms)
+    D, L, M, N = A["D"], A["L"], A["M"], A["N"]
+    S_fc, S_oc = A["num_fc"], A["num_oc"]
+    C = L * M * N
+    DC = D * C
+    f32 = np.float32
+    n_g = A["n_g"]
+
+    def flat(x):
+        """(D, L, M, N, ...) -> (D*C, ...)"""
+        return np.ascontiguousarray(np.asarray(x).reshape((DC,) + x.shape[4:]))
+
+    def jmat(quad):
+        """Branch quadruple -> (D*C, 2, 2) complex64.
+
+        Values match _jones_from's stack-then-astype exactly (astype is
+        elementwise, so rounding before stacking is bitwise-identical) while
+        stacking half the bytes.
+        """
+        m0, m1, m2, m3 = (q.astype(np.complex64) for q in quad)
+        j = np.stack(
+            [np.stack([m0, m1], axis=-1), np.stack([m2, m3], axis=-1)],
+            axis=-2,
+        )
+        return flat(np.ascontiguousarray(j))
+
+    # consume the branch stream fully and in order (keeps the RNG aligned)
+    J = {}
+    for key, quad in _synth_quads(A, seed):
+        name, strip = key if isinstance(key, tuple) else (key, None)
+        if strip is None:
+            J[name] = jmat(quad)
+        else:
+            J.setdefault(name, [None] * (S_fc if name.startswith("fc") else S_oc))
+            J[name][strip] = jmat(quad)
+
+    def jstack(name):
+        return np.stack(J[name])        # (S, D*C, 2, 2)
+
+    # cosine channels: the channel arrays stored the angle tables verbatim, so
+    # cos(lut[..., 0].real).astype(f32) == cos(angle).astype(f32)
+    cos_air = flat(np.cos(A["th_in_ic"]).astype(f32))
+    cos_ic = flat(np.cos(A["th_out_ic"]).astype(f32))
+    cos_ic2 = flat(np.cos(A["th_out_ic2"]).astype(f32))
+    cos_fc = flat(np.cos(A["th_out_fc"]).astype(f32))
+    cos_oc = flat(np.cos(A["th_out_oc"]).astype(f32))
+
+    init_jones = np.stack([J["ic1_to_ic2"], J["ic1_to_ic3"]])
+    init_scale = np.stack([cos_ic * n_g, cos_ic2 * n_g]).astype(f32)
+    init_cos0 = cos_air
+
+    ic_jones = np.stack(
+        [np.stack([J["ic2_to_ic2"], J["ic3_to_ic2"]]),
+         np.stack([J["ic2_to_ic3"], J["ic3_to_ic3"]])]
+    )  # (branch, bit, D*C, 2, 2)
+    ic_scale = np.stack([cos_ic, cos_ic2]).astype(f32)
+
+    fc_jones = np.stack(
+        [np.stack([jstack("fc1_stay"), jstack("fc2_unfold")], axis=1),
+         np.stack([jstack("fc1_fold"), jstack("fc2_stay")], axis=1)]
+    )  # (branch, S, bit, D*C, 2, 2)
+    # every FC strip's direction channel is the same angle table
+    fc_scale = np.stack([np.broadcast_to(cos_ic, (S_fc, DC)),
+                         np.broadcast_to(cos_fc, (S_fc, DC))]).astype(f32)
+
+    oc_jones = np.stack(
+        [np.stack([jstack("oc1_stay"), jstack("oc2_unreverse")], axis=1),
+         np.stack([jstack("oc1_reverse"), jstack("oc2_stay")], axis=1),
+         np.stack([jstack("oc1_out"), jstack("oc2_out")], axis=1)]
+    )  # (branch, S, bit, D*C, 2, 2)
+    oc_scale = np.stack([np.broadcast_to(cos_fc, (S_oc, DC)),
+                         np.broadcast_to(cos_oc, (S_oc, DC))]).astype(f32)
+    oc_scale_out = (cos_air / n_g).astype(f32)
+
+    lut_gap = np.stack([g.lut_gap for g in geoms])       # (D, L, M, N, 8)
+    gaps = flat(
+        np.stack(
+            [lut_gap[..., 0:2], lut_gap[..., 2:4],
+             lut_gap[..., 4:6], lut_gap[..., 6:8]],
+            axis=-2,
+        ).astype(f32)
+    )
+    tir = np.stack([g.lut_tir for g in geoms])           # (D, L, M, N, 4)
+    tir_phasor = flat(np.exp(1j * tir).astype(np.complex64))
+    hop2_phasor = flat(np.exp(2j * tir).astype(np.complex64))
+
+    return CellTables(
+        L=L, M=M, N=N, D=D,
         init_jones=init_jones, init_scale=init_scale, init_cos0=init_cos0,
         ic_jones=ic_jones, ic_scale=ic_scale,
         fc_jones=fc_jones, fc_scale=fc_scale,

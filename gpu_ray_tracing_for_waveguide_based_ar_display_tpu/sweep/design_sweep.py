@@ -162,11 +162,15 @@ def run_design_sweep_persistent(
     padded with repeats of the last design so every dispatch reuses the one
     compiled kernel, and the padding's results are dropped.
 
-    The loop is **host/device pipelined**: chunk k+1's per-design host prep
-    (geometry + LUT synthesis + table packing, ~50 ms/design single-core) runs
-    while chunk k traces on the device — dispatches are async and every
-    device->host pull (efficiency reductions, overflow counters) is deferred
-    to the end, so sweep wall-clock is max(host, device) instead of their sum.
+    The loop is **host/device pipelined**: chunk k+1's host prep runs while
+    chunk k traces on the device — dispatches are async and every device->host
+    pull (efficiency reductions, overflow counters) is deferred to the end, so
+    sweep wall-clock is max(host, device) instead of their sum.  Host prep is
+    itself *chunk-batched*: the synthetic-LUT -> cell-table -> kernel-row ->
+    packed-selection pipeline runs once over the chunk's design axis
+    (luts.packing.build_cell_tables_synthetic_batch, bitwise-identical to
+    per-design prep), leaving per-design host work at just the geometry
+    generation (~10-40 ms/design depending on host load).
 
     ``spawn_mode="count"``: trace each cell's *exact* ``cfg.rays_per_fov``
     sample target with the count-spawn kernel (lanes share the budget; see
@@ -213,27 +217,52 @@ def run_design_sweep_persistent(
 
     import dataclasses as _dc
 
-    def prep(d: WaveguideDesign):
-        """Per-design host artifacts (geometry, tables, kernel rows, rays)."""
-        geom = generate_geometry(d, cfg.num_fov_x, cfg.num_fov_y)
-        luts = make_synthetic_luts(geom, seed=lut_seed)
-        tables = build_cell_tables(geom, luts)
-        tg = build_trace_geometry(geom, simplify_tol=0.05)
+    from ..luts.packing import build_cell_tables_synthetic_batch
+
+    def prep(idx):
+        """Host artifacts for a whole design chunk, batched.
+
+        Geometry + trace-geometry run per design (hulls/slicing are serial);
+        the synthetic-LUT -> cell-table -> kernel-row -> packed-selection
+        pipeline runs ONCE over the chunk's design axis
+        (build_cell_tables_synthetic_batch), bitwise-identical to per-design
+        prep at a fraction of the host time.  Pupil ray tiles are reused
+        across designs whose in-coupler polygon is unchanged (grating sweeps
+        never move the pupil).
+        """
+        chunk = [designs[i] for i in idx]
+        geoms = [generate_geometry(d, cfg.num_fov_x, cfg.num_fov_y)
+                 for d in chunk]
+        tgs = [build_trace_geometry(g, simplify_tol=0.05) for g in geoms]
+        tables = build_cell_tables_synthetic_batch(geoms, seed=lut_seed)
         cp = trace_pallas.build_kernel_cell_params(
-            tables, geom.eyebox_range, eyebox_bins=cfg.eyebox_bins)
+            tables, np.stack([g.eyebox_range for g in geoms]),
+            eyebox_bins=cfg.eyebox_bins)          # (D*n_cells, PC)
         cpk = (trace_pallas_persistent.pack_selection_params(
-                   cp, tg.num_fc, tg.num_oc)
+                   cp, tgs[0].num_fc, tgs[0].num_oc)
                if accum_mode == "packed" else None)
-        gr = trace_pallas.build_kernel_geom(tg)
-        if broadcast:
-            b = seeding.build_ray_batch(
-                geom, _dc.replace(cfg, rays_per_fov=slots),
-                cell_ids=np.array([0]), rays_per_cell=slots)
-            tile, _ = trace_pallas.pack_ray_blocks(b, 1, slots, rt)
-            return tg, cp, cpk, gr, tile[0], None  # (6, RT, 128) per design
-        b = seeding.build_ray_batch(geom, _dc.replace(cfg, rays_per_fov=slots))
-        r_in, rng_in = trace_pallas.pack_ray_blocks(b, n_cells, slots, rt)
-        return tg, cp, cpk, gr, r_in, rng_in
+        grs = np.stack([trace_pallas.build_kernel_geom(tg) for tg in tgs])
+        tiles, rngs = [], []
+        prev_ic, prev = None, None
+        for g in geoms:
+            if broadcast:
+                if prev_ic is not None and np.array_equal(prev_ic, g.ic):
+                    tiles.append(prev)
+                    continue
+                b = seeding.build_ray_batch(
+                    g, _dc.replace(cfg, rays_per_fov=slots),
+                    cell_ids=np.array([0]), rays_per_cell=slots)
+                tile, _ = trace_pallas.pack_ray_blocks(b, 1, slots, rt)
+                prev_ic, prev = g.ic, tile[0]
+                tiles.append(tile[0])             # (6, RT, 128) per design
+            else:
+                b = seeding.build_ray_batch(
+                    g, _dc.replace(cfg, rays_per_fov=slots))
+                r_in, rng_in = trace_pallas.pack_ray_blocks(
+                    b, n_cells, slots, rt)
+                tiles.append(r_in)
+                rngs.append(rng_in)
+        return tgs, cp, cpk, grs, tiles, rngs
 
     trace = None
     nominal = cfg.rays_per_fov if count_spawn else slots * gens
@@ -250,13 +279,20 @@ def run_design_sweep_persistent(
             n_cells, rt, trace_pallas.LANES)
 
     chunks = [list(range(s, min(s + db, D))) for s in range(0, D, db)]
-    prepped = [prep(designs[i]) for i in chunks[0]]  # chunk 0 preps up front
+    prepped = prep(chunks[0])  # chunk 0 preps up front
+
+    def _pad_rows(a, keep, pad, rows_per_design):
+        """Repeat the last design's rows ``pad`` times along axis 0."""
+        if pad == 0:
+            return a
+        tail = a[(keep - 1) * rows_per_design: keep * rows_per_design]
+        return np.concatenate([a] + [tail] * pad, axis=0)
+
     for ci, idx in enumerate(chunks):
         pad = db - len(idx) if D > db else 0
-        sel_local = list(range(len(idx))) + [len(idx) - 1] * pad
         keep = len(idx)
-        tgs, cps, cpks, grs, rays_l, rngs_l = zip(
-            *[prepped[j] for j in sel_local])
+        nd = keep + pad
+        tgs, cp, cpk, grs, rays_l, rngs_l = prepped
         if trace is None:
             num_fc, num_oc = tgs[0].num_fc, tgs[0].num_oc
             edge_counts = (max(len(g.hull_hp) for g in tgs),
@@ -271,22 +307,25 @@ def run_design_sweep_persistent(
             raise ValueError(
                 "designs in one sweep batch must share strip counts")
         if broadcast:
-            base = jnp.asarray(np.stack(rays_l))
+            base = jnp.asarray(
+                _pad_rows(np.stack(rays_l), keep, pad, 1))   # (nd, 6, RT, 128)
             rays_in = jnp.broadcast_to(
-                base[:, None], (len(sel_local), n_cells) + base.shape[1:]
-            ).reshape((len(sel_local) * n_cells,) + base.shape[1:])
+                base[:, None], (nd, n_cells) + base.shape[1:]
+            ).reshape((nd * n_cells,) + base.shape[1:])
             rng_in = jnp.broadcast_to(
-                rng_cell[None], (len(sel_local),) + rng_cell.shape
-            ).reshape((len(sel_local) * n_cells,) + rng_cell.shape[1:])
+                rng_cell[None], (nd,) + rng_cell.shape
+            ).reshape((nd * n_cells,) + rng_cell.shape[1:])
         else:
-            rays_in = jnp.concatenate([jnp.asarray(r) for r in rays_l], axis=0)
-            rng_in = jnp.concatenate([jnp.asarray(r) for r in rngs_l], axis=0)
-        kw = ({"cell_params_packed": jnp.concatenate(
-                  [jnp.asarray(c) for c in cpks], axis=0)}
+            rays_in = jnp.asarray(
+                _pad_rows(np.concatenate(rays_l, axis=0), keep, pad, n_cells))
+            rng_in = jnp.asarray(
+                _pad_rows(np.concatenate(rngs_l, axis=0), keep, pad, n_cells))
+        kw = ({"cell_params_packed": jnp.asarray(
+                  _pad_rows(cpk, keep, pad, n_cells))}
               if accum_mode == "packed" else {})
         tiles, nb = trace(
-            jnp.concatenate([jnp.asarray(c) for c in cps], axis=0),
-            jnp.asarray(np.stack(grs)),
+            jnp.asarray(_pad_rows(cp, keep, pad, n_cells)),
+            jnp.asarray(_pad_rows(grs, keep, pad, 1)),
             rays_in, rng_in,
             jnp.asarray([cfg.rays_per_fov if count_spawn else gens,
                          spawn_iters], jnp.int32),
@@ -299,10 +338,10 @@ def run_design_sweep_persistent(
         factor = (nominal / spawned if (spawn_iters > 0 or count_spawn)
                   else jnp.ones_like(spawned))
         cell_sums = jnp.sum(tiles[:, :, :nx], axis=(1, 2)) * factor
-        per_design_l = cell_sums.reshape(len(sel_local), L, M * N).sum(axis=2)
+        per_design_l = cell_sums.reshape(nd, L, M * N).sum(axis=2)
         eff_parts.append(per_design_l[:keep] / (nominal * M * N * L) * L)
         bounce_parts.append(
-            jnp.sum(nb[:, 0].reshape(len(sel_local), n_cells), axis=1)[:keep])
+            jnp.sum(nb[:, 0].reshape(nd, n_cells), axis=1)[:keep])
         if keep_histograms:
             hist_parts.extend(
                 trace_pallas_persistent.hist_tiles_to_histogram(
@@ -313,7 +352,7 @@ def run_design_sweep_persistent(
                 for i in range(keep)
             )
         if ci + 1 < len(chunks):
-            prepped = [prep(designs[i]) for i in chunks[ci + 1]]
+            prepped = prep(chunks[ci + 1])
 
     overflowed = int(np.asarray(
         jnp.concatenate([nb[:, 3] for nb in nb_parts])).sum())

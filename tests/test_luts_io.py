@@ -156,3 +156,81 @@ def test_simulator_luts_dir_equals_direct(tmp_path):
     rb = sim_b.run(rays_per_fov=64, num_iter=1, evaluate_metrics=False)
     np.testing.assert_array_equal(np.asarray(ra.histogram),
                                   np.asarray(rb.histogram))
+
+
+# ---- design-batched synthesis (sweep prep hot path) ---------------------------------
+
+
+def test_synthetic_batch_bitwise_matches_per_design():
+    """make_synthetic_luts_batch == per-design calls, bitwise, for varied designs."""
+    import dataclasses
+
+    from gpu_ray_tracing_for_waveguide_based_ar_display_tpu.config import (
+        WaveguideDesign,
+    )
+    from gpu_ray_tracing_for_waveguide_based_ar_display_tpu.luts.synthetic import (
+        make_synthetic_luts_batch,
+    )
+
+    base = WaveguideDesign()
+    designs = [
+        dataclasses.replace(base, lambda_ic=float(p), lambda_oc=float(p))
+        for p in (375.0, 388.0, 401.0)
+    ]
+    geoms = [generate_geometry(d, 6, 5) for d in designs]
+    batch = make_synthetic_luts_batch(geoms, seed=77)
+    for g, b in zip(geoms, batch):
+        single = make_synthetic_luts(g, seed=77)
+        for name in ("ic1", "ic2", "ic3", "fc1", "fc2", "oc1", "oc2"):
+            assert np.array_equal(getattr(single, name), getattr(b, name)), name
+
+
+def test_fused_cell_tables_batch_bitwise():
+    """build_cell_tables_synthetic_batch == unfused per-design tables, concatenated,
+    and the batched kernel cell-param rows == per-design rows, concatenated."""
+    import dataclasses
+
+    from gpu_ray_tracing_for_waveguide_based_ar_display_tpu.config import (
+        WaveguideDesign,
+    )
+    from gpu_ray_tracing_for_waveguide_based_ar_display_tpu.engine import (
+        trace_pallas,
+        trace_pallas_persistent,
+    )
+    from gpu_ray_tracing_for_waveguide_based_ar_display_tpu.luts.packing import (
+        build_cell_tables,
+        build_cell_tables_synthetic_batch,
+    )
+
+    base = WaveguideDesign()
+    designs = [
+        dataclasses.replace(base, lambda_ic=float(p), lambda_oc=float(p))
+        for p in (380.0, 395.0)
+    ]
+    geoms = [generate_geometry(d, 6, 5) for d in designs]
+    refs = [build_cell_tables(g, make_synthetic_luts(g, seed=1234)) for g in geoms]
+    fused = build_cell_tables_synthetic_batch(geoms, seed=1234)
+    C = refs[0].num_cells
+    assert fused.D == 2 and fused.num_cells == 2 * C
+    for f in ("init_jones", "init_scale", "init_cos0", "ic_jones", "ic_scale",
+              "fc_jones", "fc_scale", "oc_jones", "oc_scale", "oc_scale_out",
+              "gaps", "tir_phasor", "hop2_phasor"):
+        parts = [getattr(r, f) for r in refs]
+        axis = [i for i, s in enumerate(parts[0].shape) if s == C]
+        assert len(axis) == 1, (f, parts[0].shape)
+        assert np.array_equal(getattr(fused, f),
+                              np.concatenate(parts, axis=axis[0])), f
+
+    cp_b = trace_pallas.build_kernel_cell_params(
+        fused, np.stack([g.eyebox_range for g in geoms]), eyebox_bins=(80, 120))
+    cp_s = np.concatenate(
+        [trace_pallas.build_kernel_cell_params(r, g.eyebox_range,
+                                               eyebox_bins=(80, 120))
+         for r, g in zip(refs, geoms)], axis=0)
+    assert np.array_equal(cp_b, cp_s)
+    # packed-selection words: batched pack == per-design packs, concatenated
+    cpk_b = trace_pallas_persistent.pack_selection_params(cp_b, 7, 6)
+    cpk_s = np.concatenate(
+        [trace_pallas_persistent.pack_selection_params(c, 7, 6)
+         for c in (cp_s[:C], cp_s[C:])], axis=0)
+    assert np.array_equal(cpk_b, cpk_s)
