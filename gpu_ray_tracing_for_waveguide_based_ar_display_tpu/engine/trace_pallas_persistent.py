@@ -112,7 +112,8 @@ def make_persistent_trace_fn(cfg: TraceConfig, num_fc: int, num_oc: int,
                              max_iters: int = 0, cond_interval: int = 8,
                              edge_counts=None, accum_mode: str = "fma",
                              flush_w: int = _FLUSH_W,
-                             count_spawn: bool = False):
+                             count_spawn: bool = False,
+                             body_unroll: int = 0):
     """Build ``trace(cell_params, geom_row, rays_in, rng_in[, ctrl]) -> (hist, nb)``.
 
     - rays_in: (C, 6, RT, 128) initial fields (x, y, ter, tei, tmr, tmi); these are
@@ -687,9 +688,28 @@ def make_persistent_trace_fn(cfg: TraceConfig, num_fc: int, num_oc: int,
             carry = carry + (jnp.int32(RT * LANES),)
         carry = carry + (zero_i,)   # kdep: staged-deposit cursor
 
+        # body_unroll > 1 replicates the bounce body inside the inner loop at
+        # the Python trace level (Mosaic's fori_loop only lowers unroll=1 or
+        # full unroll); the op sequence per iteration is unchanged ->
+        # bitwise-identical (tested vs unroll=1), but Mosaic's scheduler gets
+        # a longer window to overlap one iteration's scalar-unit selection
+        # loads with the previous iteration's vector work: full unroll
+        # measured 2.92 -> 3.15 G bounces/s on v5e (packed, cond16, RT=32).
+        # 0 = auto: full unroll in production, none in interpret mode (where
+        # it would only multiply trace/compile time, not change results).
+        unroll = body_unroll if body_unroll > 0 else (
+            1 if interpret else cond_interval)
+        assert cond_interval % unroll == 0, (cond_interval, unroll)
+
         def chunk(carry):
+            def steps(cc):
+                for _ in range(unroll):
+                    cc = body(cc)
+                return cc
+
             return jax.lax.fori_loop(
-                0, cond_interval, lambda _, cc: body(cc), carry)
+                0, cond_interval // unroll, lambda _, cc: steps(cc),
+                carry)
 
         carry = jax.lax.while_loop(cond, chunk, carry)
         # safety: flush codes still staged in the carries at exit.  Slot 0

@@ -33,6 +33,9 @@ jax.config.update("jax_platforms", "cpu")
 import pytest  # noqa: E402
 
 _SLOW_TESTS = {
+    # round-3: trace-level unroll invariance (two extra interpret compiles;
+    # the production default is exercised on TPU via bench/measure_kernel)
+    "test_body_unroll_invariance",
     # second tranche (r3): heavy tests whose subsystem keeps a lighter smoke
     # test in the quick tier — persistent parity keeps gen1/gens-match/packed,
     # pipeline keeps test_simulator_persistent_engine, sharding keeps the jnp

@@ -394,3 +394,18 @@ def test_pack_selection_params_round_trip():
             np.testing.assert_array_equal(
                 got[:, r, 34:].astype(np.float32), 0.0,
                 err_msg=f"non-OC row {r} ({kind}) must store zero q-words")
+
+
+def test_body_unroll_invariance(setup):
+    """body_unroll replicates the bounce body at trace level (the production
+    full-unroll mode on TPU); results must be bitwise-identical to unroll=1."""
+    geom, tgeom, cfg, n_cells, cp, gr, rays_in, rng_in = setup
+    outs = []
+    for unroll in (1, 4):
+        pers = trace_pallas_persistent.make_persistent_trace_fn(
+            cfg, tgeom.num_fc, tgeom.num_oc, RT, gens=2, interpret=True,
+            max_iters=1300, cond_interval=8, body_unroll=unroll)
+        tiles, nb = pers(cp, gr, rays_in, rng_in)
+        outs.append((np.asarray(tiles), np.asarray(nb[:, 0])))
+    np.testing.assert_array_equal(outs[0][0], outs[1][0])
+    np.testing.assert_array_equal(outs[0][1], outs[1][1])
