@@ -509,7 +509,6 @@ class Simulator:
                 flush_w=int(os.environ.get(
                     "PERS_FLUSH_W", trace_pallas_persistent._FLUSH_W)),
                 count_spawn=(self._spawn_mode == "count"),
-                body_unroll=int(os.environ.get("PERS_UNROLL", 0)),
             )
             if self._mesh is not None:
                 from ..parallel.shard import make_sharded_cell_trace_fn

@@ -145,15 +145,16 @@ def build_kernel_cell_params(tables: CellTables,
     p[:, _HOP2_PH:_HOP2_PH + 8] = np.stack(
         [h2.real, h2.imag], axis=-1
     ).reshape(C, 8)
-    # accepts (M, N, 4) or design-batched (D, M, N, 4) matching tables.D; cid
-    # is l-major within each design's L*M*N-row run, so the M*N rects tile
-    # over the wavelength axis per design (identical values to the former
-    # single-design np.tile for D == 1)
+    # accepts (M, N, 4) (or anything reshapeable to (M*N, 4) — the original
+    # single-design contract) or design-batched (D, M, N, 4) matching
+    # tables.D; cid is l-major within each design's L*M*N-row run, so the
+    # M*N rects tile over the wavelength axis per design (identical values
+    # to the former single-design np.tile for D == 1)
     eb = np.asarray(eyebox_range_mn)
-    if eb.ndim == 3:
-        eb = eb[None]
+    ebd = (eb.reshape(eb.shape[0], -1, 4) if eb.ndim == 4
+           else eb.reshape(1, -1, 4))
     ebr = np.tile(
-        eb.reshape(eb.shape[0], 1, -1, 4), (1, tables.L, 1, 1)
+        ebd[:, None], (1, tables.L, 1, 1)
     ).reshape(C, 4).astype(np.float32)
     p[:, _EBR:_EBR + 4] = ebr
     # precomputed deposit slots (persistent kernel): tol-widened rect + bin

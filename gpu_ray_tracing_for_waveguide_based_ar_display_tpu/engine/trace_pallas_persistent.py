@@ -24,6 +24,8 @@ output assembles into the eyebox histogram by reshape alone — still no atomics
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -695,11 +697,23 @@ def make_persistent_trace_fn(cfg: TraceConfig, num_fc: int, num_oc: int,
         # a longer window to overlap one iteration's scalar-unit selection
         # loads with the previous iteration's vector work: full unroll
         # measured 2.92 -> 3.15 G bounces/s on v5e (packed, cond16, RT=32).
-        # 0 = auto: full unroll in production, none in interpret mode (where
-        # it would only multiply trace/compile time, not change results).
-        unroll = body_unroll if body_unroll > 0 else (
-            1 if interpret else cond_interval)
-        assert cond_interval % unroll == 0, (cond_interval, unroll)
+        # <= 0 = auto: the PERS_UNROLL env override if set (honored by every
+        # entry point — Simulator and the sweep build their kernels here),
+        # else full unroll in production and none in interpret mode (where it
+        # would only multiply trace/compile time, not change results).
+        unroll = body_unroll
+        if unroll <= 0:
+            unroll = int(os.environ.get("PERS_UNROLL", 0))
+        if unroll <= 0:
+            unroll = 1 if interpret else cond_interval
+        # clamp (PERS_UNROLL=16 against cond_interval=8 means full unroll)
+        # and reject non-divisors loudly: a stripped-assert zero-trip inner
+        # loop would never advance `it` and hang the device
+        unroll = min(unroll, cond_interval)
+        if cond_interval % unroll != 0:
+            raise ValueError(
+                f"body_unroll ({unroll}) must divide cond_interval "
+                f"({cond_interval})")
 
         def chunk(carry):
             def steps(cc):

@@ -197,7 +197,11 @@ def build_cell_tables_synthetic_batch(
     C = L * M * N
     DC = D * C
     f32 = np.float32
-    n_g = A["n_g"]
+    # per-design n_glass, repeated per cell row.  float32: the unbatched path
+    # multiplies/divides f32 cosines by a *python float* (NEP 50 weak scalar
+    # -> the op stays f32), so the batched vector must join at f32 too for
+    # bitwise-identical scales
+    n_g = np.repeat(np.asarray(A["n_g"], dtype=f32).ravel(), C)
 
     def flat(x):
         """(D, L, M, N, ...) -> (D*C, ...)"""

@@ -66,9 +66,11 @@ def _stack_angles(geoms: Sequence[DesignGeometry]) -> dict:
         if (g.th_out_ic.shape != (L, M, N) or len(g.fc_strips) != num_fc
                 or len(g.oc_strips) != num_oc):
             raise ValueError("designs in one LUT batch must share grid shapes")
-    n_g = g0.design.n_glass
-    if any(g.design.n_glass != n_g for g in geoms):
-        raise ValueError("designs in one LUT batch must share n_glass")
+    # per-design n_glass broadcasts as a (D, 1, 1, 1) column: every op it
+    # joins is elementwise, so results stay bitwise-identical to per-design
+    # scalar n_g (mixed-glass sweep batches are legal, like the per-design
+    # prep path they replaced)
+    n_g = np.array([g.design.n_glass for g in geoms]).reshape(D, 1, 1, 1)
 
     def dstack(attr):
         return np.stack([getattr(g, attr) for g in geoms])
@@ -244,10 +246,16 @@ def make_synthetic_luts_batch(
 
     out = []
     for i in range(D):
-        luts = RcwaLuts(ic1=arrs["ic1"][i], ic2=arrs["ic2"][i],
-                        ic3=arrs["ic3"][i], fc1=arrs["fc1"][i],
-                        fc2=arrs["fc2"][i], oc1=arrs["oc1"][i],
-                        oc2=arrs["oc2"][i])
+        # copy each design's slice for D > 1: returning views would pin the
+        # whole (D, ...) batch in memory for as long as any one design's
+        # tables are retained
+        def take(name):
+            a = arrs[name][i]
+            return a.copy() if D > 1 else a
+
+        luts = RcwaLuts(ic1=take("ic1"), ic2=take("ic2"), ic3=take("ic3"),
+                        fc1=take("fc1"), fc2=take("fc2"), oc1=take("oc1"),
+                        oc2=take("oc2"))
         if i == 0:
             # the construction makes branch probabilities design-independent;
             # validating every member of a large batch would undo the batching

@@ -295,9 +295,20 @@ def run_design_sweep_persistent(
         tgs, cp, cpk, grs, rays_l, rngs_l = prepped
         if trace is None:
             num_fc, num_oc = tgs[0].num_fc, tgs[0].num_oc
-            edge_counts = (max(len(g.hull_hp) for g in tgs),
-                           max(len(g.r1_hp) for g in tgs),
-                           max(len(g.r2_hp) for g in tgs))
+            if len(chunks) == 1:
+                edge_counts = (max(len(g.hull_hp) for g in tgs),
+                               max(len(g.r1_hp) for g in tgs),
+                               max(len(g.r2_hp) for g in tgs))
+            else:
+                # the kernel compiles once from chunk 0; a later chunk's
+                # design may simplify to MORE half-planes, and a truncated
+                # region loop would silently misclassify containment — use
+                # the full padded edge budget (rows beyond the real edges are
+                # always-true padding, so this is exact; the extra rows cost
+                # a few % of kernel time, negligible in host-bound sweeps)
+                from ..engine.trace_pallas import MAX_EDGES
+
+                edge_counts = (MAX_EDGES,) * 3
             trace = trace_pallas_persistent.make_persistent_trace_fn(
                 cfg, num_fc, num_oc, rt, gens=gens, interpret=interpret,
                 phase_gating=(spawn_iters <= 0 and not count_spawn),

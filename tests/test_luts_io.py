@@ -175,8 +175,8 @@ def test_synthetic_batch_bitwise_matches_per_design():
     base = WaveguideDesign()
     designs = [
         dataclasses.replace(base, lambda_ic=float(p), lambda_oc=float(p))
-        for p in (375.0, 388.0, 401.0)
-    ]
+        for p in (375.0, 388.0)
+    ] + [dataclasses.replace(base, n_glass=2.0)]  # mixed-glass batches are legal
     geoms = [generate_geometry(d, 6, 5) for d in designs]
     batch = make_synthetic_luts_batch(geoms, seed=77)
     for g, b in zip(geoms, batch):
@@ -204,8 +204,9 @@ def test_fused_cell_tables_batch_bitwise():
 
     base = WaveguideDesign()
     designs = [
-        dataclasses.replace(base, lambda_ic=float(p), lambda_oc=float(p))
-        for p in (380.0, 395.0)
+        dataclasses.replace(base, lambda_ic=380.0, lambda_oc=380.0),
+        dataclasses.replace(base, lambda_ic=395.0, lambda_oc=395.0,
+                            n_glass=2.0),   # mixed-glass batch
     ]
     geoms = [generate_geometry(d, 6, 5) for d in designs]
     refs = [build_cell_tables(g, make_synthetic_luts(g, seed=1234)) for g in geoms]
