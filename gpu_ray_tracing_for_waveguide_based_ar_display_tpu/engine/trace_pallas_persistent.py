@@ -699,13 +699,16 @@ def make_persistent_trace_fn(cfg: TraceConfig, num_fc: int, num_oc: int,
         # measured 2.92 -> 3.15 G bounces/s on v5e (packed, cond16, RT=32).
         # <= 0 = auto: the PERS_UNROLL env override if set (honored by every
         # entry point — Simulator and the sweep build their kernels here),
-        # else full unroll in production and none in interpret mode (where it
-        # would only multiply trace/compile time, not change results).
+        # else full unroll for production RT >= 32 blocks.  Measured on v5e:
+        # +8% at RT=32, neutral at RT=16 (ref workload) and RT=8 (sweep
+        # slots), where it only multiplies trace/compile time ~cond_interval x
+        # — as does interpret mode, where results are identical by
+        # construction.
         unroll = body_unroll
         if unroll <= 0:
             unroll = int(os.environ.get("PERS_UNROLL", 0))
         if unroll <= 0:
-            unroll = 1 if interpret else cond_interval
+            unroll = cond_interval if (not interpret and RT >= 32) else 1
         # clamp (PERS_UNROLL=16 against cond_interval=8 means full unroll)
         # and reject non-divisors loudly: a stripped-assert zero-trip inner
         # loop would never advance `it` and hang the device

@@ -57,6 +57,34 @@ def _stack_geoms(tgeoms: Sequence[TraceGeometry]) -> dict:
     return {k: jnp.stack(v) for k, v in out.items()}
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=8)
+def _sweep_trace_fn(cfg: TraceConfig, num_fc: int, num_oc: int, rt: int,
+                    gens: int, interpret: bool, phase_gating: bool,
+                    count_spawn: bool, accum_mode: str):
+    """Memoized persistent-kernel builder for sweeps.
+
+    ``run_design_sweep_persistent`` is called repeatedly (bench reps, CLI
+    grids, optimizer loops); rebuilding the ``jax.jit``-wrapped kernel each
+    call retraces the whole Pallas body (~seconds) and, if anything in the
+    program differs from the cached binary, pays a full Mosaic compile
+    (~minutes).  One kernel per (config-shape, rt, mode) combination serves
+    every sweep — edge counts are pinned to the full padded budget by the
+    caller, so the program is design-list-independent.  ``TraceConfig`` is a
+    frozen dataclass (hashable).
+    """
+    from ..engine import trace_pallas_persistent
+    from ..engine.trace_pallas import MAX_EDGES
+
+    return trace_pallas_persistent.make_persistent_trace_fn(
+        cfg, num_fc, num_oc, rt, gens=gens, interpret=interpret,
+        phase_gating=phase_gating, max_iters=cfg.max_bounces,
+        edge_counts=(MAX_EDGES,) * 3, count_spawn=count_spawn,
+        accum_mode=accum_mode)
+
+
 @dataclasses.dataclass
 class SweepResult:
     designs: List[WaveguideDesign]
@@ -295,25 +323,20 @@ def run_design_sweep_persistent(
         tgs, cp, cpk, grs, rays_l, rngs_l = prepped
         if trace is None:
             num_fc, num_oc = tgs[0].num_fc, tgs[0].num_oc
-            if len(chunks) == 1:
-                edge_counts = (max(len(g.hull_hp) for g in tgs),
-                               max(len(g.r1_hp) for g in tgs),
-                               max(len(g.r2_hp) for g in tgs))
-            else:
-                # the kernel compiles once from chunk 0; a later chunk's
-                # design may simplify to MORE half-planes, and a truncated
-                # region loop would silently misclassify containment — use
-                # the full padded edge budget (rows beyond the real edges are
-                # always-true padding, so this is exact; the extra rows cost
-                # a few % of kernel time, negligible in host-bound sweeps)
-                from ..engine.trace_pallas import MAX_EDGES
-
-                edge_counts = (MAX_EDGES,) * 3
-            trace = trace_pallas_persistent.make_persistent_trace_fn(
-                cfg, num_fc, num_oc, rt, gens=gens, interpret=interpret,
-                phase_gating=(spawn_iters <= 0 and not count_spawn),
-                max_iters=cfg.max_bounces, edge_counts=edge_counts,
-                count_spawn=count_spawn, accum_mode=accum_mode)
+            # Sweep kernels always use the full padded edge budget: (a) the
+            # kernel compiles once from chunk 0, and a later chunk's design
+            # may simplify to MORE half-planes — a truncated region loop
+            # would silently misclassify containment; (b) design-independent
+            # edge counts mean ONE kernel serves every sweep of the same
+            # (grid, rt, mode) shape, so the memoized jit fn below never
+            # retraces/recompiles across calls (a per-design-list exact count
+            # forced a fresh ~60 s Mosaic compile per sweep invocation).
+            # Padding rows are always-true, so results are exact; the extra
+            # rows cost a few % of the ~5%-of-wall kernel time.
+            trace = _sweep_trace_fn(
+                cfg, num_fc, num_oc, rt, gens,
+                interpret, (spawn_iters <= 0 and not count_spawn),
+                count_spawn, accum_mode)
         if any(g.num_fc != num_fc or g.num_oc != num_oc for g in tgs):
             raise ValueError(
                 "designs in one sweep batch must share strip counts")

@@ -409,3 +409,17 @@ def test_body_unroll_invariance(setup):
         outs.append((np.asarray(tiles), np.asarray(nb[:, 0])))
     np.testing.assert_array_equal(outs[0][0], outs[1][0])
     np.testing.assert_array_equal(outs[0][1], outs[1][1])
+
+
+def test_sweep_trace_fn_memoized(setup):
+    """Repeated sweeps must reuse ONE jit-wrapped kernel (a fresh build per
+    call retraces the Pallas body and can trigger a full Mosaic recompile —
+    the ~60 s/rep sweep regression diagnosed in round 3)."""
+    from gpu_ray_tracing_for_waveguide_based_ar_display_tpu.sweep.design_sweep import (
+        _sweep_trace_fn,
+    )
+
+    geom, tgeom, cfg, n_cells, cp, gr, rays_in, rng_in = setup
+    a = _sweep_trace_fn(cfg, 7, 6, 8, 2, True, False, True, "fma")
+    b = _sweep_trace_fn(cfg, 7, 6, 8, 2, True, False, True, "fma")
+    assert a is b
