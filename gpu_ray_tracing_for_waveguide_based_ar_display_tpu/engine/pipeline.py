@@ -880,7 +880,8 @@ class Simulator:
         for i in range(K):
             m = _evaluate(None, eval_cfg,
                           perceive=(P_tot - groups_p[i])
-                          / actual_rpf / (iters - 1))
+                          / actual_rpf / (iters - 1),
+                          with_image=False)  # jackknife reads scalars only
             s = (S_tot - groups_s[i]) / num * self.L
             for li, n in enumerate(names):
                 reps[f"eff_{n}"].append(float(s[li]))

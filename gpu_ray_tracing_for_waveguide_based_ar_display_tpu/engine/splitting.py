@@ -157,6 +157,7 @@ def make_splitting_trace_fn(tables: CellTables, tgeom: TraceGeometry,
         pol = (rays["ter"], rays["tei"], rays["tmr"], rays["tmi"])
         w = rays["w"]
         outs = []
+        pruned = jnp.float32(0.0)
         for branch, dir_ in ((0, DIR_IC), (1, DIR_IC2)):
             j = T["init_jones"][branch][cid]
             p = trace_jnp._jones_apply(j, *pol)
@@ -179,13 +180,19 @@ def make_splitting_trace_fn(tables: CellTables, tgeom: TraceGeometry,
             else:
                 state = jnp.where(icin, 1, DEAD)
             wgt = w * eff
+            # tally threshold kills (geometric deaths above are reference
+            # transport, not pruning) so SplitResult.pruned bounds the
+            # downward bias from the FIRST interaction onward, matching
+            # split_step's accounting
+            killed = (state < DEAD) & ~(wgt > weight_threshold)
+            pruned = pruned + jnp.sum(jnp.where(killed, wgt, 0.0))
             state = jnp.where(wgt > weight_threshold, state, DEAD)
             outs.append(dict(
                 x=x, y=y, ter=ter, tei=tei, tmr=tmr, tmi=tmi,
                 cos_th=T["ic_scale"][branch][cid], gap_x=gx, gap_y=gy,
                 state=state.astype(jnp.int32), w=wgt, cid=cid,
             ))
-        return outs
+        return outs, pruned
 
     def split_step(T, buf):
         """One wavefront bounce: each slot -> (childA, childB, deposit)."""
@@ -338,7 +345,7 @@ def make_splitting_trace_fn(tables: CellTables, tgeom: TraceGeometry,
             + jnp.abs(rays0["tmr"]) + jnp.abs(rays0["tmi"])
         rays0 = dict(rays0)
         rays0["w"] = jnp.where(w0 > 0, 1.0, 0.0)
-        kids = split_init(T, rays0)
+        kids, pruned_init = split_init(T, rays0)
         children = {k: jnp.concatenate([kids[0][k], kids[1][k]]) for k in keys}
         if len(children["x"]) < capacity:
             pad = capacity - len(children["x"])
@@ -363,7 +370,7 @@ def make_splitting_trace_fn(tables: CellTables, tgeom: TraceGeometry,
             ckpt_body = jax.checkpoint(lambda c, _: (body(c), None))
             (buf, hist, trunc, pruned, it), _ = jax.lax.scan(
                 ckpt_body,
-                (buf, hist, trunc, jnp.float32(0.0), jnp.int32(0)),
+                (buf, hist, trunc, pruned_init, jnp.int32(0)),
                 None, length=fixed_steps)
         else:
             def cond(carry):
@@ -371,7 +378,7 @@ def make_splitting_trace_fn(tables: CellTables, tgeom: TraceGeometry,
                 return (it < max_steps) & jnp.any(buf["state"] < DEAD)
 
             buf, hist, trunc, pruned, it = jax.lax.while_loop(
-                cond, body, (buf, hist, trunc, jnp.float32(0.0), jnp.int32(0)))
+                cond, body, (buf, hist, trunc, pruned_init, jnp.int32(0)))
         return hist, jnp.sum(hist), trunc, pruned, it
 
     if table_arg:

@@ -41,7 +41,9 @@ class EvalResult:
     delta_e: float           # mean CIE-2000 color dispersion vs pure white
     u_fov: float             # field-of-view luminance uniformity, 0-1
     u_eyebox: float          # eyebox luminance uniformity, 0-1
-    output_image: np.ndarray  # (FoVy, FoVx, 3, n_epy, n_epx) simulated eye views
+    # (FoVy, FoVx, 3, n_epy, n_epx) simulated eye views; None when the caller
+    # asked evaluate(..., with_image=False)
+    output_image: Optional[np.ndarray]
     eye_luminance: np.ndarray  # (n_epy, n_epx) mean luminance per eye position
     # eye positions with >= 1 zero-luminance FoV pixel.  Any nonzero count means
     # u_eyebox degenerates to 0 and u_fov is biased low — the MC sample budget
@@ -136,6 +138,14 @@ def evaluate_jnp(perceive, cfg: EvalConfig = EvalConfig(),
     value, no eager device op).  Values agree with the float64 host
     :func:`evaluate` to ~1e-4 relative (f32 rounding; tested in test_eval).
     ``with_image`` additionally computes and pulls the simulated eye views.
+
+    MAINTENANCE: this is deliberately a jnp mirror of the host
+    :func:`evaluate` body rather than one xp-parameterized core — the paths
+    differ in dtype policy (host f64 for reference parity vs device f32) and
+    image handling, and jitting an np/jnp-generic function hides which ops run
+    eagerly.  Any metric-semantics change must be made in BOTH functions;
+    tests/test_eval.py::test_device_metrics_path_matches_host pins their
+    agreement and will catch drift.
     """
     import jax
     import jax.numpy as jnp
@@ -197,14 +207,18 @@ def evaluate_jnp(perceive, cfg: EvalConfig = EvalConfig(),
 
 
 def evaluate(matrix_eb: Optional[np.ndarray], cfg: EvalConfig = EvalConfig(),
-             perceive: Optional[np.ndarray] = None) -> EvalResult:
+             perceive: Optional[np.ndarray] = None,
+             with_image: bool = True) -> EvalResult:
     """Compute the four display metrics from a (L, FoVy, FoVx, eb_y, eb_x) histogram.
 
     ``matrix_eb`` should be normalized to per-ray units exactly as the reference
     driver does (histogram / rays_per_fov / num_iter,
     gpu_ray_tracing_pro_fullColor.py:197).  Alternatively pass ``perceive`` (an
     already pupil-integrated (L, fy, fx, n_epy, n_epx) stack, e.g. from
-    :func:`eye_perceived_jnp`) and omit the histogram.
+    :func:`eye_perceived_jnp`) and omit the histogram.  ``with_image=False``
+    skips the eye-view image reconstruction (gamma + normalization) — callers
+    that only read the scalar metrics (e.g. the jackknife error-bars loop,
+    which calls this once per sample group) save that host work.
     """
     if perceive is None:
         perceive = eye_perceived(matrix_eb, cfg)
@@ -225,13 +239,16 @@ def evaluate(matrix_eb: Optional[np.ndarray], cfg: EvalConfig = EvalConfig(),
     # 56-iteration Python loop cost ~0.6 s/run on a 1-core host (~20% of the
     # reference-workload wall); identical math, batched leading axes
     ep = np.transpose(adjusted, (3, 4, 0, 1, 2))  # (epy, epx, fy, fx, 3)
-    rgb_linear = np.clip(ep @ DISPLAY_M.T, 0.0, 1.0)
-    srgb = color.apply_srgb_gamma(rgb_linear)
-    # per-position brightness normalization (color.normalize_brightness
-    # batched: scale each eye image so its peak channel value is 1)
-    peak = srgb.max(axis=(2, 3, 4), keepdims=True)
-    normed = np.where(peak > 0, srgb / np.where(peak > 0, peak, 1.0), srgb)
-    output_image = np.transpose(normed, (2, 3, 4, 0, 1))
+    if with_image:
+        rgb_linear = np.clip(ep @ DISPLAY_M.T, 0.0, 1.0)
+        srgb = color.apply_srgb_gamma(rgb_linear)
+        # per-position brightness normalization (color.normalize_brightness
+        # batched: scale each eye image so its peak channel value is 1)
+        peak = srgb.max(axis=(2, 3, 4), keepdims=True)
+        normed = np.where(peak > 0, srgb / np.where(peak > 0, peak, 1.0), srgb)
+        output_image = np.transpose(normed, (2, 3, 4, 0, 1))
+    else:
+        output_image = None
 
     xyz = ep @ DISPLAY_M_XYZ.T
     y_chan = xyz[..., 1]                           # (epy, epx, fy, fx)

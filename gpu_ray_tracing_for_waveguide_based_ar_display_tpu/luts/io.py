@@ -60,9 +60,17 @@ def fetch_luts(directory: str, downloader=None) -> bool:
         if os.path.exists(path):
             continue
         url = f"https://drive.google.com/uc?id={_DRIVE_IDS[key]}"
+        # download to a temp name and publish atomically: a failure mid-write
+        # must not leave a truncated lut_*.npy behind, which would make
+        # luts_available() true and load_or_synthesize crash on the corrupt
+        # file instead of degrading to the synthetic tables
+        tmp = path + ".part"
         try:
-            downloader(url, path)
+            downloader(url, tmp)
+            os.replace(tmp, path)
         except Exception:
+            if os.path.exists(tmp):
+                os.remove(tmp)
             return False
     return luts_available(directory)
 

@@ -178,6 +178,8 @@ def optimize_apodization(
         theta = optax.apply_updates(theta, updates)
     (val, aux), _ = vg(theta)
     history.append(float(val))
+    if aux0 is None:  # steps=0: report the initial design through the same path
+        aux0 = aux
     return ApodizationResult(
         s_fc=np.asarray(jax.nn.sigmoid(theta["fc"])),
         s_oc=np.asarray(jax.nn.sigmoid(theta["oc"])),
@@ -298,6 +300,8 @@ def optimize_grating(
         theta = optax.apply_updates(theta, updates)
     (val, aux), _ = vg(theta)
     history.append(float(val))
+    if aux0 is None:  # steps=0: report the initial design through the same path
+        aux0 = aux
     d = geom.design
     final = {}
     for k in opt_params:

@@ -41,11 +41,21 @@ def make_mesh(devices: Optional[Sequence] = None,
     return Mesh(arr, axis_names)
 
 
+# neutral padding values per SoA key where zero is NOT neutral: a padded
+# "dep" of 0 is a real bin-0 deposit code (the sentinel is -1,
+# trace_jnp.make_ray_state), and cos_th divides the branch efficiencies
+_PAD_FILL = {"dep": -1, "cos_th": 1}
+
+
 def pad_rays_to(rays: dict, multiple: int) -> dict:
     """Pad a host-side SoA batch so its length divides the mesh size.
 
     Padding rays carry zero field amplitude, so their first-interaction roulette
     probability is exactly 0 and they terminate at init without depositing.
+    Works on both the seeding batch (x/y/te/tm/cid/idx/rng) and a full
+    ``make_ray_state`` pytree: keys whose neutral value is nonzero (the ``dep``
+    deposit sentinel, ``cos_th``) are filled accordingly — zero-filled ``dep``
+    padding would silently deposit one count per padding ray into cell 0, bin 0.
     """
     n = len(rays["x"])
     target = ((n + multiple - 1) // multiple) * multiple
@@ -54,7 +64,8 @@ def pad_rays_to(rays: dict, multiple: int) -> dict:
     pad = target - n
     out = {}
     for k, v in rays.items():
-        pv = np.zeros((pad,) + v.shape[1:], dtype=v.dtype)
+        v = np.asarray(v)
+        pv = np.full((pad,) + v.shape[1:], _PAD_FILL.get(k, 0), dtype=v.dtype)
         out[k] = np.concatenate([v, pv], axis=0)
     return out
 
@@ -150,10 +161,13 @@ def make_sharded_cell_trace_fn(pers_fn, mesh: Mesh, axis: str = "rays",
 
     def trace(cell_params, geom_row, rays_in, rng_in, ctrl,
               cell_params_packed=None):
-        n_dev = mesh.devices.size
+        # the cell axis splits over THIS axis only (a 2-D cells x samples
+        # mesh leaves the other axis to the sample-sharded wrapper)
+        n_dev = mesh.shape[axis]
         if cell_params.shape[0] % n_dev:
             raise ValueError(
-                f"{cell_params.shape[0]} cells do not divide over {n_dev} devices")
+                f"{cell_params.shape[0]} cells do not divide over {n_dev} "
+                f"devices of mesh axis {axis!r}")
         if packed:
             if cell_params_packed is None:
                 raise ValueError("packed=True needs cell_params_packed")
@@ -181,9 +195,10 @@ def make_sample_sharded_cell_trace_fn(pers_fn, mesh: Mesh,
     Per-cell histogram tiles merge with ONE ``psum`` over ICI at kernel exit;
     nb counters sum.  This lifts pure cell sharding's ``cells >= devices``
     requirement: cell sharding alone covers slices up to one chip per cell
-    (22,500 for the reference grid — beyond any single v5e/v5p slice), and a
-    2-D (cells x samples) mesh composes both for anything larger or for
-    small-grid workloads on big slices.
+    (22,500 for the reference grid — beyond any single v5e/v5p slice); for
+    anything larger or for small-grid workloads on big slices, use
+    :func:`make_2d_sharded_cell_trace_fn`, which partitions BOTH axes of a
+    2-D (cells x samples) mesh in one shard_map.
     """
 
     if packed:
@@ -219,11 +234,85 @@ def make_sample_sharded_cell_trace_fn(pers_fn, mesh: Mesh,
 
     def trace(cell_params, geom_row, rays_in, rng_in, ctrl,
               cell_params_packed=None):
-        n_dev = mesh.devices.size
+        # the leading seed axis splits over THIS axis only; sizing it to the
+        # total device count on a multi-axis mesh would make each local block
+        # carry several seed rows of which rng[0] uses one — silently tracing
+        # a fraction of the intended samples
+        n_dev = mesh.shape[axis]
         if rng_in.shape[0] != n_dev:
             raise ValueError(
-                f"rng_in needs a leading device axis of {n_dev}, "
-                f"got shape {rng_in.shape}")
+                f"rng_in needs a leading device axis of {n_dev} (mesh axis "
+                f"{axis!r}), got shape {rng_in.shape}")
+        if packed:
+            if cell_params_packed is None:
+                raise ValueError("packed=True needs cell_params_packed")
+            return sharded(jnp.asarray(cell_params),
+                           jnp.asarray(cell_params_packed),
+                           jnp.asarray(geom_row), jnp.asarray(rays_in),
+                           jnp.asarray(rng_in), jnp.asarray(ctrl))
+        return sharded(jnp.asarray(cell_params), jnp.asarray(geom_row),
+                       jnp.asarray(rays_in), jnp.asarray(rng_in),
+                       jnp.asarray(ctrl))
+
+    return trace
+
+
+def make_2d_sharded_cell_trace_fn(pers_fn, mesh: Mesh,
+                                  cell_axis: str = "cells",
+                                  sample_axis: str = "samples",
+                                  packed: bool = False):
+    """Compose cell-axis AND sample-axis data parallelism in ONE shard_map.
+
+    For a 2-D ``(cell_axis, sample_axis)`` mesh: the cell tables and ray/RNG
+    blocks partition over ``cell_axis`` (disjoint histogram tiles, no
+    collective), while ``rng_in`` carries a leading ``mesh.shape[sample_axis]``
+    axis of distinct seed blocks that partitions over ``sample_axis`` — each
+    device traces its cell subset with its sample share, and tiles psum-merge
+    over the sample axis only.  This is the scaling shape for slices larger
+    than the cell count or for small-grid workloads on big slices
+    (ceiling: cells x whatever sample multiple the budget affords).
+
+    rng_in: (S, C, RT, 128) with S = mesh.shape[sample_axis]; all other
+    operands exactly as the underlying persistent trace fn.
+    """
+
+    def _body(cp, geom_row, rays, rng, ctrl, cpk=None):
+        kw = {"cell_params_packed": cpk} if cpk is not None else {}
+        tiles, nb = pers_fn(cp, geom_row, rays, rng[0], ctrl, **kw)
+        tiles = jax.lax.psum(tiles, axis_name=sample_axis)
+        nb = jax.lax.psum(nb, axis_name=sample_axis)
+        return tiles, nb
+
+    cell_p, rng_p = P(cell_axis), P(sample_axis, cell_axis)
+    if packed:
+        sharded = shard_map(
+            lambda cp, cpk, g, r, s, c: _body(cp, g, r, s, c, cpk),
+            mesh=mesh,
+            in_specs=(cell_p, cell_p, P(), cell_p, rng_p, P()),
+            out_specs=(cell_p, cell_p),
+            check_vma=False,
+        )
+    else:
+        sharded = shard_map(
+            _body,
+            mesh=mesh,
+            in_specs=(cell_p, P(), cell_p, rng_p, P()),
+            out_specs=(cell_p, cell_p),
+            check_vma=False,
+        )
+
+    def trace(cell_params, geom_row, rays_in, rng_in, ctrl,
+              cell_params_packed=None):
+        n_cell = mesh.shape[cell_axis]
+        n_samp = mesh.shape[sample_axis]
+        if cell_params.shape[0] % n_cell:
+            raise ValueError(
+                f"{cell_params.shape[0]} cells do not divide over {n_cell} "
+                f"devices of mesh axis {cell_axis!r}")
+        if rng_in.shape[0] != n_samp:
+            raise ValueError(
+                f"rng_in needs a leading device axis of {n_samp} (mesh axis "
+                f"{sample_axis!r}), got shape {rng_in.shape}")
         if packed:
             if cell_params_packed is None:
                 raise ValueError("packed=True needs cell_params_packed")

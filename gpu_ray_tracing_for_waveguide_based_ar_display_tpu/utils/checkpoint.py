@@ -35,18 +35,19 @@ def save_checkpoint(
     extras: Optional[dict] = None,
 ) -> None:
     """``extras``: optional int counters (e.g. rays spawned) restored verbatim."""
-    tmp = path + ".tmp"
+    # the temp name ends in .npz so savez_compressed doesn't append another
+    # suffix; os.replace publishes atomically
+    tmp = path + ".tmp.npz"
     extra_arrs = {f"extra_{k}": np.int64(v) for k, v in (extras or {}).items()}
     np.savez_compressed(
-        tmp if tmp.endswith(".npz") else tmp + ".npz",
+        tmp,
         histogram=histogram,
         iterations_done=np.int64(iterations_done),
         total_bounces=np.int64(total_bounces),
         fingerprint=np.bytes_(_fingerprint(design, cfg).encode()),
         **extra_arrs,
     )
-    src = tmp if tmp.endswith(".npz") else tmp + ".npz"
-    os.replace(src, path)
+    os.replace(tmp, path)
 
 
 def load_checkpoint(

@@ -36,6 +36,10 @@ _SLOW_TESTS = {
     # round-3: trace-level unroll invariance (two extra interpret compiles;
     # the production default is exercised on TPU via bench/measure_kernel)
     "test_body_unroll_invariance",
+    # round-3: 2-D (cells x samples) mesh composition — same machinery as the
+    # quick-tier cell- and sample-sharded bitwise tests, two more interpret
+    # compiles
+    "test_2d_mesh_cells_x_samples_bitwise",
     # second tranche (r3): heavy tests whose subsystem keeps a lighter smoke
     # test in the quick tier — persistent parity keeps gen1/gens-match/packed,
     # pipeline keeps test_simulator_persistent_engine, sharding keeps the jnp

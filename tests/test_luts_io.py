@@ -122,9 +122,12 @@ def test_fetch_luts_offline_and_with_downloader(tmp_path):
     calls = []
 
     def fake_downloader(url, path):
+        # fetch_luts hands the downloader a temp name (atomic publish on
+        # success), so match the key by stem and write to the exact path
         calls.append(url)
-        key = [k for k, f in _FILES.items() if path.endswith(f)][0]
-        np.save(path, getattr(luts, key))
+        key = [k for k, f in _FILES.items() if f[:-len(".npy")] in path][0]
+        with open(path, "wb") as fh:
+            np.save(fh, getattr(luts, key))
 
     assert fetch_luts(str(d), downloader=fake_downloader) is True
     assert len(calls) == 2 and all("drive.google.com" in u for u in calls)

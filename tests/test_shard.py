@@ -289,3 +289,88 @@ def test_sharded_persistent_cells_packed_bitwise():
 
     with pytest.raises(ValueError, match="cell_params_packed"):
         sharded(cp, gr, rays_in, rng_in, ctrl)
+
+
+def test_pad_rays_to_state_pytree_neutral_fill(setup):
+    """Padding a full make_ray_state pytree must fill dep with the -1 sentinel
+    (zero-filled dep padding would deposit one count per padding ray into
+    cell 0, bin 0) and cos_th with 1."""
+    from gpu_ray_tracing_for_waveguide_based_ar_display_tpu.engine import trace_jnp
+    from gpu_ray_tracing_for_waveguide_based_ar_display_tpu.parallel import shard
+
+    geom, tables, tgeom, cfg, batch = setup
+    rays = trace_jnp.make_ray_state(
+        batch["x"], batch["y"], batch["te"], batch["tm"], batch["cid"],
+        batch["idx"], batch["rng"])
+    n = len(batch["x"])
+    padded = shard.pad_rays_to({k: np.asarray(v) for k, v in rays.items()}, 7)
+    pad = len(padded["x"]) - n
+    assert pad > 0
+    np.testing.assert_array_equal(padded["dep"][n:], -1)
+    np.testing.assert_array_equal(padded["cos_th"][n:], 1.0)
+    np.testing.assert_array_equal(padded["ter"][n:], 0.0)
+
+
+def test_2d_mesh_cells_x_samples_bitwise():
+    """One shard_map partitioning cells AND samples on a 2x4 mesh equals the
+    sum over sample blocks of unsharded runs, bitwise."""
+    import jax
+    import jax.numpy as jnp
+    from gpu_ray_tracing_for_waveguide_based_ar_display_tpu.engine import (
+        seeding,
+        trace_pallas,
+        trace_pallas_persistent,
+    )
+    from gpu_ray_tracing_for_waveguide_based_ar_display_tpu.engine.trace_geometry import (
+        build_trace_geometry,
+    )
+    from gpu_ray_tracing_for_waveguide_based_ar_display_tpu.luts import (
+        make_synthetic_luts,
+    )
+    from gpu_ray_tracing_for_waveguide_based_ar_display_tpu.luts.packing import (
+        build_cell_tables,
+    )
+    from gpu_ray_tracing_for_waveguide_based_ar_display_tpu.parallel.shard import (
+        make_2d_sharded_cell_trace_fn,
+        make_mesh,
+    )
+
+    M, N = 2, 2
+    geom = generate_geometry(num_fov_x=M, num_fov_y=N)
+    luts = make_synthetic_luts(geom)
+    tables = build_cell_tables(geom, luts)
+    tgeom = build_trace_geometry(geom, simplify_tol=0.05)
+    cfg = TraceConfig(num_fov_x=M, num_fov_y=N, rays_per_fov=128,
+                      max_bounces=400, rng_mode="fast", ic_test="circle",
+                      seed=11)
+    n_cells = 3 * M * N
+    cp = trace_pallas.build_kernel_cell_params(tables, geom.eyebox_range)
+    gr = trace_pallas.build_kernel_geom(tgeom)[None, :]
+    batch = seeding.build_ray_batch(geom, cfg)
+    rays_in, rng_in = trace_pallas.pack_ray_blocks(batch, n_cells, 128, 1)
+    fn = trace_pallas_persistent.make_persistent_trace_fn(
+        cfg, tgeom.num_fc, tgeom.num_oc, 1, gens=1, interpret=True,
+        max_iters=900)
+    ctrl = jnp.asarray([1, 0], jnp.int32)
+
+    n_samp = 2
+    rng_dev = np.stack([np.asarray(rng_in) + np.uint32(23 * (d + 1))
+                        for d in range(n_samp)])
+    mesh = make_mesh(jax.devices()[:6], ("cells", "samples"), (3, 2))
+    traced = make_2d_sharded_cell_trace_fn(fn, mesh)
+    t_merged, nb_merged = traced(cp, gr, rays_in, jnp.asarray(rng_dev), ctrl)
+
+    t_sum = nb_sum = None
+    for d in range(n_samp):
+        t_d, nb_d = fn(cp, gr, rays_in, jnp.asarray(rng_dev[d]), ctrl)
+        t_sum = t_d if t_sum is None else t_sum + t_d
+        nb_sum = nb_d if nb_sum is None else nb_sum + nb_d
+    np.testing.assert_array_equal(np.asarray(t_merged), np.asarray(t_sum))
+    np.testing.assert_array_equal(np.asarray(nb_merged), np.asarray(nb_sum))
+    assert float(np.asarray(t_merged).sum()) > 0
+
+    # validation errors name the offending mesh axis
+    with pytest.raises(ValueError, match="cells"):
+        traced(cp[:n_cells - 1], gr, rays_in, jnp.asarray(rng_dev), ctrl)
+    with pytest.raises(ValueError, match="samples"):
+        traced(cp, gr, rays_in, jnp.asarray(rng_dev[:1]), ctrl)
