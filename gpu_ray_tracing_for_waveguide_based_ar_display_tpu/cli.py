@@ -85,6 +85,13 @@ def cmd_simulate(args) -> int:
         import jax
         from jax.sharding import Mesh
 
+        if args.engine != "pallas_persistent":
+            # Simulator only threads the mesh through the persistent tracer;
+            # silently running single-device would defeat the flag's purpose
+            raise SystemExit(
+                "--mesh requires --engine pallas_persistent (the other "
+                "engines run single-device; the jnp engine's mesh path is "
+                "the parallel.shard API)")
         devs = jax.devices()
         if len(devs) < args.mesh:
             raise SystemExit(
@@ -179,6 +186,7 @@ def cmd_sweep(args) -> int:
         # generalized sweep: Cartesian grid over any WaveguideDesign fields
         fields = {f.name for f in dataclasses.fields(base)}
         axes = []
+        conv = {}
         for spec in args.sweep:
             key, sep, rng = spec.partition("=")
             parts = rng.split(":")
@@ -186,11 +194,23 @@ def cmd_sweep(args) -> int:
                 raise SystemExit(
                     f"--sweep expects FIELD=MIN:MAX:N over a WaveguideDesign "
                     f"field; got {spec!r}")
+            cur = getattr(base, key)
+            # bool before int: bool is an int subclass
+            if isinstance(cur, (tuple, bool)):
+                raise SystemExit(
+                    f"--sweep {key}: {type(cur).__name__}-valued fields "
+                    f"cannot sweep over a linspace; use --set per run")
+            conv[key] = int if isinstance(cur, int) else float
             lo, hi, n = float(parts[0]), float(parts[1]), int(parts[2])
-            axes.append((key, np.linspace(lo, hi, n)))
+            vals = np.linspace(lo, hi, n)
+            if conv[key] is int:
+                # integer fields (num_fc, num_oc, ...) take the unique
+                # rounded grid points
+                vals = np.unique(np.rint(vals).astype(int))
+            axes.append((key, vals))
         keys = [k for k, _ in axes]
         designs = [
-            dataclasses.replace(base, **{k: float(v)
+            dataclasses.replace(base, **{k: conv[k](v)
                                          for k, v in zip(keys, vals)})
             for vals in itertools.product(*(v for _, v in axes))
         ]
@@ -207,15 +227,34 @@ def cmd_sweep(args) -> int:
         rays_per_fov=args.rays_per_fov, max_bounces=args.max_bounces,
         seed=args.seed,
     )
+    def _run(group):
+        if args.engine == "pallas_persistent":
+            return run_design_sweep_persistent(group, cfg,
+                                               spawn_iters=args.spawn_iters,
+                                               interpret=args.interpret,
+                                               spawn_mode=args.spawn_mode,
+                                               slots=args.slots)
+        return run_design_sweep(group, cfg)
+
+    # one kernel batch must share strip counts; a sweep over num_fc/num_oc
+    # groups designs by count and stitches results back in design order
     t0 = time.perf_counter()
-    if args.engine == "pallas_persistent":
-        res = run_design_sweep_persistent(designs, cfg,
-                                          spawn_iters=args.spawn_iters,
-                                          interpret=args.interpret,
-                                          spawn_mode=args.spawn_mode,
-                                          slots=args.slots)
+    by_counts = {}
+    for i, d in enumerate(designs):
+        by_counts.setdefault((d.num_fc, d.num_oc), []).append(i)
+    if len(by_counts) == 1:
+        res = _run(designs)
     else:
-        res = run_design_sweep(designs, cfg)
+        eff = np.empty((len(designs), 3))
+        bounces = np.empty(len(designs), np.int64)
+        for idxs in by_counts.values():
+            r = _run([designs[i] for i in idxs])
+            eff[idxs] = r.efficiencies
+            bounces[idxs] = r.bounces
+        from .sweep.design_sweep import SweepResult
+
+        res = SweepResult(designs=designs, histograms=None,
+                          efficiencies=eff, bounces=bounces)
     wall = time.perf_counter() - t0
     print(f"{len(designs)} designs in {wall:.2f} s "
           f"({len(designs) / wall * 3600:,.0f} designs/hour, "
@@ -350,8 +389,9 @@ def main(argv=None) -> int:
                         "selection, ~1.4x faster, physics within MC tolerance")
     p.add_argument("--mesh", type=int, default=0, metavar="N",
                    help="shard the cell axis over an N-device "
-                        "jax.sharding.Mesh (requires N visible devices; "
-                        "cells-per-batch must divide N)")
+                        "jax.sharding.Mesh (pallas_persistent engine only; "
+                        "requires N visible devices, and N must divide the "
+                        "per-batch cell count)")
     p.add_argument("--verbose", action="store_true")
     p.set_defaults(fn=cmd_simulate)
 

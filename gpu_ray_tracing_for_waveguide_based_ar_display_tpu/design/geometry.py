@@ -125,11 +125,17 @@ def _incidence(fov_x: np.ndarray, fov_y: np.ndarray):
     return th, phi
 
 
-def _fold_intersections(d: WaveguideDesign, fov_x, fov_y, k0, g_ic, g_fc):
-    """Tangent-line intersection points defining the folding region.
+def _tangent_lines(d: WaveguideDesign, fov_x, fov_y, k0, g_ic, g_fc):
+    """Per-field tangent-line parameters of the folding-region construction.
 
-    ``fov_x/fov_y/k0`` broadcast together; returns stacked (P, 2) points plus the
-    sampled k-vectors (air, after-IC, after-FC) for the k-space diagnostics.
+    For each field angle: the two pupil tangents along the in-glass
+    propagation direction (slope ``k1``, intercepts ``b11``/``b12``) and the
+    two eyebox-corner tangents along the folded direction (slope ``k2``,
+    intercepts ``b21``/``b22``), plus the sampled k-vectors (air, after-IC,
+    after-FC) for the k-space diagnostics.  Single source for both the
+    design-sweep point cloud (:func:`_fold_intersections`) and the 9-corner
+    FoV quads (:func:`_fov_quads`) — the corner-selection rule and the rest
+    of the construction must never diverge between them.
     """
     x_ic0, y_ic0 = d.ic_center
     r = d.pupil_radius
@@ -160,7 +166,18 @@ def _fold_intersections(d: WaveguideDesign, fov_x, fov_y, k0, g_ic, g_fc):
     # left-bottom and right-top corners; uphill, through left-top and right-bottom.
     b21 = np.where(k2 <= 0, yb - k2 * xl, yt - k2 * xl)
     b22 = np.where(k2 <= 0, yt - k2 * xr, yb - k2 * xr)
+    return (k1, b11, b12, k2, b21, b22,
+            (kx0, ky0), (kx_ic, ky_ic), (kx_fc, ky_fc))
 
+
+def _fold_intersections(d: WaveguideDesign, fov_x, fov_y, k0, g_ic, g_fc):
+    """Tangent-line intersection points defining the folding region.
+
+    ``fov_x/fov_y/k0`` broadcast together; returns stacked (P, 2) points plus the
+    sampled k-vectors (air, after-IC, after-FC) for the k-space diagnostics.
+    """
+    (k1, b11, b12, k2, b21, b22,
+     k_air, k_aic, k_afc) = _tangent_lines(d, fov_x, fov_y, k0, g_ic, g_fc)
     pts = []
     for b1 in (b11, b12):
         for b2 in (b22, b21):
@@ -168,9 +185,6 @@ def _fold_intersections(d: WaveguideDesign, fov_x, fov_y, k0, g_ic, g_fc):
             yi = k1 * xi + b1
             pts.append(np.stack([xi, yi], axis=-1))
     points = np.concatenate([p.reshape(-1, 2) for p in pts], axis=0)
-    k_air = (kx0, ky0)
-    k_aic = (kx_ic, ky_ic)
-    k_afc = (kx_fc, ky_fc)
     return points, k_air, k_aic, k_afc
 
 
@@ -179,30 +193,8 @@ def _fov_quads(d: WaveguideDesign, fov_x, fov_y, k0, g_ic, g_fc) -> np.ndarray:
 
     The four tangent-line intersections ordered as in couplers_coor.py:369-377.
     """
-    x_ic0, y_ic0 = d.ic_center
-    r = d.pupil_radius
-    x_eb0, y_eb0 = d.eyebox_center
-    w_eb, h_eb = d.eyebox_size
-    er = d.eye_relief
-
-    th, phi = _incidence(fov_x, fov_y)
-    kx0 = d.n_air * k0 * np.sin(th) * np.cos(phi)
-    ky0 = d.n_air * k0 * np.sin(th) * np.sin(phi)
-    kx_ic = kx0 + g_ic[0]
-    ky_ic = ky0 + g_ic[1]
-    k1 = ky_ic / kx_ic
-    root = r * np.sqrt(1.0 + k1 * k1)
-    b11 = y_ic0 - k1 * x_ic0 + root
-    b12 = y_ic0 - k1 * x_ic0 - root
-    kx_fc = kx_ic + g_fc[0]
-    ky_fc = ky_ic + g_fc[1]
-    k2 = ky_fc / kx_fc
-    dx = er * np.tan(th) * np.cos(phi)
-    dy = er * np.tan(th) * np.sin(phi)
-    xl, xr = x_eb0 - w_eb / 2 + dx, x_eb0 + w_eb / 2 + dx
-    yb, yt = y_eb0 - h_eb / 2 + dy, y_eb0 + h_eb / 2 + dy
-    b21 = np.where(k2 <= 0, yb - k2 * xl, yt - k2 * xl)
-    b22 = np.where(k2 <= 0, yt - k2 * xr, yb - k2 * xr)
+    k1, b11, b12, k2, b21, b22, *_ = _tangent_lines(
+        d, fov_x, fov_y, k0, g_ic, g_fc)
 
     xs = np.stack(
         [

@@ -54,6 +54,11 @@ def sample_points_r2_disk(
     gives up only a ``1 - cos(pi/100) ~ 5e-4`` radius band while guaranteeing
     strict polygon containment for either ``ic_test`` mode.
     """
+    # the IC ring closes with a (nearly) duplicated last vertex
+    # (linspace(0, 2pi) is endpoint-inclusive); including it would bias the
+    # vertex-mean center by ~r/N toward that vertex and shrink the inradius
+    if len(poly) > 1 and np.hypot(*(poly[0] - poly[-1])) < 1e-9:
+        poly = poly[:-1]
     center = poly.mean(axis=0)
     a = poly
     b = np.roll(poly, -1, axis=0)
@@ -99,33 +104,45 @@ def build_ray_batch(
     if cell_ids is None:
         cell_ids = np.arange(L * M * N)
     rpc = rays_per_cell if rays_per_cell is not None else cfg.rays_per_fov
+    if rpc % 2:
+        # the batch is half TE + half TM over the SAME pupil points
+        # (gpu_ray_tracing_pro_fullColor.py:65-76); an odd count would leave
+        # the SoA arrays mismatched in length
+        raise ValueError(f"rays_per_fov must be even, got {rpc}")
     half = rpc // 2
     n_cells = len(cell_ids)
     total = n_cells * rpc
 
-    host_rng = np.random.default_rng(cfg.seed + 7919 * iteration)
-
-    def sample(n):
+    def sample(n, rng, native_seed):
         if cfg.pupil_sampling == "r2":
-            return sample_points_r2_disk(geom.ic, n, host_rng)
+            return sample_points_r2_disk(geom.ic, n, rng)
         if cfg.pupil_sampler == "native":
             from . import native
 
-            pts = native.sample_points_in_polygon(
-                geom.ic, n, seed=cfg.seed + 7919 * iteration
-            )
+            pts = native.sample_points_in_polygon(geom.ic, n, seed=native_seed)
             if pts is not None:
                 return pts
-        return sample_points_in_polygon(geom.ic, n, host_rng)
+        return sample_points_in_polygon(geom.ic, n, rng)
 
     if cfg.shared_pupil_samples:
-        pts = sample(half)
+        host_rng = np.random.default_rng(cfg.seed + 7919 * iteration)
+        pts = sample(half, host_rng, cfg.seed + 7919 * iteration)
         x = np.tile(np.concatenate([pts[:, 0], pts[:, 0]]), n_cells)
         y = np.tile(np.concatenate([pts[:, 1], pts[:, 1]]), n_cells)
     else:
-        pts = sample(half * n_cells)
-        xs = pts[:, 0].reshape(n_cells, half)
-        ys = pts[:, 1].reshape(n_cells, half)
+        # one independent cell-id-keyed stream per cell: points depend only
+        # on (seed, iteration, cell id), so results are invariant under
+        # re-batching and two batches never silently reuse the same pupil
+        # points (a single stream restarted per build_ray_batch call did
+        # exactly that)
+        xs = np.empty((n_cells, half))
+        ys = np.empty((n_cells, half))
+        for i, c in enumerate(np.asarray(cell_ids)):
+            ss = np.random.SeedSequence(
+                (cfg.seed, 7919 * iteration, int(c)))
+            pts = sample(half, np.random.default_rng(ss),
+                         int(ss.generate_state(1)[0]))
+            xs[i], ys[i] = pts[:, 0], pts[:, 1]
         x = np.concatenate([xs, xs], axis=1).reshape(-1)
         y = np.concatenate([ys, ys], axis=1).reshape(-1)
 

@@ -19,16 +19,25 @@ import dataclasses
 
 import numpy as np
 
-# Minimum channel counts (max accessed channel + 1)
+# Minimum channel counts accepted by validate() (max channel the tracer
+# accesses + 1).  fc1's tracer maximum is channel 18 (full-color kernel,
+# GPU_ray_tracing_functions.py:1007-1016), so a 19-channel fc1 file is fully
+# consumable and must not be rejected.
 CHANNELS = {
     "ic1": 41,
     "ic2": 32,
     "ic3": 30,
-    "fc1": 20,
+    "fc1": 19,
     "fc2": 20,
     "oc1": 39,
     "oc2": 41,
 }
+
+# Channel counts the SYNTHETIC files allocate — the reference's published
+# file layout.  Differs from the tracer minimum only for fc1: the reference's
+# deterministic-splitting kernel additionally reads fc1 channel 19
+# (GPU_ray_tracing_functions.py:262,:320), so its shipped files carry 20.
+FILE_CHANNELS = dict(CHANNELS, fc1=20)
 
 # Jones channel quadruples (a, b, c, d) -> matrix [[a, b], [c, d]] on (te, tm)
 # First IC interaction, air -> glass (kernel :860-869)

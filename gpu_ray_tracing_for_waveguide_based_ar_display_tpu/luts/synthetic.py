@@ -34,7 +34,7 @@ from typing import List, Sequence
 import numpy as np
 
 from ..design.geometry import DesignGeometry
-from .schema import CHANNELS, PHI_CHANNEL, RcwaLuts
+from .schema import FILE_CHANNELS, PHI_CHANNEL, RcwaLuts
 from . import schema
 
 
@@ -211,13 +211,13 @@ def make_synthetic_luts_batch(
     num_fc, num_oc = A["num_fc"], A["num_oc"]
 
     arrs = {
-        "ic1": np.zeros((D, L, M, N, CHANNELS["ic1"]), dtype=np.complex128),
-        "ic2": np.zeros((D, L, M, N, CHANNELS["ic2"]), dtype=np.complex128),
-        "ic3": np.zeros((D, L, M, N, CHANNELS["ic3"]), dtype=np.complex128),
-        "fc1": np.zeros((D, num_fc, L, M, N, CHANNELS["fc1"]), dtype=np.complex128),
-        "fc2": np.zeros((D, num_fc, L, M, N, CHANNELS["fc2"]), dtype=np.complex128),
-        "oc1": np.zeros((D, num_oc, L, M, N, CHANNELS["oc1"]), dtype=np.complex128),
-        "oc2": np.zeros((D, num_oc, L, M, N, CHANNELS["oc2"]), dtype=np.complex128),
+        "ic1": np.zeros((D, L, M, N, FILE_CHANNELS["ic1"]), dtype=np.complex128),
+        "ic2": np.zeros((D, L, M, N, FILE_CHANNELS["ic2"]), dtype=np.complex128),
+        "ic3": np.zeros((D, L, M, N, FILE_CHANNELS["ic3"]), dtype=np.complex128),
+        "fc1": np.zeros((D, num_fc, L, M, N, FILE_CHANNELS["fc1"]), dtype=np.complex128),
+        "fc2": np.zeros((D, num_fc, L, M, N, FILE_CHANNELS["fc2"]), dtype=np.complex128),
+        "oc1": np.zeros((D, num_oc, L, M, N, FILE_CHANNELS["oc1"]), dtype=np.complex128),
+        "oc2": np.zeros((D, num_oc, L, M, N, FILE_CHANNELS["oc2"]), dtype=np.complex128),
     }
     # direction channels from the design's exact angle tables
     arrs["ic1"][..., 0] = A["th_in_ic"]

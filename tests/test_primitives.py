@@ -149,3 +149,64 @@ def test_lut_find_position_first_match_contract():
     assert list(j) == [e[0] for e in exp]
     assert list(k) == [e[1] for e in exp]
     assert list(f) == [e[2] for e in exp]
+
+
+# ---- seeding contracts (engine/seeding.py) ------------------------------------------
+
+
+def test_build_ray_batch_rejects_odd_rays_per_fov():
+    from gpu_ray_tracing_for_waveguide_based_ar_display_tpu.config import TraceConfig
+    from gpu_ray_tracing_for_waveguide_based_ar_display_tpu.design import (
+        generate_geometry,
+    )
+    from gpu_ray_tracing_for_waveguide_based_ar_display_tpu.engine import seeding
+
+    geom = generate_geometry(num_fov_x=2, num_fov_y=2)
+    cfg = TraceConfig(num_fov_x=2, num_fov_y=2, rays_per_fov=5)
+    with pytest.raises(ValueError, match="even"):
+        seeding.build_ray_batch(geom, cfg)
+
+
+def test_unshared_pupil_samples_rebatch_invariant():
+    """Non-shared pupil sampling keys each cell's points by cell id: two
+    batches covering the same cell draw identical points, and different cells
+    never share points (the former single-restarted stream gave every batch
+    the SAME leading points, duplicating samples across batches)."""
+    from gpu_ray_tracing_for_waveguide_based_ar_display_tpu.config import TraceConfig
+    from gpu_ray_tracing_for_waveguide_based_ar_display_tpu.design import (
+        generate_geometry,
+    )
+    from gpu_ray_tracing_for_waveguide_based_ar_display_tpu.engine import seeding
+
+    geom = generate_geometry(num_fov_x=2, num_fov_y=2)
+    cfg = TraceConfig(num_fov_x=2, num_fov_y=2, rays_per_fov=16,
+                      shared_pupil_samples=False, seed=3)
+    full = seeding.build_ray_batch(geom, cfg, cell_ids=np.arange(12))
+    part = seeding.build_ray_batch(geom, cfg, cell_ids=np.arange(6, 12))
+    # cell 6's points in the full batch == cell 6's points in the partial batch
+    np.testing.assert_array_equal(full["x"][6 * 16:7 * 16],
+                                  part["x"][:16])
+    np.testing.assert_array_equal(full["y"][6 * 16:7 * 16],
+                                  part["y"][:16])
+    # different cells draw different points
+    assert not np.array_equal(full["x"][:16], full["x"][16:32])
+
+
+def test_r2_disk_center_unbiased_by_closing_vertex():
+    """The R2 sampler's disk center must be the ring centroid, not the vertex
+    mean including the duplicated closing vertex of the IC circle."""
+    from gpu_ray_tracing_for_waveguide_based_ar_display_tpu.design import (
+        generate_geometry,
+    )
+    from gpu_ray_tracing_for_waveguide_based_ar_display_tpu.engine.seeding import (
+        sample_points_r2_disk,
+    )
+
+    geom = generate_geometry(num_fov_x=2, num_fov_y=2)
+    d = geom.design
+    pts = sample_points_r2_disk(geom.ic, 200_000, np.random.default_rng(0))
+    center = pts.mean(axis=0)
+    # sample mean within 2e-3 mm of the true pupil center (the closing-vertex
+    # bias was ~r/N = 0.02 mm)
+    assert abs(center[0] - d.ic_center[0]) < 2e-3
+    assert abs(center[1] - d.ic_center[1]) < 2e-3
