@@ -38,8 +38,22 @@ def build(force: bool = False) -> bool:
             check=True, capture_output=True,
         )
         return os.path.exists(_LIB_PATH)
-    except (subprocess.CalledProcessError, FileNotFoundError):
+    except FileNotFoundError:
+        # no make on this host: a previously-built library is as good as it
+        # gets (sources cannot have changed without a toolchain)
         return os.path.exists(_LIB_PATH)
+    except subprocess.CalledProcessError as e:
+        if os.path.exists(_LIB_PATH):
+            # an existing .so + a failing build means the sources changed and
+            # no longer compile — running the stale binary silently would
+            # break the never-shadowed-by-stale-binary guarantee above
+            import sys
+
+            print(f"[native] host_sampler build failed; IGNORING stale "
+                  f"{os.path.basename(_LIB_PATH)} and falling back to the "
+                  f"Python sampler:\n{e.stderr.decode(errors='replace')}",
+                  file=sys.stderr)
+        return False
 
 
 def _load() -> Optional[ctypes.CDLL]:

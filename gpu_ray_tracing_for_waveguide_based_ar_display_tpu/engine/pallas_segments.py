@@ -67,13 +67,12 @@ class SegmentedPallasTracer:
         self._fns = {}
         self._hist_dims = hist_dims  # (L, M, N) when device histograms requested
 
-    def _fn(self, rt: int, mode: str):
-        key = (rt, mode)
+    def _fn(self, rt: int, mode: str, bounces: int = 0):
+        key = (rt, mode, bounces or self.segment_bounces)
         if key not in self._fns:
             import dataclasses
 
-            seg_cfg = dataclasses.replace(self.cfg,
-                                          max_bounces=self.segment_bounces)
+            seg_cfg = dataclasses.replace(self.cfg, max_bounces=key[2])
             self._fns[key] = trace_pallas.make_pallas_trace_fn(
                 seg_cfg, self.num_fc, self.num_oc, rt,
                 interpret=self.interpret, mode=mode,
@@ -95,10 +94,15 @@ class SegmentedPallasTracer:
             hist = jnp.zeros(Ld * Nd * Md * ny * nx, jnp.float32)
             hist_base = jnp.asarray(hist_base, jnp.int32)
         budget = self.cfg.max_bounces
-        out = self._fn(rt, "full")(cell_params, geom_row, rays_in, rng_in)
+        # the final segment's kernel gets exactly the leftover budget, so the
+        # total bounce cutoff equals cfg.max_bounces (bitwise identity with
+        # the monolithic loop; at most one extra compiled variant)
+        seg = min(self.segment_bounces, budget)
+        out = self._fn(rt, "full", seg)(cell_params, geom_row, rays_in, rng_in)
+        cur_rt = rt
         while True:
             dep, nb, rays_out, st_out, rng_out = out
-            budget -= self.segment_bounces
+            budget -= seg
             rf, st, rg, dp, alive = _compact(rays_out, st_out, rng_out, dep)
             if hist is not None:
                 hist = _scatter_deps(hist, dp, hist_base)
@@ -109,14 +113,19 @@ class SegmentedPallasTracer:
             if max_alive == 0 or budget <= 0:
                 break
             rt_next = max(1, -(-max_alive // trace_pallas.LANES))
-            # keep row counts in a few buckets to bound kernel variants
-            rt_next = 1 << (rt_next - 1).bit_length()
+            # keep row counts in a few buckets to bound kernel variants —
+            # capped at the CURRENT tile rows: the initial rt need not be a
+            # power of two (5000 rays/FoV -> rt=40), and rounding past it
+            # would ask the slice below for more slots than exist
+            rt_next = min(1 << (rt_next - 1).bit_length(), cur_rt)
             k = rt_next * trace_pallas.LANES
             rays_in2 = rf[:, :, :k].reshape(C, 9, rt_next, trace_pallas.LANES)
             st2 = st[:, :k].reshape(C, rt_next, trace_pallas.LANES)
             rg2 = rg[:, :k].reshape(C, rt_next, trace_pallas.LANES)
-            out = self._fn(rt_next, "resume")(
+            seg = min(self.segment_bounces, budget)
+            out = self._fn(rt_next, "resume", seg)(
                 cell_params, geom_row, rays_in2, st2, rg2)
+            cur_rt = rt_next
         if hist is not None:
             ny, nx = self.cfg.eyebox_bins
             Ld, Md, Nd = self._hist_dims

@@ -337,33 +337,41 @@ class Simulator:
             batch["x"], batch["y"], batch["te"], batch["tm"],
             batch["cid"], batch["idx"], batch["rng"],
         )
-        seg_cfg = dataclasses.replace(self.cfg, max_bounces=segment_bounces)
-        key = ("seg", segment_bounces)
-        if key not in self._resume_fns:
-            T = trace_jnp._as_jnp(self.tables)
-            G = trace_jnp._geom_jnp(self.tgeom)
-            full = trace_jnp.make_trace_fn_dynamic(
-                seg_cfg, self.tgeom.num_fc, self.tgeom.num_oc, self.M * self.N,
-                mode="full")
-            resume = trace_jnp.make_trace_fn_dynamic(
-                seg_cfg, self.tgeom.num_fc, self.tgeom.num_oc, self.M * self.N,
-                mode="resume")
-            self._resume_fns[key] = (
-                jax.jit(lambda r: full(r, T, G)),
-                jax.jit(lambda r: resume(r, T, G)),
-            )
-        full_fn, resume_fn = self._resume_fns[key]
+        def _seg_fns(seg: int):
+            """(full, resume) tracers with a ``seg``-bounce budget, cached."""
+            key = ("seg", seg)
+            if key not in self._resume_fns:
+                seg_cfg = dataclasses.replace(self.cfg, max_bounces=seg)
+                T = trace_jnp._as_jnp(self.tables)
+                G = trace_jnp._geom_jnp(self.tgeom)
+                full = trace_jnp.make_trace_fn_dynamic(
+                    seg_cfg, self.tgeom.num_fc, self.tgeom.num_oc,
+                    self.M * self.N, mode="full")
+                resume = trace_jnp.make_trace_fn_dynamic(
+                    seg_cfg, self.tgeom.num_fc, self.tgeom.num_oc,
+                    self.M * self.N, mode="resume")
+                self._resume_fns[key] = (
+                    jax.jit(lambda r: full(r, T, G)),
+                    jax.jit(lambda r: resume(r, T, G)),
+                )
+            return self._resume_fns[key]
 
         ny, nx = self.cfg.eyebox_bins
         hist = None
         total_bounces = 0
         n_rays = len(batch["x"])
-        fn = full_fn
+        first = True
         remaining = self.cfg.max_bounces
         while remaining > 0:
-            rays_f, bounces = fn(rays)
+            # the final segment gets exactly the leftover budget (at most one
+            # extra compiled variant), keeping total bounces == cfg.max_bounces
+            # — the bitwise-identity contract with the monolithic trace_batch
+            seg = min(segment_bounces, remaining)
+            full_fn, resume_fn = _seg_fns(seg)
+            rays_f, bounces = (full_fn if first else resume_fn)(rays)
+            first = False
             total_bounces += int(bounces)
-            remaining -= segment_bounces
+            remaining -= seg
             h = trace_jnp.deposits_to_histogram(
                 rays_f["dep"], rays_f["cid"], self.L, self.M, self.N, ny, nx)
             hist = h if hist is None else hist + h
@@ -381,13 +389,10 @@ class Simulator:
                 st = np.asarray(rays["state"]).copy()
                 st[len(live):] = 6
                 rays["state"] = jnp.asarray(st)
-                dp = np.asarray(rays["dep"]).copy()
-                dp[len(live):] = -1
-                rays["dep"] = jnp.asarray(dp)
-            # already-deposited rays were binned in this segment; reset so the
-            # next segment's histogram only adds new deposits
-            rays["dep"] = jnp.where(rays["state"] < 6, -1, -1).astype(jnp.int32)
-            fn = resume_fn
+            # already-deposited rays were binned in this segment; reset every
+            # slot so the next segment's histogram only adds new deposits
+            # (dead/pad slots carry the -1 sentinel too)
+            rays["dep"] = jnp.full_like(rays["state"], -1)
         return hist, total_bounces, n_rays
 
     def _slots_gens(self, rays_per_cell: int):
@@ -423,6 +428,11 @@ class Simulator:
                 rays_per_cell=slots, iteration=iteration,
             )
             tile, _ = trace_pallas.pack_ray_blocks(one, 1, slots, rt)
+            # iterations are visited in order and an old iteration's tile is
+            # never reused — keep one tile per slot size (unbounded growth
+            # otherwise on long checkpointed runs)
+            for k in [k for k in self._base_tiles if k[0] == slots]:
+                del self._base_tiles[k]
             self._base_tiles[key] = jnp.asarray(tile[0])  # (6, RT, 128)
         base = self._base_tiles[key]
         C = len(cell_ids)
@@ -795,9 +805,13 @@ class Simulator:
                 if checkpoint_path and (it + 1) % checkpoint_every == 0:
                     from ..utils.checkpoint import save_checkpoint
 
+                    # extras mirror the persistent path: without total_rays a
+                    # resumed run would normalize the full restored histogram
+                    # by only the post-resume ray count (inflated metrics)
                     save_checkpoint(
                         checkpoint_path, np.asarray(hist_acc), it + 1,
                         self.design, self.cfg, total_bounces,
+                        extras={"total_rays": total_rays},
                     )
             histogram = np.asarray(jax.block_until_ready(hist_acc))
         trace_seconds = time.perf_counter() - t0

@@ -284,18 +284,6 @@ def _region_test_max(g, base: int, mc_base: int, x, y,
     return m <= 0.0
 
 
-def _region_test_unrolled(g, base: int, x, y):
-    """Unrolled all-of half-plane test (hoisted-scalar mode: g is list access).
-
-    Thresholds carry the host-folded ``+ _EDGE_TOL`` (see _region_test)."""
-    inside = None
-    for e in range(MAX_EDGES):
-        t = (x * g(base + e) + y * g(base + MAX_EDGES + e)
-             <= g(base + 2 * MAX_EDGES + e))
-        inside = t if inside is None else (inside & t)
-    return inside
-
-
 def _accum_params_unrolled(c, base: int, stride: int, count: int, width: int,
                            strip):
     """Unrolled one-hot accumulate (hoisted-scalar mode)."""
@@ -366,11 +354,16 @@ def _jones_vec(p, o: int, ter, tei, tmr, tmi):
     return o_ter, o_tei, o_tmr, o_tmi
 
 
-def _xorshift(s):
-    s = s ^ (s << 13)
-    s = s ^ (s >> 17)
-    s = s ^ (s << 5)
-    return s
+# the kernels share the one xorshift32 definition with the host/jnp paths
+# (ops.rng) — a single source for the documented bitwise RNG-parity contract
+from ..ops.rng import xorshift32_step as _xorshift  # noqa: E402
+
+
+def _draw24(s_new):
+    """Top-24-bit U[0,1) draw from a post-step xorshift state (exact in f32;
+    the TPU backend lacks uint32->f32 casts — see ops.rng.draw_uniform)."""
+    return ((s_new >> 8).astype(jnp.int32).astype(jnp.float32)
+            * jnp.float32(1.0 / 16777216.0))
 
 
 def make_pallas_trace_fn(cfg: TraceConfig, num_fc: int, num_oc: int,
@@ -414,7 +407,9 @@ def make_pallas_trace_fn(cfg: TraceConfig, num_fc: int, num_oc: int,
             def c(j):
                 return c_vals[j]
 
-            region_test = _region_test_unrolled
+            # _region_test is source-identical at full MAX_EDGES whether g
+            # reads SMEM or a hoisted list (the accessor is a callable)
+            region_test = _region_test
             accum_params = _accum_params_unrolled
         else:
             def g(j):
@@ -465,7 +460,7 @@ def make_pallas_trace_fn(cfg: TraceConfig, num_fc: int, num_oc: int,
             eff_a = pw_a * c(_INIT_SA) * inv_cos0
             eff_b = pw_b * c(_INIT_SB) * inv_cos0
             rng = _xorshift(rng)
-            u = (rng >> 8).astype(jnp.int32).astype(f32) * f32(1.0 / 16777216.0)
+            u = _draw24(rng)
             a = u <= eff_a
             b = (~a) & (u <= eff_a + eff_b)
             ter1 = jnp.where(a, pa[0], pb[0])
@@ -618,8 +613,7 @@ def make_pallas_trace_fn(cfg: TraceConfig, num_fc: int, num_oc: int,
                      + pol_c[3] ** 2) * s_c * inv_cos
 
             rng_new = _xorshift(rng)
-            u = ((rng_new >> 8).astype(jnp.int32).astype(f32)
-                 * f32(1.0 / 16777216.0))
+            u = _draw24(rng_new)
             rng = jnp.where(interact, rng_new, rng)
             br_a = interact & (u <= eff_a) & (eff_a > 0)
             br_b = interact & ~br_a & (u <= eff_a + eff_b) & (eff_b > 0)

@@ -41,7 +41,8 @@ from .trace_pallas import (
     _G_OC_ROT, _G_OC_TOP, _G_HULL, _G_R1, _G_R2,
     _HOP2_PH, _IC_BLK, _IC_SA, _IC_SB, _INIT_COS0, _INIT_JA, _INIT_JB,
     _INIT_SA, _INIT_SB, _OC_BLK, _OC_SOUT, _OC_STRIDE, _TIR_PH,
-    _jones_scalar, _jones_vec, _region_test, _region_test_max, _xorshift,
+    _draw24, _jones_scalar, _jones_vec, _region_test, _region_test_max,
+    _xorshift,
 )
 
 NY_PAD = 128   # eyebox x bins padded to the lane width
@@ -322,8 +323,7 @@ def make_persistent_trace_fn(cfg: TraceConfig, num_fc: int, num_oc: int,
             def init_block(args):
                 (x, y, ter, tei, tmr, tmi, cos_th, gx, gy, state, rng) = args
                 rng_new = _xorshift(rng)
-                u = ((rng_new >> 8).astype(jnp.int32).astype(f32)
-                     * f32(1.0 / 16777216.0))
+                u = _draw24(rng_new)
                 rng = jnp.where(m7, rng_new, rng)
                 a = m7 & (u <= eff_a0)
                 b = m7 & ~a & (u <= eff_ab0)
@@ -531,8 +531,7 @@ def make_persistent_trace_fn(cfg: TraceConfig, num_fc: int, num_oc: int,
                      + pol_c[3] ** 2) * s_c * inv_cos
 
             rng_new = _xorshift(rng)
-            u = ((rng_new >> 8).astype(jnp.int32).astype(f32)
-                 * f32(1.0 / 16777216.0))
+            u = _draw24(rng_new)
             rng = jnp.where(interact, rng_new, rng)
             br_a = interact & (u <= eff_a) & (eff_a > 0)
             br_b = interact & ~br_a & (u <= eff_a + eff_b) & (eff_b > 0)
