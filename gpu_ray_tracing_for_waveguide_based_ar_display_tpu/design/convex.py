@@ -29,7 +29,16 @@ def convex_hull(points: np.ndarray) -> np.ndarray:
 def polygon_area(verts: np.ndarray) -> float:
     """Signed area (positive for counter-clockwise rings)."""
     x, y = verts[:, 0], verts[:, 1]
-    return 0.5 * float(np.sum(x * np.roll(y, -1) - np.roll(x, -1) * y))
+    # rolled views built by slice-assignment: same element values and the same
+    # np.sum pairwise reduction order as np.roll(..., -1), without np.roll's
+    # axis-normalization overhead (hot under the band slicer's ensure_ccw)
+    yr = np.empty_like(y)
+    yr[:-1] = y[1:]
+    yr[-1] = y[0]
+    xr = np.empty_like(x)
+    xr[:-1] = x[1:]
+    xr[-1] = x[0]
+    return 0.5 * float(np.sum(x * yr - xr * y))
 
 
 def ensure_ccw(verts: np.ndarray) -> np.ndarray:
@@ -41,41 +50,56 @@ def clip_convex(subject: np.ndarray, clipper: np.ndarray) -> np.ndarray:
 
     Both inputs are (N, 2) vertex rings (any orientation). Returns (M, 2) vertices of
     the intersection (possibly empty with M == 0).
+
+    The hot loop runs on Python floats: numpy scalar indexing/allocation dominated
+    sweep host prep on the ~10-vertex rings the band slicer produces (a *vectorized*
+    inner loop measured slower still — see STATUS).  Every arithmetic op keeps the
+    elementwise order of the former numpy form, so results are bitwise-identical
+    (asserted in tests/test_convex.py::test_clip_scalar_matches_numpy_form).
     """
     out = ensure_ccw(np.asarray(subject, dtype=np.float64))
     clipper = ensure_ccw(np.asarray(clipper, dtype=np.float64))
-    n = len(clipper)
+    ox = out[:, 0].tolist()
+    oy = out[:, 1].tolist()
+    cx = clipper[:, 0].tolist()
+    cy = clipper[:, 1].tolist()
+    n = len(cx)
     for i in range(n):
-        if len(out) == 0:
-            return out.reshape(0, 2)
-        a = clipper[i]
-        b = clipper[(i + 1) % n]
-        edge = b - a
+        m = len(ox)
+        if m == 0:
+            return np.empty((0, 2), dtype=np.float64)
+        ax, ay = cx[i], cy[i]
+        k = i + 1
+        if k == n:
+            k = 0
         # inside = left of directed edge a->b for a CCW clipper
-        d = (out[:, 0] - a[0]) * edge[1] - (out[:, 1] - a[1]) * edge[0]
-        inside = d <= 0.0
-        new_pts = []
-        m = len(out)
+        ex = cx[k] - ax
+        ey = cy[k] - ay
+        inside = [(ox[j] - ax) * ey - (oy[j] - ay) * ex <= 0.0 for j in range(m)]
+        nxs: list = []
+        nys: list = []
         for j in range(m):
-            k = (j + 1) % m
-            p, q = out[j], out[k]
-            if inside[j]:
-                new_pts.append(p)
-                if not inside[k]:
-                    new_pts.append(_line_intersect(p, q, a, b))
-            elif inside[k]:
-                new_pts.append(_line_intersect(p, q, a, b))
-        out = np.asarray(new_pts, dtype=np.float64).reshape(-1, 2)
-    return out
-
-
-def _line_intersect(p: np.ndarray, q: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
-    """Intersection of segment p-q with the infinite line through a-b."""
-    r = q - p
-    s = b - a
-    denom = r[0] * s[1] - r[1] * s[0]
-    t = ((a[0] - p[0]) * s[1] - (a[1] - p[1]) * s[0]) / denom
-    return p + t * r
+            k2 = j + 1
+            if k2 == m:
+                k2 = 0
+            inj = inside[j]
+            if inj:
+                nxs.append(ox[j])
+                nys.append(oy[j])
+            if inj != inside[k2]:
+                # segment p-q crosses the infinite line through a-b
+                px, py = ox[j], oy[j]
+                rx = ox[k2] - px
+                ry = oy[k2] - py
+                denom = rx * ey - ry * ex
+                t = ((ax - px) * ey - (ay - py) * ex) / denom
+                nxs.append(px + t * rx)
+                nys.append(py + t * ry)
+        ox, oy = nxs, nys
+    return np.stack(
+        [np.asarray(ox, dtype=np.float64), np.asarray(oy, dtype=np.float64)],
+        axis=1,
+    ) if ox else np.empty((0, 2), dtype=np.float64)
 
 
 def simplify_ring(coords: np.ndarray, tol: float) -> np.ndarray:
@@ -89,26 +113,38 @@ def simplify_ring(coords: np.ndarray, tol: float) -> np.ndarray:
         return coords
     keep = np.zeros(len(coords), dtype=bool)
     keep[0] = keep[-1] = True
+    # scalar hot loop on Python floats: the per-pop numpy slicing/temporaries
+    # dominated sweep host prep on the ~100-vertex hull rings.  Elementwise op
+    # order matches the former vectorized form exactly (cross-product, abs,
+    # divide; first-max tie-break like np.argmax), so the kept-vertex set is
+    # bitwise-identical (asserted in test_convex.py::test_simplify_scalar_form).
+    xs = coords[:, 0].tolist()
+    ys = coords[:, 1].tolist()
     stack = [(0, len(coords) - 1)]
     while stack:
         i0, i1 = stack.pop()
         if i1 <= i0 + 1:
             continue
-        seg = coords[i1] - coords[i0]
-        seg_len = np.hypot(*seg)
-        pts = coords[i0 + 1 : i1]
+        x0, y0 = xs[i0], ys[i0]
+        sx = xs[i1] - x0
+        sy = ys[i1] - y0
+        seg_len = float(np.hypot(sx, sy))
+        dmax = -1.0
+        kmax = -1
         if seg_len == 0.0:
-            d = np.hypot(pts[:, 0] - coords[i0, 0], pts[:, 1] - coords[i0, 1])
+            for j in range(i0 + 1, i1):
+                d = float(np.hypot(xs[j] - x0, ys[j] - y0))
+                if d > dmax:
+                    dmax, kmax = d, j
         else:
-            d = np.abs(
-                (pts[:, 0] - coords[i0, 0]) * seg[1] - (pts[:, 1] - coords[i0, 1]) * seg[0]
-            ) / seg_len
-        imax = int(np.argmax(d))
-        if d[imax] > tol:
-            k = i0 + 1 + imax
-            keep[k] = True
-            stack.append((i0, k))
-            stack.append((k, i1))
+            for j in range(i0 + 1, i1):
+                d = abs((xs[j] - x0) * sy - (ys[j] - y0) * sx) / seg_len
+                if d > dmax:
+                    dmax, kmax = d, j
+        if dmax > tol:
+            keep[kmax] = True
+            stack.append((i0, kmax))
+            stack.append((kmax, i1))
     return coords[keep]
 
 

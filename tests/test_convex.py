@@ -86,3 +86,104 @@ def test_count_polygons():
         convex.count_polygons(np.array([3.0, 1.0, 2.0]))
     with pytest.raises(TypeError):
         convex.count_polygons(np.array([0, 5, 3]))
+
+
+def _clip_numpy_form(subject, clipper):
+    """The former vectorized-numpy Sutherland-Hodgman; reference form for the
+    bitwise-equivalence guarantee claimed in clip_convex's docstring."""
+    out = convex.ensure_ccw(np.asarray(subject, dtype=np.float64))
+    clipper = convex.ensure_ccw(np.asarray(clipper, dtype=np.float64))
+
+    def li(p, q, a, b):
+        r = q - p
+        s = b - a
+        denom = r[0] * s[1] - r[1] * s[0]
+        t = ((a[0] - p[0]) * s[1] - (a[1] - p[1]) * s[0]) / denom
+        return p + t * r
+
+    n = len(clipper)
+    for i in range(n):
+        if len(out) == 0:
+            return out.reshape(0, 2)
+        a, b = clipper[i], clipper[(i + 1) % n]
+        edge = b - a
+        d = (out[:, 0] - a[0]) * edge[1] - (out[:, 1] - a[1]) * edge[0]
+        inside = d <= 0.0
+        new_pts = []
+        for j in range(len(out)):
+            k = (j + 1) % len(out)
+            if inside[j]:
+                new_pts.append(out[j])
+                if not inside[k]:
+                    new_pts.append(li(out[j], out[k], a, b))
+            elif inside[k]:
+                new_pts.append(li(out[j], out[k], a, b))
+        out = np.asarray(new_pts, dtype=np.float64).reshape(-1, 2)
+    return out
+
+
+def _simplify_numpy_form(coords, tol):
+    """The former vectorized Douglas-Peucker (np.argmax tie-break)."""
+    coords = np.asarray(coords, dtype=np.float64)
+    if len(coords) < 3:
+        return coords
+    keep = np.zeros(len(coords), dtype=bool)
+    keep[0] = keep[-1] = True
+    stack = [(0, len(coords) - 1)]
+    while stack:
+        i0, i1 = stack.pop()
+        if i1 <= i0 + 1:
+            continue
+        seg = coords[i1] - coords[i0]
+        seg_len = np.hypot(*seg)
+        pts = coords[i0 + 1: i1]
+        if seg_len == 0.0:
+            d = np.hypot(pts[:, 0] - coords[i0, 0], pts[:, 1] - coords[i0, 1])
+        else:
+            d = np.abs(
+                (pts[:, 0] - coords[i0, 0]) * seg[1]
+                - (pts[:, 1] - coords[i0, 1]) * seg[0]
+            ) / seg_len
+        imax = int(np.argmax(d))
+        if d[imax] > tol:
+            k = i0 + 1 + imax
+            keep[k] = True
+            stack.append((i0, k))
+            stack.append((k, i1))
+    return coords[keep]
+
+
+def test_clip_scalar_matches_numpy_form():
+    rng = np.random.default_rng(7)
+    for _ in range(200):
+        pts = rng.normal(size=(int(rng.integers(4, 40)), 2)) * rng.uniform(0.1, 10)
+        sub = convex.convex_hull(pts)
+        lo, hi = sorted(rng.normal(size=2) * 2)
+        band = np.array([[-20, lo], [20, lo], [20, hi], [-20, hi]], dtype=float)
+        a = _clip_numpy_form(sub, band)
+        b = convex.clip_convex(sub, band)
+        assert a.shape == b.shape
+        assert np.array_equal(a, b)
+
+
+def test_simplify_scalar_form():
+    rng = np.random.default_rng(8)
+    for _ in range(200):
+        ring = convex.convex_hull(rng.normal(size=(300, 2)))
+        tol = float(rng.uniform(0.0, 0.2))
+        a = _simplify_numpy_form(ring, tol)
+        b = convex.simplify_ring(ring, tol)
+        assert np.array_equal(a, b)
+    # duplicate-endpoint (zero-length baseline segment) branch
+    ring = np.array([[0.0, 0.0], [1.0, 0.5], [2.0, -0.5], [0.0, 0.0]])
+    assert np.array_equal(
+        _simplify_numpy_form(ring, 0.1), convex.simplify_ring(ring, 0.1))
+
+
+def test_polygon_area_matches_roll_form():
+    rng = np.random.default_rng(9)
+    for _ in range(50):
+        v = rng.normal(size=(int(rng.integers(3, 50)), 2))
+        x, y = v[:, 0], v[:, 1]
+        ref = 0.5 * float(np.sum(x * np.roll(y, -1) - np.roll(x, -1) * y))
+        assert convex.polygon_area(v) == ref
