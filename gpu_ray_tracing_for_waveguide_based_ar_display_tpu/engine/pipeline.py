@@ -436,7 +436,10 @@ class Simulator:
             self._base_tiles[key] = jnp.asarray(tile[0])  # (6, RT, 128)
         base = self._base_tiles[key]
         C = len(cell_ids)
-        rays_in = jnp.broadcast_to(base[None], (C,) + base.shape)
+        # (1, 6, RT, 128): the persistent kernel's BlockSpec fans one tile out
+        # to every cell (index map i // cpd with D=1), so no (C, ...) copy is
+        # ever materialized on device (~440 MB per 4500-cell batch before)
+        rays_in = base[None]
 
         total_cells = self.L * self.M * self.N
         # global ray index = (iteration * cells + cid) * slots + slot; the

@@ -801,12 +801,30 @@ def make_persistent_trace_fn(cfg: TraceConfig, num_fc: int, num_oc: int,
                 pl.BlockSpec((1, 1, PW), lambda i: (i, 0, 0),
                              memory_space=pltpu.SMEM))
             operands.append(cell_params_packed[:, None, :])
-        in_specs += [
-            pl.BlockSpec((1, 6, RT, LANES), lambda i: (i, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, RT, LANES), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ]
+        # rays_in may be per-cell (C, 6, RT, 128) or per-design (D, 6, RT, 128)
+        # — with shared pupil samples every cell of a design respawns from the
+        # same field tile, so the sweep/pipeline pass ONE tile per design and
+        # the grid index map fans it out (i // cpd), replacing the former
+        # device-side broadcast+reshape staging of C copies (~3.6 GB at the
+        # sweep default) with zero materialization.  Same trick for rng_in:
+        # a (cpd, RT, 128) seed block shared by every design maps as i % cpd
+        # (per-(design, cell) distinct streams would pass (C, RT, 128)).
+        nr = rays_in.shape[0]
+        assert nr in (C, D), (rays_in.shape, C, D)
+        in_specs.append(
+            pl.BlockSpec(
+                (1, 6, RT, LANES),
+                (lambda i: (i, 0, 0, 0)) if nr == C else
+                (lambda i: (i // cpd, 0, 0, 0)),
+                memory_space=pltpu.VMEM))
+        ng = rng_in.shape[0]
+        assert ng in (C, cpd), (rng_in.shape, C, cpd)
+        in_specs.append(
+            pl.BlockSpec(
+                (1, RT, LANES),
+                (lambda i: (i, 0, 0)) if ng == C else
+                (lambda i: (i % cpd, 0, 0)),
+                memory_space=pltpu.VMEM))
         operands += [rays_in, rng_in]
         hist, nb = pl.pallas_call(
             kernel,

@@ -84,15 +84,44 @@ class CellTables:
         return self.D * self.L * self.M * self.N
 
 
+def _cstack(arrs, axis: int = 0) -> np.ndarray:
+    """``np.stack`` for complex arrays via a float-component view.
+
+    Stacking the float32/float64 component views and viewing the result back
+    is a pure reinterpretation — bitwise-identical output — that lets numpy
+    take its contiguous-block copy path.  The real win on the target hosts is
+    fewer *freshly allocated* intermediate bytes (first-touch of new pages is
+    the dominant host cost there; see ``_disable_thp_first_touch`` in the
+    package ``__init__``), so builders below prefer component buffers over
+    nested complex stacking.  ``axis`` must be non-negative (the view widens
+    the last axis, so stacking along it would interleave components).
+    """
+    a0 = arrs[0]
+    if a0.dtype.kind != "c":
+        return np.stack(arrs, axis=axis)
+    assert axis >= 0, "use a non-negative axis with complex inputs"
+    fdt = np.float32 if a0.dtype == np.complex64 else np.float64
+    views = [np.ascontiguousarray(a).view(fdt) for a in arrs]
+    return np.stack(views, axis=axis).view(a0.dtype)
+
+
 def _jones_from(lut: np.ndarray, quad) -> np.ndarray:
-    """Gather a (..., 2, 2) complex64 Jones stack from channel quadruple (a,b,c,d)."""
-    a, b, c, d = quad
-    j = np.stack(
-        [np.stack([lut[..., a], lut[..., b]], axis=-1),
-         np.stack([lut[..., c], lut[..., d]], axis=-1)],
-        axis=-2,
-    )
-    return np.ascontiguousarray(j.astype(np.complex64))
+    """Gather a (..., 2, 2) complex64 Jones stack from channel quadruple (a,b,c,d).
+
+    Fills a float32 component buffer channel-by-channel instead of nesting
+    ``np.stack`` on complex slices — the former stack-then-cast form touched
+    ~3x the bytes in freshly allocated complex128 intermediates (see
+    :func:`_cstack`); the float64->float32 component conversion is exactly the
+    elementwise complex128->complex64 ``astype`` of the former form, so values
+    are bitwise-identical.
+    """
+    lut = np.ascontiguousarray(lut)
+    fdt = np.float64 if lut.dtype == np.complex128 else np.float32
+    lv = lut.view(fdt).reshape(lut.shape + (2,))
+    out = np.empty(lut.shape[:-1] + (2, 2, 2), np.float32)
+    for i, ch in enumerate(quad):
+        out[..., i // 2, i % 2, :] = lv[..., ch, :]
+    return out.view(np.complex64).reshape(lut.shape[:-1] + (2, 2))
 
 
 def build_cell_tables(geom: DesignGeometry, luts: RcwaLuts) -> CellTables:
@@ -119,36 +148,36 @@ def build_cell_tables(geom: DesignGeometry, luts: RcwaLuts) -> CellTables:
     cos_oc1 = cos(luts.oc1[..., 0])
     cos_oc2 = cos(luts.oc2[..., 0])
 
-    init_jones = np.stack(
+    init_jones = _cstack(
         [flat(_jones_from(luts.ic1, schema.JONES_IC1_TO_IC2)),
          flat(_jones_from(luts.ic1, schema.JONES_IC1_TO_IC3))]
     )
     init_scale = np.stack([flat(cos_ic * n_g), flat(cos_ic2 * n_g)]).astype(f32)
     init_cos0 = flat(cos_air)
 
-    ic_jones = np.stack(
-        [np.stack([flat(_jones_from(luts.ic2, schema.JONES_IC2_TO_IC2)),
-                   flat(_jones_from(luts.ic3, schema.JONES_IC3_TO_IC2))]),
-         np.stack([flat(_jones_from(luts.ic2, schema.JONES_IC2_TO_IC3)),
-                   flat(_jones_from(luts.ic3, schema.JONES_IC3_TO_IC3))])]
+    ic_jones = _cstack(
+        [_cstack([flat(_jones_from(luts.ic2, schema.JONES_IC2_TO_IC2)),
+                  flat(_jones_from(luts.ic3, schema.JONES_IC3_TO_IC2))]),
+         _cstack([flat(_jones_from(luts.ic2, schema.JONES_IC2_TO_IC3)),
+                  flat(_jones_from(luts.ic3, schema.JONES_IC3_TO_IC3))])]
     )  # (branch, bit, C, 2, 2)
     ic_scale = np.stack([flat(cos_ic), flat(cos_ic2)]).astype(f32)
 
-    fc_jones = np.stack(
-        [np.stack([flat_s(_jones_from(luts.fc1, schema.JONES_FC1_STAY)),
-                   flat_s(_jones_from(luts.fc2, schema.JONES_FC2_UNFOLD))], axis=1),
-         np.stack([flat_s(_jones_from(luts.fc1, schema.JONES_FC1_FOLD)),
-                   flat_s(_jones_from(luts.fc2, schema.JONES_FC2_STAY))], axis=1)]
+    fc_jones = _cstack(
+        [_cstack([flat_s(_jones_from(luts.fc1, schema.JONES_FC1_STAY)),
+                  flat_s(_jones_from(luts.fc2, schema.JONES_FC2_UNFOLD))], axis=1),
+         _cstack([flat_s(_jones_from(luts.fc1, schema.JONES_FC1_FOLD)),
+                  flat_s(_jones_from(luts.fc2, schema.JONES_FC2_STAY))], axis=1)]
     )  # (branch, S, bit, C, 2, 2)
     fc_scale = np.stack([flat_s(cos_fc1), flat_s(cos_fc2)]).astype(f32)
 
-    oc_jones = np.stack(
-        [np.stack([flat_s(_jones_from(luts.oc1, schema.JONES_OC1_STAY)),
-                   flat_s(_jones_from(luts.oc2, schema.JONES_OC2_UNREVERSE))], axis=1),
-         np.stack([flat_s(_jones_from(luts.oc1, schema.JONES_OC1_REVERSE)),
-                   flat_s(_jones_from(luts.oc2, schema.JONES_OC2_STAY))], axis=1),
-         np.stack([flat_s(_jones_from(luts.oc1, schema.JONES_OC1_OUT)),
-                   flat_s(_jones_from(luts.oc2, schema.JONES_OC2_OUT))], axis=1)]
+    oc_jones = _cstack(
+        [_cstack([flat_s(_jones_from(luts.oc1, schema.JONES_OC1_STAY)),
+                  flat_s(_jones_from(luts.oc2, schema.JONES_OC2_UNREVERSE))], axis=1),
+         _cstack([flat_s(_jones_from(luts.oc1, schema.JONES_OC1_REVERSE)),
+                  flat_s(_jones_from(luts.oc2, schema.JONES_OC2_STAY))], axis=1),
+         _cstack([flat_s(_jones_from(luts.oc1, schema.JONES_OC1_OUT)),
+                  flat_s(_jones_from(luts.oc2, schema.JONES_OC2_OUT))], axis=1)]
     )  # (branch, S, bit, C, 2, 2)
     oc_scale = np.stack([flat_s(cos_oc1), flat_s(cos_oc2)]).astype(f32)
     oc_scale_out = flat((cos_air / n_g).astype(f32))
@@ -210,16 +239,17 @@ def build_cell_tables_synthetic_batch(
     def jmat(quad):
         """Branch quadruple -> (D*C, 2, 2) complex64.
 
-        Values match _jones_from's stack-then-astype exactly (astype is
-        elementwise, so rounding before stacking is bitwise-identical) while
-        stacking half the bytes.
+        Fills a float32 component buffer per channel (see _cstack: fewer
+        freshly allocated intermediate bytes); the float64->float32 component
+        assignment applies the same elementwise rounding as the former
+        astype(complex64)-then-stack form -> bitwise-identical values.
         """
-        m0, m1, m2, m3 = (q.astype(np.complex64) for q in quad)
-        j = np.stack(
-            [np.stack([m0, m1], axis=-1), np.stack([m2, m3], axis=-1)],
-            axis=-2,
-        )
-        return flat(np.ascontiguousarray(j))
+        q0 = quad[0]
+        out = np.empty(q0.shape + (2, 2, 2), np.float32)
+        for i, q in enumerate(quad):
+            qv = np.ascontiguousarray(q).view(np.float64)
+            out[..., i // 2, i % 2, :] = qv.reshape(q.shape + (2,))
+        return flat(out.view(np.complex64).reshape(q0.shape + (2, 2)))
 
     # consume the branch stream fully and in order (keeps the RNG aligned)
     J = {}
@@ -232,7 +262,7 @@ def build_cell_tables_synthetic_batch(
             J[name][strip] = jmat(quad)
 
     def jstack(name):
-        return np.stack(J[name])        # (S, D*C, 2, 2)
+        return _cstack(J[name])         # (S, D*C, 2, 2)
 
     # cosine channels: the channel arrays stored the angle tables verbatim, so
     # cos(lut[..., 0].real).astype(f32) == cos(angle).astype(f32)
@@ -242,28 +272,28 @@ def build_cell_tables_synthetic_batch(
     cos_fc = flat(np.cos(A["th_out_fc"]).astype(f32))
     cos_oc = flat(np.cos(A["th_out_oc"]).astype(f32))
 
-    init_jones = np.stack([J["ic1_to_ic2"], J["ic1_to_ic3"]])
+    init_jones = _cstack([J["ic1_to_ic2"], J["ic1_to_ic3"]])
     init_scale = np.stack([cos_ic * n_g, cos_ic2 * n_g]).astype(f32)
     init_cos0 = cos_air
 
-    ic_jones = np.stack(
-        [np.stack([J["ic2_to_ic2"], J["ic3_to_ic2"]]),
-         np.stack([J["ic2_to_ic3"], J["ic3_to_ic3"]])]
+    ic_jones = _cstack(
+        [_cstack([J["ic2_to_ic2"], J["ic3_to_ic2"]]),
+         _cstack([J["ic2_to_ic3"], J["ic3_to_ic3"]])]
     )  # (branch, bit, D*C, 2, 2)
     ic_scale = np.stack([cos_ic, cos_ic2]).astype(f32)
 
-    fc_jones = np.stack(
-        [np.stack([jstack("fc1_stay"), jstack("fc2_unfold")], axis=1),
-         np.stack([jstack("fc1_fold"), jstack("fc2_stay")], axis=1)]
+    fc_jones = _cstack(
+        [_cstack([jstack("fc1_stay"), jstack("fc2_unfold")], axis=1),
+         _cstack([jstack("fc1_fold"), jstack("fc2_stay")], axis=1)]
     )  # (branch, S, bit, D*C, 2, 2)
     # every FC strip's direction channel is the same angle table
     fc_scale = np.stack([np.broadcast_to(cos_ic, (S_fc, DC)),
                          np.broadcast_to(cos_fc, (S_fc, DC))]).astype(f32)
 
-    oc_jones = np.stack(
-        [np.stack([jstack("oc1_stay"), jstack("oc2_unreverse")], axis=1),
-         np.stack([jstack("oc1_reverse"), jstack("oc2_stay")], axis=1),
-         np.stack([jstack("oc1_out"), jstack("oc2_out")], axis=1)]
+    oc_jones = _cstack(
+        [_cstack([jstack("oc1_stay"), jstack("oc2_unreverse")], axis=1),
+         _cstack([jstack("oc1_reverse"), jstack("oc2_stay")], axis=1),
+         _cstack([jstack("oc1_out"), jstack("oc2_out")], axis=1)]
     )  # (branch, S, bit, D*C, 2, 2)
     oc_scale = np.stack([np.broadcast_to(cos_fc, (S_oc, DC)),
                          np.broadcast_to(cos_oc, (S_oc, DC))]).astype(f32)

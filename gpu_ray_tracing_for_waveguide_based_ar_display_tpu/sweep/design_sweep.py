@@ -60,6 +60,31 @@ def _stack_geoms(tgeoms: Sequence[TraceGeometry]) -> dict:
 import functools
 
 
+@functools.lru_cache(maxsize=16)
+def _chunk_reducer(nd: int, n_cells: int, L: int, MN: int, nx: int,
+                   renorm: bool, nominal: int):
+    """One jitted per-chunk reduction: (tiles, nb) -> (eff, bounces, factor).
+
+    ``factor`` is the per-cell Wald renormalization (nominal/actual spawns)
+    applied to the histogram sums; arithmetic matches the former eager chain
+    op-for-op.
+    """
+    import jax as _jax
+    import jax.numpy as _jnp
+
+    @_jax.jit
+    def red(tiles, nb):
+        spawned = _jnp.maximum(nb[:, 2], 1).astype(_jnp.float32)
+        factor = (nominal / spawned) if renorm else _jnp.ones_like(spawned)
+        cell_sums = _jnp.sum(tiles[:, :, :nx], axis=(1, 2)) * factor
+        per_design_l = cell_sums.reshape(nd, L, MN).sum(axis=2)
+        eff = per_design_l / (nominal * MN * L) * L
+        bounces = _jnp.sum(nb[:, 0].reshape(nd, n_cells), axis=1)
+        return eff, bounces, factor
+
+    return red
+
+
 @functools.lru_cache(maxsize=8)
 def _sweep_trace_fn(cfg: TraceConfig, num_fc: int, num_oc: int, rt: int,
                     gens: int, interpret: bool, phase_gating: bool,
@@ -341,14 +366,13 @@ def run_design_sweep_persistent(
             raise ValueError(
                 "designs in one sweep batch must share strip counts")
         if broadcast:
-            base = jnp.asarray(
+            # one (6, RT, 128) tile per design + one shared (n_cells, RT, 128)
+            # seed block; the kernel's grid index maps fan them out across
+            # cells (trace_pallas_persistent.trace), so nothing is broadcast
+            # or materialized device-side (~4 GB of staging at the defaults)
+            rays_in = jnp.asarray(
                 _pad_rows(np.stack(rays_l), keep, pad, 1))   # (nd, 6, RT, 128)
-            rays_in = jnp.broadcast_to(
-                base[:, None], (nd, n_cells) + base.shape[1:]
-            ).reshape((nd * n_cells,) + base.shape[1:])
-            rng_in = jnp.broadcast_to(
-                rng_cell[None], (nd,) + rng_cell.shape
-            ).reshape((nd * n_cells,) + rng_cell.shape[1:])
+            rng_in = rng_cell
         else:
             rays_in = jnp.asarray(
                 _pad_rows(np.concatenate(rays_l, axis=0), keep, pad, n_cells))
@@ -366,16 +390,16 @@ def run_design_sweep_persistent(
             **kw,
         )
         # async device reductions only — every host pull is deferred so the
-        # next chunk's host prep overlaps this chunk's device trace
+        # next chunk's host prep overlaps this chunk's device trace.  The
+        # whole reduction chain is ONE jitted dispatch (memoized across
+        # chunks/calls): the former eager slice/sum/reshape chain cost ~1.7 s
+        # of per-op relay round-trips per chunk.
         nb_parts.append(nb)
-        spawned = jnp.maximum(nb[:, 2], 1).astype(jnp.float32)
-        factor = (nominal / spawned if (spawn_iters > 0 or count_spawn)
-                  else jnp.ones_like(spawned))
-        cell_sums = jnp.sum(tiles[:, :, :nx], axis=(1, 2)) * factor
-        per_design_l = cell_sums.reshape(nd, L, M * N).sum(axis=2)
-        eff_parts.append(per_design_l[:keep] / (nominal * M * N * L) * L)
-        bounce_parts.append(
-            jnp.sum(nb[:, 0].reshape(nd, n_cells), axis=1)[:keep])
+        red = _chunk_reducer(nd, n_cells, L, M * N, nx,
+                             bool(spawn_iters > 0 or count_spawn), nominal)
+        eff_d, bounce_d, factor = red(tiles, nb)
+        eff_parts.append(eff_d[:keep])
+        bounce_parts.append(bounce_d[:keep])
         if keep_histograms:
             hist_parts.extend(
                 trace_pallas_persistent.hist_tiles_to_histogram(
