@@ -134,7 +134,13 @@ def test_device_ray_blocks_match_host_path(setup):
     batch = seeding.build_ray_batch(geom, cfg, cell_ids=cells,
                                     rays_per_cell=128, iteration=1)
     h_rays, h_rng = trace_pallas.pack_ray_blocks(batch, 3, 128, 1)
-    np.testing.assert_array_equal(np.asarray(d_rays), h_rays)
+    # the device path returns ONE (6, RT, 128) field tile (the kernel's
+    # BlockSpec fans it out to every cell); it must equal every cell's host
+    # block bit-for-bit, and the device-hashed seeds must match the host hash
+    d_rays = np.asarray(d_rays)
+    assert d_rays.shape == (1,) + h_rays.shape[1:]
+    for i in range(len(cells)):
+        np.testing.assert_array_equal(d_rays[0], h_rays[i])
     np.testing.assert_array_equal(np.asarray(d_rng), h_rng)
 
 
