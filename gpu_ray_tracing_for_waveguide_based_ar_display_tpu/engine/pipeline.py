@@ -81,6 +81,7 @@ class Simulator:
         mesh=None,
         spawn_mode: str = "gens",
         fold_iterations: bool = False,
+        pers_cells_per_block: int = 1,
         splitting_capacity: int = 1 << 16,
         splitting_threshold: float = 1e-6,
         splitting_max_steps: int = 1024,
@@ -137,6 +138,24 @@ class Simulator:
             pers_phase_gating = spawn_iters <= 0 and spawn_mode != "count"
         self._pers_phase_gating = pers_phase_gating
         self._pers_accum_mode = pers_accum_mode
+        # cells-per-block row packing (persistent engine, packed mode): trade
+        # per-cell drain-tail fraction against nothing — cpb cells share one
+        # wide block as sublane row groups (see trace_pallas_persistent).
+        # PERS_CPB env overrides for probing.
+        cpb_env = os.environ.get("PERS_CPB")
+        if cpb_env is not None:
+            pers_cells_per_block = int(cpb_env)
+        self._pers_cpb = max(1, int(pers_cells_per_block))
+        if self._pers_cpb > 1:
+            if pers_accum_mode != "packed":
+                raise ValueError(
+                    "pers_cells_per_block > 1 requires pers_accum_mode="
+                    "'packed' (the row-group selection is implemented for "
+                    "the packed chain only)")
+            if mesh is not None:
+                raise ValueError(
+                    "pers_cells_per_block > 1 does not compose with a mesh "
+                    "(cell-axis shards would split blocks)")
         # optional jax.sharding.Mesh: the persistent engine shards its cell
         # axis over it (disjoint histogram tiles; no collective needed)
         self._mesh = mesh
@@ -402,7 +421,7 @@ class Simulator:
         return slots, -(-rays_per_cell // slots)
 
     def _device_ray_blocks(self, cell_ids: np.ndarray, slots: int,
-                           iteration: int):
+                           iteration: int, cpb: int = 1):
         """Build (C, 6, RT, 128) + rng blocks with zero per-batch link traffic.
 
         With shared pupil samples every cell's field tile is identical, so one
@@ -418,7 +437,7 @@ class Simulator:
         import jax.numpy as jnp
 
         rt = slots // trace_pallas.LANES
-        key = (slots, iteration)
+        key = (slots, iteration, cpb)
         if not hasattr(self, "_base_tiles"):
             self._base_tiles = {}
             self._rng_fn = {}
@@ -428,12 +447,18 @@ class Simulator:
                 rays_per_cell=slots, iteration=iteration,
             )
             tile, _ = trace_pallas.pack_ray_blocks(one, 1, slots, rt)
+            tile = tile[0]   # (6, RT, 128)
+            if cpb > 1:
+                # every row group (block cell) respawns from the same shared
+                # pupil samples — exactly the single-cell semantics, where
+                # every cell shares this tile
+                tile = np.concatenate([tile] * cpb, axis=1)
             # iterations are visited in order and an old iteration's tile is
             # never reused — keep one tile per slot size (unbounded growth
             # otherwise on long checkpointed runs)
             for k in [k for k in self._base_tiles if k[0] == slots]:
                 del self._base_tiles[k]
-            self._base_tiles[key] = jnp.asarray(tile[0])  # (6, RT, 128)
+            self._base_tiles[key] = jnp.asarray(tile)  # (6, RT * cpb, 128)
         base = self._base_tiles[key]
         C = len(cell_ids)
         # (1, 6, RT, 128): the persistent kernel's BlockSpec fans one tile out
@@ -451,19 +476,23 @@ class Simulator:
             contiguous = np.array_equal(
                 cell_ids, np.arange(int(cell_ids[0]), int(cell_ids[0]) + C))
             if contiguous:
-                if (C, slots) not in self._rng_fn:
+                if (C, slots, cpb) not in self._rng_fn:
 
                     @jax.jit
                     def _seeds(c0, it_cells):
                         cid = c0 + jnp.arange(C, dtype=jnp.uint32)[:, None]
                         idx = ((it_cells + cid) * jnp.uint32(slots)
                                + jnp.arange(slots, dtype=jnp.uint32)[None, :])
+                        # the (C // cpb, rt * cpb, LANES) reshape pairs
+                        # consecutive cells' stream blocks into one kernel
+                        # block (contiguous, so each row group IS its cell's
+                        # single-cell seed block — bitwise parity)
                         return rng_ops.seed_fast_device(
                             idx, self.cfg.seed).reshape(
-                                C, rt, trace_pallas.LANES)
+                                C // cpb, rt * cpb, trace_pallas.LANES)
 
-                    self._rng_fn[(C, slots)] = _seeds
-                rng_in = self._rng_fn[(C, slots)](
+                    self._rng_fn[(C, slots, cpb)] = _seeds
+                rng_in = self._rng_fn[(C, slots, cpb)](
                     jnp.uint32(int(cell_ids[0])),
                     jnp.uint32(iteration * total_cells))
             else:
@@ -473,7 +502,8 @@ class Simulator:
                        ) * jnp.uint32(slots) + jnp.arange(
                            slots, dtype=jnp.uint32)[None, :]
                 rng_in = rng_ops.seed_fast_device(
-                    idx, self.cfg.seed).reshape(C, rt, trace_pallas.LANES)
+                    idx, self.cfg.seed).reshape(
+                        C // cpb, rt * cpb, trace_pallas.LANES)
         else:
             from ..ops import rng as rng_ops
 
@@ -483,7 +513,7 @@ class Simulator:
                    + np.arange(slots, dtype=np.uint64)[None, :])
             rng_in = jnp.asarray(
                 rng_ops.seed_fast(idx, self.cfg.seed)
-                .reshape(C, rt, trace_pallas.LANES))
+                .reshape(C // cpb, rt * cpb, trace_pallas.LANES))
         return rays_in, rng_in
 
     def _trace_batch_tiles(self, batch: dict, cell_ids: np.ndarray,
@@ -507,11 +537,13 @@ class Simulator:
         tiles = self._renorm_tiles(tiles, nb, nominal)
         return tiles, nb, nominal * len(cell_ids)
 
-    def _pers_fn(self, rt: int):
-        # gens/spawn_iters are runtime scalars; one compile per RT serves all
-        if rt not in self._pers_cache:
+    def _pers_fn(self, rt: int, cpb: int = 1):
+        # gens/spawn_iters are runtime scalars; one compile per (RT, cpb)
+        # serves all.  ``rt`` is the per-cell row count; with cpb > 1 the
+        # kernel block stacks cpb cells as row groups (RT_kernel = rt * cpb).
+        if (rt, cpb) not in self._pers_cache:
             fn = trace_pallas_persistent.make_persistent_trace_fn(
-                self.cfg, self.tgeom.num_fc, self.tgeom.num_oc, rt,
+                self.cfg, self.tgeom.num_fc, self.tgeom.num_oc, rt * cpb,
                 gens=1, interpret=self._interpret,
                 cond_interval=self._cond_interval,
                 phase_gating=self._pers_phase_gating,
@@ -522,6 +554,7 @@ class Simulator:
                 flush_w=int(os.environ.get(
                     "PERS_FLUSH_W", trace_pallas_persistent._FLUSH_W)),
                 count_spawn=(self._spawn_mode == "count"),
+                cells_per_block=cpb,
             )
             if self._mesh is not None:
                 from ..parallel.shard import make_sharded_cell_trace_fn
@@ -529,8 +562,8 @@ class Simulator:
                 fn = make_sharded_cell_trace_fn(
                     fn, self._mesh, axis=self._mesh.axis_names[0],
                     packed=(self._pers_accum_mode == "packed"))
-            self._pers_cache[rt] = fn
-        return self._pers_cache[rt]
+            self._pers_cache[(rt, cpb)] = fn
+        return self._pers_cache[(rt, cpb)]
 
     def _pers_ctrl(self, gens: int, rays_per_cell: Optional[int] = None):
         import jax.numpy as jnp
@@ -726,7 +759,12 @@ class Simulator:
                     chunk = all_cells[start : start + cells_per_batch]
                     slots, gens = self._slots_gens(rpf)
                     if self.cfg.shared_pupil_samples and self.cfg.rng_mode == "fast":
-                        rays_in, rng_in = self._device_ray_blocks(chunk, slots, it)
+                        # cells-per-block row packing applies only when the
+                        # chunk splits evenly into blocks
+                        cpb = (self._pers_cpb
+                               if len(chunk) % self._pers_cpb == 0 else 1)
+                        rays_in, rng_in = self._device_ray_blocks(
+                            chunk, slots, it, cpb=cpb)
                         rt = slots // trace_pallas.LANES
                         c0 = int(chunk[0])
                         kw = {}
@@ -743,7 +781,7 @@ class Simulator:
                                 kw["cell_params_packed"] = (
                                     self._cpk_dev[jnp.asarray(chunk)])
                         nominal = self._pers_nominal(slots, gens, rpf)
-                        tiles, nb = self._pers_fn(rt)(
+                        tiles, nb = self._pers_fn(rt, cpb)(
                             cp_sel, self._gr, rays_in, rng_in,
                             self._pers_ctrl(gens, rpf), **kw,
                         )

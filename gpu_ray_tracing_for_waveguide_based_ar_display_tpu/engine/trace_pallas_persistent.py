@@ -116,7 +116,8 @@ def make_persistent_trace_fn(cfg: TraceConfig, num_fc: int, num_oc: int,
                              edge_counts=None, accum_mode: str = "fma",
                              flush_w: int = _FLUSH_W,
                              count_spawn: bool = False,
-                             body_unroll: int = 0):
+                             body_unroll: int = 0,
+                             cells_per_block: int = 1):
     """Build ``trace(cell_params, geom_row, rays_in, rng_in[, ctrl]) -> (hist, nb)``.
 
     - rays_in: (C, 6, RT, 128) initial fields (x, y, ter, tei, tmr, tmi); these are
@@ -138,6 +139,22 @@ def make_persistent_trace_fn(cfg: TraceConfig, num_fc: int, num_oc: int,
     Both knobs are runtime scalars: one compiled kernel serves every
     (gens, spawn_iters) setting for a given RT.
 
+    ``cells_per_block > 1`` packs that many *cells* into one kernel block as
+    sublane row-groups of ``H = RT // cells_per_block`` rows each (packed
+    accum mode only).  Per-cell scalars load per row-group and the
+    cell-dependent sub-computations run on (H, 128) slices, concatenated back
+    to full width for the shared vector math — so the block keeps the wide-RT
+    kernel rate while each cell pays only an H-row drain tail.  This attacks
+    the utilization ceiling of tail-bound workloads (the reference default
+    workload runs ~63% lane utilization at 2048 single-cell slots: the
+    per-cell spawn quota runs out and lanes idle while the longest residual
+    ray finishes).  Physics per lane is bitwise-identical to the same cell
+    traced in its own ``RT/cpb``-row block with the same rng rows (asserted
+    in test_persistent); only the iteration diagnostic differs (a block runs
+    to the max over its cells).  Requirements: ``RT % cpb == 0``, per-cell
+    row count ``H`` a multiple of 8 (f32 sublane alignment on TPU), and cells
+    of one block must belong to the same design.
+
     ``count_spawn=True`` compiles the *count-based* spawn variant: ``ctrl[0]``
     is reinterpreted as the per-cell spawn **target** (total rays, summed over
     all lanes) instead of a per-slot generation quota.  Every dead lane
@@ -155,6 +172,14 @@ def make_persistent_trace_fn(cfg: TraceConfig, num_fc: int, num_oc: int,
     schedule changes.
     """
     RT = rays_tile_rows
+    cpb = cells_per_block
+    assert cpb >= 1 and RT % cpb == 0, (RT, cpb)
+    H = RT // cpb
+    if cpb > 1:
+        assert accum_mode == "packed", (
+            "cells_per_block > 1 is implemented for the packed selection only")
+        assert H % 8 == 0 or interpret, (
+            "per-cell row group must be sublane-aligned (H % 8 == 0) on TPU")
     ny, nx = cfg.eyebox_bins
     assert nx <= NY_PAD
     assert flush_w >= 4 and (flush_w & (flush_w - 1)) == 0, flush_w
@@ -185,6 +210,26 @@ def make_persistent_trace_fn(cfg: TraceConfig, num_fc: int, num_oc: int,
         def cpk(j):
             return cpk_ref[0, 0, j]
 
+        # per-row-group (cell h of the block) scalar accessors + the
+        # slice/concat helpers for the cells_per_block > 1 layout; with
+        # cpb == 1 every site below takes its original single-cell path, so
+        # the default jaxpr is unchanged
+        def c_h(h, j):
+            return c_ref[h, 0, j]
+
+        def cpk_h(h, j):
+            return cpk_ref[h, 0, j]
+
+        def _half(v, h):
+            if cpb == 1:
+                return v
+            return jax.lax.slice_in_dim(v, h * H, (h + 1) * H, axis=0)
+
+        def _cat(parts):
+            if cpb == 1:
+                return parts[0]
+            return jnp.concatenate(parts, axis=0)
+
         f32 = jnp.float32
         x0 = rays_ref[0, 0]
         y0 = rays_ref[0, 1]
@@ -193,7 +238,8 @@ def make_persistent_trace_fn(cfg: TraceConfig, num_fc: int, num_oc: int,
         tmr0 = rays_ref[0, 4]
         tmi0 = rays_ref[0, 5]
 
-        hist_ref[0] = jnp.zeros((ny, NY_PAD), f32)
+        for h in range(cpb):
+            hist_ref[h] = jnp.zeros((ny, NY_PAD), f32)
 
         def _drain_one(buf):
             bf16 = jnp.bfloat16
@@ -211,7 +257,11 @@ def make_persistent_trace_fn(cfg: TraceConfig, num_fc: int, num_oc: int,
                     preferred_element_type=jnp.float32)
                 return acc + p
 
-            hist_ref[0] = jax.lax.fori_loop(0, RT, one_row, hist_ref[0])
+            # with cpb > 1 the buffered rows route to their cell's tile:
+            # rows [h*H, (h+1)*H) belong to cell h of the block
+            for h in range(cpb):
+                hist_ref[h] = jax.lax.fori_loop(
+                    h * H, (h + 1) * H, one_row, hist_ref[h])
             buf[:] = jnp.zeros((RT, LANES), jnp.int32) - 1
             return 0
 
@@ -257,34 +307,69 @@ def make_persistent_trace_fn(cfg: TraceConfig, num_fc: int, num_oc: int,
         # (asserted vs the monolithic kernel in test_persistent), while the
         # per-iteration init path shrinks to the RNG draw, the branch
         # roulette, and constant selects.
-        pa0 = _jones_scalar(c, _INIT_JA, ter0, tei0, tmr0, tmi0)
-        pb0 = _jones_scalar(c, _INIT_JB, ter0, tei0, tmr0, tmi0)
-        pw_a0 = pa0[0] ** 2 + pa0[1] ** 2 + pa0[2] ** 2 + pa0[3] ** 2
-        pw_b0 = pb0[0] ** 2 + pb0[1] ** 2 + pb0[2] ** 2 + pb0[3] ** 2
-        inv_cos0 = 1.0 / c(_INIT_COS0)
-        eff_a0 = pw_a0 * c(_INIT_SA) * inv_cos0
-        eff_ab0 = eff_a0 + pw_b0 * c(_INIT_SB) * inv_cos0
-        inv_a0 = jax.lax.rsqrt(jnp.maximum(pw_a0, 1e-30))
-        inv_b0 = jax.lax.rsqrt(jnp.maximum(pw_b0, 1e-30))
-        tmra0, tmia0 = phase_mul(c(_TIR_PH + 0), c(_TIR_PH + 1),
-                                 pa0[2] * inv_a0, pa0[3] * inv_a0)
-        tmrb0, tmib0 = phase_mul(c(_TIR_PH + 4), c(_TIR_PH + 5),
-                                 pb0[2] * inv_b0, pb0[3] * inv_b0)
-        fld_a0 = (pa0[0] * inv_a0, pa0[1] * inv_a0, tmra0, tmia0)
-        fld_b0 = (pb0[0] * inv_b0, pb0[1] * inv_b0, tmrb0, tmib0)
-        x1a0, y1a0 = x0 + c(_GAPS + 0), y0 + c(_GAPS + 1)
-        x1b0, y1b0 = x0 + c(_GAPS + 4), y0 + c(_GAPS + 5)
-        icin_a0 = in_ic(x1a0, y1a0)
-        icin_b0 = in_ic(x1b0, y1b0)
-        st1_a0 = jnp.where(icin_a0, 0, 2).astype(jnp.int32)
+        def _init_consts(cc, xh, yh, terh, teih, tmrh, tmih):
+            pa0 = _jones_scalar(cc, _INIT_JA, terh, teih, tmrh, tmih)
+            pb0 = _jones_scalar(cc, _INIT_JB, terh, teih, tmrh, tmih)
+            pw_a0 = pa0[0] ** 2 + pa0[1] ** 2 + pa0[2] ** 2 + pa0[3] ** 2
+            pw_b0 = pb0[0] ** 2 + pb0[1] ** 2 + pb0[2] ** 2 + pb0[3] ** 2
+            inv_cos0 = 1.0 / cc(_INIT_COS0)
+            eff_a0 = pw_a0 * cc(_INIT_SA) * inv_cos0
+            eff_ab0 = eff_a0 + pw_b0 * cc(_INIT_SB) * inv_cos0
+            inv_a0 = jax.lax.rsqrt(jnp.maximum(pw_a0, 1e-30))
+            inv_b0 = jax.lax.rsqrt(jnp.maximum(pw_b0, 1e-30))
+            tmra0, tmia0 = phase_mul(cc(_TIR_PH + 0), cc(_TIR_PH + 1),
+                                     pa0[2] * inv_a0, pa0[3] * inv_a0)
+            tmrb0, tmib0 = phase_mul(cc(_TIR_PH + 4), cc(_TIR_PH + 5),
+                                     pb0[2] * inv_b0, pb0[3] * inv_b0)
+            fld_a0 = (pa0[0] * inv_a0, pa0[1] * inv_a0, tmra0, tmia0)
+            fld_b0 = (pb0[0] * inv_b0, pb0[1] * inv_b0, tmrb0, tmib0)
+            x1a0, y1a0 = xh + cc(_GAPS + 0), yh + cc(_GAPS + 1)
+            x1b0, y1b0 = xh + cc(_GAPS + 4), yh + cc(_GAPS + 5)
+            icin_a0 = in_ic(x1a0, y1a0)
+            icin_b0 = in_ic(x1b0, y1b0)
+            st1_a0 = jnp.where(icin_a0, 0, 2).astype(jnp.int32)
+            # OC out-couple cos factor (loop-invariant; vectorized so the
+            # in-loop eff_c math needs no per-cell scalar)
+            s_c0 = (xh * 0.0) + cc(_OC_SOUT)
+            return (eff_a0, eff_ab0) + fld_a0 + fld_b0 + (
+                x1a0, y1a0, x1b0, y1b0,
+                icin_a0.astype(jnp.int32), icin_b0.astype(jnp.int32),
+                st1_a0, s_c0)
+
+        if cpb == 1:
+            consts = _init_consts(c, x0, y0, ter0, tei0, tmr0, tmi0)
+        else:
+            parts = [
+                _init_consts(
+                    lambda j, _h=h: c_h(_h, j),
+                    _half(x0, h), _half(y0, h), _half(ter0, h),
+                    _half(tei0, h), _half(tmr0, h), _half(tmi0, h))
+                for h in range(cpb)
+            ]
+            consts = tuple(_cat([p[k] for p in parts])
+                           for k in range(len(parts[0])))
+        (eff_a0, eff_ab0, fa00, fa01, fa02, fa03, fb00, fb01, fb02, fb03,
+         x1a0, y1a0, x1b0, y1b0, icin_a0i, icin_b0i, st1_a0, s_c0) = consts
+        fld_a0 = (fa00, fa01, fa02, fa03)
+        fld_b0 = (fb00, fb01, fb02, fb03)
+        icin_b0 = icin_b0i == 1
 
         def cond(carry):
             state, gen, it = carry[9], carry[10], carry[13]
             if count_spawn:
-                # spawned is a scalar: a dead lane is exhausted once the cell's
-                # spawn target is met (and any minimum-iteration budget passed)
-                exhausted = ((state == 6) & (carry[15 + n_codes] >= ctrl_ref[0, 0])
-                             & (it >= ctrl_ref[0, 1]))
+                # spawned is a scalar (one per block cell): a dead lane is
+                # exhausted once its cell's spawn target is met (and any
+                # minimum-iteration budget passed)
+                sps = carry[15 + n_codes : 15 + n_codes + cpb]
+                if cpb == 1:
+                    exhausted = ((state == 6) & (sps[0] >= ctrl_ref[0, 0])
+                                 & (it >= ctrl_ref[0, 1]))
+                else:
+                    exh = _cat([
+                        ((_half(state, h) == 6)
+                         & (sps[h] >= ctrl_ref[0, 0])).astype(jnp.int32)
+                        for h in range(cpb)])
+                    exhausted = (exh == 1) & (it >= ctrl_ref[0, 1])
             else:
                 exhausted = ((state == 6) & (gen >= ctrl_ref[0, 0])
                              & (it >= ctrl_ref[0, 1]))
@@ -294,7 +379,8 @@ def make_persistent_trace_fn(cfg: TraceConfig, num_fc: int, num_oc: int,
             (x, y, ter, tei, tmr, tmi, cos_th, gx, gy, state, gen, rng,
              nb, it, ov) = carry[:15]
             codes = list(carry[15:15 + n_codes])
-            spawned = carry[15 + n_codes] if count_spawn else None
+            spawned = (list(carry[15 + n_codes : 15 + n_codes + cpb])
+                       if count_spawn else None)
             kdep = carry[-1]   # staged-deposit cursor (per-lane)
 
             # ---- respawn: dead slots with generations remaining re-enter init.
@@ -303,12 +389,23 @@ def make_persistent_trace_fn(cfg: TraceConfig, num_fc: int, num_oc: int,
             # dead lanes' stale values flow exclusively through masked paths
             # (finite garbage, never observed) — bitwise-identical output.
             if count_spawn:
-                rs = (state == 6) & ((spawned < ctrl_ref[0, 0])
-                                     | (it < ctrl_ref[0, 1]))
-                # pure dataflow (like the nb bounce reduce): no control-flow
-                # sync; the stop reacts one iteration late, bounding overshoot
-                # by one iteration's deaths
-                spawned = spawned + jnp.sum(rs.astype(jnp.int32))
+                if cpb == 1:
+                    rs = (state == 6) & ((spawned[0] < ctrl_ref[0, 0])
+                                         | (it < ctrl_ref[0, 1]))
+                    # pure dataflow (like the nb bounce reduce): no
+                    # control-flow sync; the stop reacts one iteration late,
+                    # bounding overshoot by one iteration's deaths
+                    spawned[0] = spawned[0] + jnp.sum(rs.astype(jnp.int32))
+                else:
+                    rs_parts = []
+                    for h in range(cpb):
+                        rs_h = ((_half(state, h) == 6)
+                                & ((spawned[h] < ctrl_ref[0, 0])
+                                   | (it < ctrl_ref[0, 1])))
+                        spawned[h] = (spawned[h]
+                                      + jnp.sum(rs_h.astype(jnp.int32)))
+                        rs_parts.append(rs_h.astype(jnp.int32))
+                    rs = _cat(rs_parts) == 1
             else:
                 rs = (state == 6) & ((gen < ctrl_ref[0, 0])
                                      | (it < ctrl_ref[0, 1]))
@@ -330,9 +427,20 @@ def make_persistent_trace_fn(cfg: TraceConfig, num_fc: int, num_oc: int,
                 st1 = jnp.where(a, st1_a0,
                                 jnp.where(b & icin_b0, 1, 6)).astype(jnp.int32)
                 live = (st1 < 6) & m7
-                gxn = jnp.where(a, c(_GAPS + 0), c(_GAPS + 4))
-                gyn = jnp.where(a, c(_GAPS + 1), c(_GAPS + 5))
-                cth1 = jnp.where(a, c(_IC_SA), c(_IC_SB))
+                if cpb == 1:
+                    gxn = jnp.where(a, c(_GAPS + 0), c(_GAPS + 4))
+                    gyn = jnp.where(a, c(_GAPS + 1), c(_GAPS + 5))
+                    cth1 = jnp.where(a, c(_IC_SA), c(_IC_SB))
+                else:
+                    gxn = _cat([jnp.where(_half(a, h), c_h(h, _GAPS + 0),
+                                          c_h(h, _GAPS + 4))
+                                for h in range(cpb)])
+                    gyn = _cat([jnp.where(_half(a, h), c_h(h, _GAPS + 1),
+                                          c_h(h, _GAPS + 5))
+                                for h in range(cpb)])
+                    cth1 = _cat([jnp.where(_half(a, h), c_h(h, _IC_SA),
+                                           c_h(h, _IC_SB))
+                                 for h in range(cpb)])
                 return (
                     jnp.where(live, jnp.where(a, x1a0, x1b0), x),
                     jnp.where(live, jnp.where(a, y1a0, y1b0), y),
@@ -463,16 +571,38 @@ def make_persistent_trace_fn(cfg: TraceConfig, num_fc: int, num_oc: int,
                 # Mosaic, unlike the direct bf16 vector path).  Parameters
                 # are bf16-rounded: physics within MC tolerance of f32, not
                 # bitwise (cf. accum_mode="bf16").
-                acc = [zero_i for _ in range(_SEL_NW)]
                 # the 8 q-words (OC-only branch-C Jones, record words 17-24)
                 # are stored zero on the IC/FC rows (pack_selection_params),
                 # so chaining them only over the OC rows (r > num_fc) drops
                 # ~64 of the ~400 selection ops/iteration, bitwise-identical
                 n_p_words = (W + 1) // 2
-                for r, (mk, _) in enumerate(rows):
-                    nw = _SEL_NW if r > num_fc else n_p_words
-                    for w in range(nw):
-                        acc[w] = jnp.where(mk, cpk(r * _SEL_NW + w), acc[w])
+                if cpb == 1:
+                    acc = [zero_i for _ in range(_SEL_NW)]
+                    for r, (mk, _) in enumerate(rows):
+                        nw = _SEL_NW if r > num_fc else n_p_words
+                        for w in range(nw):
+                            acc[w] = jnp.where(mk, cpk(r * _SEL_NW + w),
+                                               acc[w])
+                else:
+                    # per-row-group chains on (H, 128) slices — the lanes of
+                    # cell h select from cell h's packed words; the total
+                    # vector-op count matches one full-width chain (each
+                    # (H, 128) where covers 1/cpb of the block) at cpb x the
+                    # scalar loads, and the concat merges vreg-aligned row
+                    # groups
+                    accs = []
+                    for h in range(cpb):
+                        z_h = _half(zero_i, h)
+                        acc_h = [z_h for _ in range(_SEL_NW)]
+                        for r, (mk, _) in enumerate(rows):
+                            mk_h = _half(mk, h)
+                            nw = _SEL_NW if r > num_fc else n_p_words
+                            for w in range(nw):
+                                acc_h[w] = jnp.where(
+                                    mk_h, cpk_h(h, r * _SEL_NW + w), acc_h[w])
+                        accs.append(acc_h)
+                    acc = [_cat([accs[h][w] for h in range(cpb)])
+                           for w in range(_SEL_NW)]
 
                 # select by the state bit at the WORD level before unpacking
                 # (record layout: words 0-3 ja|bit0, 4-7 jb|bit0, 8-11 ja|bit1,
@@ -520,7 +650,7 @@ def make_persistent_trace_fn(cfg: TraceConfig, num_fc: int, num_oc: int,
             pol_a = _jones_vec(ja, 0, ter, tei, tmr, tmi)
             pol_b = _jones_vec(jb, 0, ter, tei, tmr, tmi)
             pol_c = _jones_vec(jc, 0, ter, tei, tmr, tmi)
-            s_c = c(_OC_SOUT)
+            s_c = c(_OC_SOUT) if cpb == 1 else s_c0
 
             inv_cos = 1.0 / cos_th
             eff_a = (pol_a[0] ** 2 + pol_a[1] ** 2 + pol_a[2] ** 2
@@ -551,13 +681,23 @@ def make_persistent_trace_fn(cfg: TraceConfig, num_fc: int, num_oc: int,
             inv = jax.lax.rsqrt(jnp.maximum(pw, 1e-30))
 
             def dir_gather(base, stride=2):
-                v0 = c(base + 0)
-                v1 = c(base + stride)
-                v2 = c(base + 2 * stride)
-                v3 = c(base + 3 * stride)
-                return jnp.where(
-                    dirs == 0, v0,
-                    jnp.where(dirs == 1, v1, jnp.where(dirs == 2, v2, v3)))
+                if cpb == 1:
+                    v0 = c(base + 0)
+                    v1 = c(base + stride)
+                    v2 = c(base + 2 * stride)
+                    v3 = c(base + 3 * stride)
+                    return jnp.where(
+                        dirs == 0, v0,
+                        jnp.where(dirs == 1, v1, jnp.where(dirs == 2, v2, v3)))
+                outs = []
+                for h in range(cpb):
+                    d_h = _half(dirs, h)
+                    outs.append(jnp.where(
+                        d_h == 0, c_h(h, base + 0),
+                        jnp.where(d_h == 1, c_h(h, base + stride),
+                                  jnp.where(d_h == 2, c_h(h, base + 2 * stride),
+                                            c_h(h, base + 3 * stride)))))
+                return _cat(outs)
 
             phr = dir_gather(_TIR_PH)
             phi_ = dir_gather(_TIR_PH + 1)
@@ -578,14 +718,34 @@ def make_persistent_trace_fn(cfg: TraceConfig, num_fc: int, num_oc: int,
             # build_kernel_cell_params with the same f32 ops the kernel used
             # to run per iteration (bitwise-equal booleans/bins, fewer
             # scalar-unit ops).
-            in_quad = ((x >= c(_EBT)) & (x <= c(_EBT + 1))
-                       & (y >= c(_EBT + 2)) & (y <= c(_EBT + 3)))
-            ix = jnp.clip(
-                jnp.floor((x - c(_EBR)) * c(_EBS)).astype(jnp.int32),
-                0, nx - 1)
-            iy = jnp.clip(
-                jnp.floor((y - c(_EBR + 2)) * c(_EBS + 1)).astype(jnp.int32),
-                0, ny - 1)
+            if cpb == 1:
+                in_quad = ((x >= c(_EBT)) & (x <= c(_EBT + 1))
+                           & (y >= c(_EBT + 2)) & (y <= c(_EBT + 3)))
+                ix = jnp.clip(
+                    jnp.floor((x - c(_EBR)) * c(_EBS)).astype(jnp.int32),
+                    0, nx - 1)
+                iy = jnp.clip(
+                    jnp.floor((y - c(_EBR + 2)) * c(_EBS + 1)).astype(jnp.int32),
+                    0, ny - 1)
+            else:
+                iqs, ixs, iys = [], [], []
+                for h in range(cpb):
+                    xh, yh = _half(x, h), _half(y, h)
+                    iqs.append((
+                        (xh >= c_h(h, _EBT)) & (xh <= c_h(h, _EBT + 1))
+                        & (yh >= c_h(h, _EBT + 2)) & (yh <= c_h(h, _EBT + 3))
+                    ).astype(jnp.int32))
+                    ixs.append(jnp.clip(
+                        jnp.floor((xh - c_h(h, _EBR))
+                                  * c_h(h, _EBS)).astype(jnp.int32),
+                        0, nx - 1))
+                    iys.append(jnp.clip(
+                        jnp.floor((yh - c_h(h, _EBR + 2))
+                                  * c_h(h, _EBS + 1)).astype(jnp.int32),
+                        0, ny - 1))
+                in_quad = _cat(iqs) == 1
+                ix = _cat(ixs)
+                iy = _cat(iys)
             dep_valid = br_c & in_quad
 
             # Deposits drain into the per-cell histogram tile via a one-hot
@@ -658,8 +818,18 @@ def make_persistent_trace_fn(cfg: TraceConfig, num_fc: int, num_oc: int,
             hop = (miss_fc2 | (miss_fc3 & in_r2)
                    | (grp_oc & ~in_rect & (state == 4)))
             miss_oc5 = grp_oc & ~in_rect & (state == 5)
-            h_phr = jnp.where(miss_fc2, c(_HOP2_PH + 0), c(_HOP2_PH + 2))
-            h_phi = jnp.where(miss_fc2, c(_HOP2_PH + 1), c(_HOP2_PH + 3))
+            if cpb == 1:
+                h_phr = jnp.where(miss_fc2, c(_HOP2_PH + 0), c(_HOP2_PH + 2))
+                h_phi = jnp.where(miss_fc2, c(_HOP2_PH + 1), c(_HOP2_PH + 3))
+            else:
+                h_phr = _cat([jnp.where(_half(miss_fc2, h),
+                                        c_h(h, _HOP2_PH + 0),
+                                        c_h(h, _HOP2_PH + 2))
+                              for h in range(cpb)])
+                h_phi = _cat([jnp.where(_half(miss_fc2, h),
+                                        c_h(h, _HOP2_PH + 1),
+                                        c_h(h, _HOP2_PH + 3))
+                              for h in range(cpb)])
             hop_tmr, hop_tmi = phase_mul(h_phr, h_phi, tmr, tmi)
 
             state = jnp.where(
@@ -677,7 +847,8 @@ def make_persistent_trace_fn(cfg: TraceConfig, num_fc: int, num_oc: int,
             gy = jnp.where(accept, gy_n, gy)
             out = (x, y, ter, tei, tmr, tmi, cos_th, gx, gy, state, gen, rng,
                    nb, it + 1, ov, *codes)
-            return out + ((spawned, kdep) if count_spawn else (kdep,))
+            return out + ((tuple(spawned) + (kdep,)) if count_spawn
+                          else (kdep,))
 
         # nb (12) and ov (14) are per-lane vectors reduced once at exit;
         # it (13) stays scalar (drives the flush phase and the loop cond)
@@ -685,8 +856,9 @@ def make_persistent_trace_fn(cfg: TraceConfig, num_fc: int, num_oc: int,
                  zeros, zeros, state0, gen0, rng_ref[0], zero_i,
                  jnp.int32(0), zero_i) + (zero_i - 1,) * n_codes
         if count_spawn:
-            # every lane's initial spawn (state0 = 7) counts toward the target
-            carry = carry + (jnp.int32(RT * LANES),)
+            # every lane's initial spawn (state0 = 7) counts toward the
+            # target — H * LANES lanes per block cell
+            carry = carry + tuple(jnp.int32(H * LANES) for _ in range(cpb))
         carry = carry + (zero_i,)   # kdep: staged-deposit cursor
 
         # body_unroll > 1 replicates the bounce body inside the inner loop at
@@ -743,10 +915,11 @@ def make_persistent_trace_fn(cfg: TraceConfig, num_fc: int, num_oc: int,
         for i in range(1, n_codes):
             jax.lax.cond(jnp.any(carry[15 + i] >= 0), _exit_flush,
                          lambda _: 0, carry[15 + i])
-        nb_ref[0, 0, 0] = jnp.sum(carry[12])  # bounces (per-lane counters)
-        nb_ref[0, 0, 1] = carry[13]   # iterations (diagnostics)
-        nb_ref[0, 0, 2] = jnp.sum(carry[10])  # rays spawned (gen counters)
-        nb_ref[0, 0, 3] = jnp.sum(carry[14])  # spill-code overflows (must be 0)
+        for h in range(cpb):
+            nb_ref[h, 0, 0] = jnp.sum(_half(carry[12], h))  # bounces
+            nb_ref[h, 0, 1] = carry[13]   # iterations (diagnostics; per block)
+            nb_ref[h, 0, 2] = jnp.sum(_half(carry[10], h))  # rays spawned
+            nb_ref[h, 0, 3] = jnp.sum(_half(carry[14], h))  # overflows (== 0)
 
     if accum_mode == "packed":
         kernel = kernel_impl
@@ -778,6 +951,11 @@ def make_persistent_trace_fn(cfg: TraceConfig, num_fc: int, num_oc: int,
         D = geom_row.shape[0]
         assert C % D == 0, f"cells ({C}) must split evenly over designs ({D})"
         cpd = C // D
+        assert C % cpb == 0 and cpd % cpb == 0, (
+            f"cells ({C}) / cells-per-design ({cpd}) must split evenly over "
+            f"cells_per_block ({cpb}) — a block's cells share one design")
+        Cb = C // cpb      # kernel blocks (grid length)
+        cpd_b = cpd // cpb
         out_shapes = (
             jax.ShapeDtypeStruct((C, ny, NY_PAD), jnp.float32),
             jax.ShapeDtypeStruct((C, 1, 4), jnp.int32),
@@ -788,9 +966,10 @@ def make_persistent_trace_fn(cfg: TraceConfig, num_fc: int, num_oc: int,
             # unit middle dim so the (1, 1, PG) block equals the array's
             # trailing dims (Mosaic rejects a (1, PG) block of a (D, PG)
             # array for D > 1 — the multi-design sweep case)
-            pl.BlockSpec((1, 1, PG), lambda i: (i // cpd, 0, 0),
+            pl.BlockSpec((1, 1, PG), lambda i: ((i * cpb) // cpd, 0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, PC), lambda i: (i, 0, 0),
+            # block row h = cell h of grid block i (cells i*cpb .. i*cpb+cpb-1)
+            pl.BlockSpec((cpb, 1, PC), lambda i: (i, 0, 0),
                          memory_space=pltpu.SMEM),
         ]
         operands = [ctrl.reshape(1, 2), geom_row[:, None, :],
@@ -798,7 +977,7 @@ def make_persistent_trace_fn(cfg: TraceConfig, num_fc: int, num_oc: int,
         if accum_mode == "packed":
             PW = cell_params_packed.shape[-1]
             in_specs.append(
-                pl.BlockSpec((1, 1, PW), lambda i: (i, 0, 0),
+                pl.BlockSpec((cpb, 1, PW), lambda i: (i, 0, 0),
                              memory_space=pltpu.SMEM))
             operands.append(cell_params_packed[:, None, :])
         # rays_in may be per-cell (C, 6, RT, 128) or per-design (D, 6, RT, 128)
@@ -809,31 +988,37 @@ def make_persistent_trace_fn(cfg: TraceConfig, num_fc: int, num_oc: int,
         # sweep default) with zero materialization.  Same trick for rng_in:
         # a (cpd, RT, 128) seed block shared by every design maps as i % cpd
         # (per-(design, cell) distinct streams would pass (C, RT, 128)).
+        # with cpb > 1 the per-block ray tile stacks the block's cells as
+        # row groups (rows h*H..(h+1)*H = cell h), so per-cell tiles arrive
+        # pre-paired as (Cb, 6, RT, 128); the shared-per-design tile is
+        # simply built (or tiled) at RT rows by the caller
         nr = rays_in.shape[0]
-        assert nr in (C, D), (rays_in.shape, C, D)
+        assert nr in (Cb, D), (rays_in.shape, Cb, D)
         in_specs.append(
             pl.BlockSpec(
                 (1, 6, RT, LANES),
-                (lambda i: (i, 0, 0, 0)) if nr == C else
-                (lambda i: (i // cpd, 0, 0, 0)),
+                (lambda i: (i, 0, 0, 0)) if nr == Cb else
+                (lambda i: ((i * cpb) // cpd, 0, 0, 0)),
                 memory_space=pltpu.VMEM))
+        # rng blocks pair the same way: (C, H, 128) per-cell streams reshape
+        # contiguously to (Cb, RT, 128)
         ng = rng_in.shape[0]
-        assert ng in (C, cpd), (rng_in.shape, C, cpd)
+        assert ng in (Cb, cpd_b), (rng_in.shape, Cb, cpd_b)
         in_specs.append(
             pl.BlockSpec(
                 (1, RT, LANES),
-                (lambda i: (i, 0, 0)) if ng == C else
-                (lambda i: (i % cpd, 0, 0)),
+                (lambda i: (i, 0, 0)) if ng == Cb else
+                (lambda i: (i % cpd_b, 0, 0)),
                 memory_space=pltpu.VMEM))
         operands += [rays_in, rng_in]
         hist, nb = pl.pallas_call(
             kernel,
-            grid=(C,),
+            grid=(Cb,),
             in_specs=in_specs,
             out_specs=(
-                pl.BlockSpec((1, ny, NY_PAD), lambda i: (i, 0, 0),
+                pl.BlockSpec((cpb, ny, NY_PAD), lambda i: (i, 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 1, 4), lambda i: (i, 0, 0),
+                pl.BlockSpec((cpb, 1, 4), lambda i: (i, 0, 0),
                              memory_space=pltpu.SMEM),
             ),
             out_shape=out_shapes,

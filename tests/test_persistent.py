@@ -429,3 +429,41 @@ def test_sweep_trace_fn_memoized(setup):
     a = _sweep_trace_fn(cfg, 7, 6, 8, 2, True, False, True, "fma")
     b = _sweep_trace_fn(cfg, 7, 6, 8, 2, True, False, True, "fma")
     assert a is b
+
+
+@pytest.mark.parametrize("spawn", ["gens", "count"])
+def test_cells_per_block_bitwise(setup, spawn):
+    """cells_per_block=2 packs two cells into one block as row groups; each
+    cell's physics (histogram tile, bounce + spawn counts) must be bitwise
+    equal to the same cell traced in its own single-cell block with the same
+    rng rows.  Packed accum mode (the only cpb mode)."""
+    import jax.numpy as jnp
+
+    geom, tgeom, cfg, n_cells, cp, gr, rays_in, rng_in = setup
+    cpk = trace_pallas_persistent.pack_selection_params(
+        cp, tgeom.num_fc, tgeom.num_oc)
+    kw = dict(gens=2, interpret=True, max_iters=1300, accum_mode="packed",
+              count_spawn=(spawn == "count"))
+    ctrl = (jnp.array([2 * RPC, 0], jnp.int32) if spawn == "count" else None)
+
+    pers1 = trace_pallas_persistent.make_persistent_trace_fn(
+        cfg, tgeom.num_fc, tgeom.num_oc, RT, **kw)
+    tiles1, nb1 = pers1(cp, gr, rays_in, rng_in, ctrl=ctrl,
+                        cell_params_packed=cpk)
+
+    # pre-pair consecutive cells: rays (Cb, 6, 2*RT, 128) stacking each pair's
+    # per-cell tiles as row groups; rng (C, RT, 128) -> (Cb, 2*RT, 128) is the
+    # contiguous reshape the pipeline uses
+    r = np.asarray(rays_in)
+    rays_pair = (r.reshape(n_cells // 2, 2, 6, RT, 128)
+                 .transpose(0, 2, 1, 3, 4).reshape(n_cells // 2, 6, 2 * RT, 128))
+    rng_pair = np.asarray(rng_in).reshape(n_cells // 2, 2 * RT, 128)
+    pers2 = trace_pallas_persistent.make_persistent_trace_fn(
+        cfg, tgeom.num_fc, tgeom.num_oc, 2 * RT, cells_per_block=2, **kw)
+    tiles2, nb2 = pers2(cp, gr, jnp.asarray(rays_pair), jnp.asarray(rng_pair),
+                        ctrl=ctrl, cell_params_packed=cpk)
+
+    np.testing.assert_array_equal(np.asarray(tiles1), np.asarray(tiles2))
+    np.testing.assert_array_equal(np.asarray(nb1)[:, 0], np.asarray(nb2)[:, 0])
+    np.testing.assert_array_equal(np.asarray(nb1)[:, 2], np.asarray(nb2)[:, 2])
+    assert int(np.asarray(nb2)[:, 3].sum()) == 0

@@ -85,13 +85,14 @@ def probe(slots: int, reps: int = 2, spawn_mode: str = "count",
     rpf = 20000 if fold else 5000
     slots_eff, gens = s0._slots_gens(rpf)
     rt = slots_eff // 128
-    rays_in, rng_in = s0._device_ray_blocks(chunk, slots_eff, 0)
+    cpb = s0._pers_cpb if len(chunk) % s0._pers_cpb == 0 else 1
+    rays_in, rng_in = s0._device_ray_blocks(chunk, slots_eff, 0, cpb=cpb)
     cp_sel = s0._cp_dev[:4500]
     kw = {}
     if getattr(s0, "_cpk_dev", None) is not None:
         kw["cell_params_packed"] = s0._cpk_dev[:4500]
-    tiles, nb = s0._pers_fn(rt)(cp_sel, s0._gr, rays_in, rng_in,
-                                s0._pers_ctrl(gens, rpf), **kw)
+    tiles, nb = s0._pers_fn(rt, cpb)(cp_sel, s0._gr, rays_in, rng_in,
+                                     s0._pers_ctrl(gens, rpf), **kw)
     nb = np.asarray(jax.block_until_ready(nb))
     iters = nb[:, 1].astype(np.float64)
     bounces = nb[:, 0].astype(np.float64)
