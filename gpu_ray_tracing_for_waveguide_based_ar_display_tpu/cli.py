@@ -227,13 +227,18 @@ def cmd_sweep(args) -> int:
         rays_per_fov=args.rays_per_fov, max_bounces=args.max_bounces,
         seed=args.seed,
     )
+    if args.metrics and args.engine != "pallas_persistent":
+        print("--metrics requires --engine pallas_persistent", file=sys.stderr)
+        return 2
+
     def _run(group):
         if args.engine == "pallas_persistent":
             return run_design_sweep_persistent(group, cfg,
                                                spawn_iters=args.spawn_iters,
                                                interpret=args.interpret,
                                                spawn_mode=args.spawn_mode,
-                                               slots=args.slots)
+                                               slots=args.slots,
+                                               evaluate_metrics=args.metrics)
         return run_design_sweep(group, cfg)
 
     # one kernel batch must share strip counts; a sweep over num_fc/num_oc
@@ -247,14 +252,19 @@ def cmd_sweep(args) -> int:
     else:
         eff = np.empty((len(designs), 3))
         bounces = np.empty(len(designs), np.int64)
+        mets = [None] * len(designs)
         for idxs in by_counts.values():
             r = _run([designs[i] for i in idxs])
             eff[idxs] = r.efficiencies
             bounces[idxs] = r.bounces
+            if r.metrics is not None:
+                for j, i in enumerate(idxs):
+                    mets[i] = r.metrics[j]
         from .sweep.design_sweep import SweepResult
 
         res = SweepResult(designs=designs, histograms=None,
-                          efficiencies=eff, bounces=bounces)
+                          efficiencies=eff, bounces=bounces,
+                          metrics=mets if args.metrics else None)
     wall = time.perf_counter() - t0
     print(f"{len(designs)} designs in {wall:.2f} s "
           f"({len(designs) / wall * 3600:,.0f} designs/hour, "
@@ -262,11 +272,22 @@ def cmd_sweep(args) -> int:
     def _label(d):
         return " ".join(f"{k}={getattr(d, k):.4g}" for k in keys)
 
-    for d, eff in zip(res.designs, res.efficiencies):
-        print(f"{_label(d)} -> efficiency B/G/R = "
-              f"{eff[0]*100:6.3f}% {eff[1]*100:6.3f}% {eff[2]*100:6.3f}%")
+    for i, (d, eff) in enumerate(zip(res.designs, res.efficiencies)):
+        line = (f"{_label(d)} -> efficiency B/G/R = "
+                f"{eff[0]*100:6.3f}% {eff[1]*100:6.3f}% {eff[2]*100:6.3f}%")
+        if res.metrics is not None and res.metrics[i] is not None:
+            m = res.metrics[i]
+            line += (f"  dE={m.delta_e:6.2f} u_fov={m.u_fov:.4f} "
+                     f"u_eb={m.u_eyebox:.4f}")
+        print(line)
     best = int(np.argmax(res.efficiencies.mean(axis=1)))
     print(f"best mean efficiency: design {best} ({_label(res.designs[best])})")
+    if res.metrics is not None and all(m is not None for m in res.metrics):
+        best_de = min(range(len(res.metrics)),
+                      key=lambda i: res.metrics[i].delta_e)
+        print(f"lowest color dispersion: design {best_de} "
+              f"(dE={res.metrics[best_de].delta_e:.2f}, "
+              f"{_label(res.designs[best_de])})")
     return 0
 
 
@@ -424,6 +445,11 @@ def main(argv=None) -> int:
     p.add_argument("--slots", type=int, default=None,
                    help="persistent-kernel lanes per cell (default "
                         "min(rays_per_fov, 2048))")
+    p.add_argument("--metrics", action="store_true",
+                   help="also evaluate the four display metrics per design "
+                        "(device-side batched colorimetry; "
+                        "pallas_persistent engine only) and report the "
+                        "lowest-color-dispersion design")
     p.add_argument("--interpret", action="store_true",
                    help="run the Pallas kernel in interpret mode (CPU)")
     p.set_defaults(fn=cmd_sweep)

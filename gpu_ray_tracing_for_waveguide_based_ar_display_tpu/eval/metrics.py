@@ -148,53 +148,65 @@ def evaluate_jnp(perceive, cfg: EvalConfig = EvalConfig(),
     agreement and will catch drift.
     """
     import jax
-    import jax.numpy as jnp
 
     key = ("eval", perceive.shape[0], with_image, str(perceive.dtype))
     if key not in _EVAL_JNP_CACHE:
-        white_linear = color.linearize_srgb(np.ones(3))
-        drive = np.linalg.solve(DISPLAY_M, white_linear)
-        lab_white = color.xyz_to_lab(color.D65_XYZ_100)
-
-        @jax.jit
-        def _ev(perc, inv_norm):
-            dt = perc.dtype
-            perc = perc * inv_norm
-            response = jnp.flip(jnp.transpose(perc, (1, 2, 0, 3, 4)), axis=2)
-            adjusted = (jnp.asarray(drive, dt)[None, None, :, None, None]
-                        * response)
-            ep = jnp.transpose(adjusted, (3, 4, 0, 1, 2))
-            xyz = ep @ jnp.asarray(DISPLAY_M_XYZ.T, dt)
-            y_chan = xyz[..., 1]
-            y_safe = jnp.maximum(y_chan, 1e-10)
-            xyz_norm = xyz / y_safe[..., None] * 100.0
-            lab = color.xyz_to_lab(xyz_norm, xp=jnp)
-            lab = jnp.where((y_chan == 0.0)[..., None], 0.0, lab)
-            de = color.delta_e_2000(lab, jnp.asarray(lab_white, dt), xp=jnp)
-            any0 = jnp.any(y_chan == 0.0, axis=(2, 3))
-            ymax = y_chan.max(axis=(2, 3))
-            ratio = jnp.where(any0, 0.0,
-                              y_chan.min(axis=(2, 3))
-                              / jnp.where(ymax > 0, ymax, 1.0))
-            u_eb = jnp.where(any0, 0.0, y_chan.mean(axis=(2, 3)))
-            outs = {"delta_e": jnp.mean(de), "ratio_sum": ratio.sum(),
-                    "u_eb": u_eb}
-            if with_image:
-                rgb_linear = jnp.clip(ep @ jnp.asarray(DISPLAY_M.T, dt),
-                                      0.0, 1.0)
-                srgb = color.apply_srgb_gamma(rgb_linear, xp=jnp)
-                peak = srgb.max(axis=(2, 3, 4), keepdims=True)
-                normed = jnp.where(peak > 0,
-                                   srgb / jnp.where(peak > 0, peak, 1.0),
-                                   srgb)
-                outs["image"] = jnp.transpose(normed, (2, 3, 4, 0, 1))
-            return outs
-
-        _EVAL_JNP_CACHE[key] = _ev
+        _EVAL_JNP_CACHE[key] = jax.jit(_make_eval_core(with_image))
 
     inv = np.asarray(1.0 / norm, dtype=str(perceive.dtype))
     out = jax.device_get(_EVAL_JNP_CACHE[key](perceive, inv))
     n_epy, n_epx = perceive.shape[3], perceive.shape[4]
+    return _eval_result_from_out(out, n_epy, n_epx, with_image)
+
+
+def _make_eval_core(with_image: bool):
+    """The single-design device colorimetry body shared by
+    :func:`evaluate_jnp` (jit) and :func:`evaluate_jnp_batch`
+    (jit-of-vmap): (L, fy, fx, epy, epx) perception stack -> metric dict."""
+    import jax.numpy as jnp
+
+    white_linear = color.linearize_srgb(np.ones(3))
+    drive = np.linalg.solve(DISPLAY_M, white_linear)
+    lab_white = color.xyz_to_lab(color.D65_XYZ_100)
+
+    def _ev(perc, inv_norm):
+        dt = perc.dtype
+        perc = perc * inv_norm
+        response = jnp.flip(jnp.transpose(perc, (1, 2, 0, 3, 4)), axis=2)
+        adjusted = (jnp.asarray(drive, dt)[None, None, :, None, None]
+                    * response)
+        ep = jnp.transpose(adjusted, (3, 4, 0, 1, 2))
+        xyz = ep @ jnp.asarray(DISPLAY_M_XYZ.T, dt)
+        y_chan = xyz[..., 1]
+        y_safe = jnp.maximum(y_chan, 1e-10)
+        xyz_norm = xyz / y_safe[..., None] * 100.0
+        lab = color.xyz_to_lab(xyz_norm, xp=jnp)
+        lab = jnp.where((y_chan == 0.0)[..., None], 0.0, lab)
+        de = color.delta_e_2000(lab, jnp.asarray(lab_white, dt), xp=jnp)
+        any0 = jnp.any(y_chan == 0.0, axis=(2, 3))
+        ymax = y_chan.max(axis=(2, 3))
+        ratio = jnp.where(any0, 0.0,
+                          y_chan.min(axis=(2, 3))
+                          / jnp.where(ymax > 0, ymax, 1.0))
+        u_eb = jnp.where(any0, 0.0, y_chan.mean(axis=(2, 3)))
+        outs = {"delta_e": jnp.mean(de), "ratio_sum": ratio.sum(),
+                "u_eb": u_eb}
+        if with_image:
+            rgb_linear = jnp.clip(ep @ jnp.asarray(DISPLAY_M.T, dt),
+                                  0.0, 1.0)
+            srgb = color.apply_srgb_gamma(rgb_linear, xp=jnp)
+            peak = srgb.max(axis=(2, 3, 4), keepdims=True)
+            normed = jnp.where(peak > 0,
+                               srgb / jnp.where(peak > 0, peak, 1.0),
+                               srgb)
+            outs["image"] = jnp.transpose(normed, (2, 3, 4, 0, 1))
+        return outs
+
+    return _ev
+
+
+def _eval_result_from_out(out, n_epy: int, n_epx: int,
+                          with_image: bool) -> "EvalResult":
     u_eb = np.asarray(out["u_eb"], dtype=np.float64)
     return EvalResult(
         delta_e=float(out["delta_e"]),
@@ -204,6 +216,38 @@ def evaluate_jnp(perceive, cfg: EvalConfig = EvalConfig(),
         eye_luminance=u_eb,
         starved_eye_positions=int((u_eb == 0.0).sum()),
     )
+
+
+def evaluate_jnp_batch(perc_stack, norm: float = 1.0) -> list:
+    """Batched :func:`evaluate_jnp`: (D, L, fy, fx, epy, epx) perception
+    stacks -> list of D :class:`EvalResult` in ONE jit-of-vmap dispatch and
+    ONE host pull.
+
+    The production use is full-metric design sweeps
+    (:func:`..sweep.design_sweep.run_design_sweep_persistent` with
+    ``evaluate_metrics=True``): ranking candidate designs by color dispersion
+    / uniformity instead of raw efficiency costs one batched colorimetry pass
+    over the ~KB-sized perception stacks rather than D host evaluations.
+    Per-design values are identical to :func:`evaluate_jnp` on the same
+    stack (vmap of the same core; pinned in test_eval)."""
+    import jax
+
+    key = ("eval_batch", perc_stack.shape[1], str(perc_stack.dtype))
+    if key not in _EVAL_JNP_CACHE:
+        core = _make_eval_core(with_image=False)
+        _EVAL_JNP_CACHE[key] = jax.jit(
+            jax.vmap(core, in_axes=(0, None)))
+
+    inv = np.asarray(1.0 / norm, dtype=str(perc_stack.dtype))
+    out = jax.device_get(_EVAL_JNP_CACHE[key](perc_stack, inv))
+    n_epy, n_epx = perc_stack.shape[4], perc_stack.shape[5]
+    return [
+        _eval_result_from_out(
+            {"delta_e": out["delta_e"][d], "ratio_sum": out["ratio_sum"][d],
+             "u_eb": out["u_eb"][d]},
+            n_epy, n_epx, with_image=False)
+        for d in range(perc_stack.shape[0])
+    ]
 
 
 def evaluate(matrix_eb: Optional[np.ndarray], cfg: EvalConfig = EvalConfig(),

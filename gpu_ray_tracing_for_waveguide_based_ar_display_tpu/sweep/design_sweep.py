@@ -110,12 +110,51 @@ def _sweep_trace_fn(cfg: TraceConfig, num_fc: int, num_oc: int, rt: int,
         accum_mode=accum_mode)
 
 
+@functools.lru_cache(maxsize=16)
+def _chunk_perceiver(nd: int, n_cells: int, L: int, M: int, N: int,
+                     ny: int, nx: int, msize: int, step_y: int, step_x: int):
+    """One jitted per-chunk reduction: (tiles, factor) -> pupil-integrated
+    perception stacks (nd, L, N, M, epy, epx) for full-metric sweeps.
+
+    Assembles each design's (L, N, M, ny, nx) histogram from its
+    Wald-renormalized cell tiles on device (reshape/transpose only — the
+    cell grid is laid out (L, M, N)-major, cf. hist_tiles_to_histogram) and
+    applies the same strided pupil-window sums as
+    :func:`..eval.metrics.eye_perceived_jnp`."""
+    import jax as _jax
+    import jax.numpy as _jnp
+
+    from ..eval.metrics import pupil_mask
+
+    y0s = range(0, ny - msize + 1, step_y)
+    x0s = range(0, nx - msize + 1, step_x)
+    mask_np = pupil_mask(msize)
+
+    @_jax.jit
+    def perceive(tiles, factor):
+        mask = _jnp.asarray(mask_np, tiles.dtype)
+        h = (tiles * factor[:, None, None])[:, :, :nx]
+        h = h.reshape(nd, L, M, N, ny, nx).transpose(0, 1, 3, 2, 4, 5)
+        cols = []
+        for y0 in y0s:
+            row = [_jnp.einsum("...yx,yx->...",
+                               h[..., y0:y0 + msize, x0:x0 + msize], mask)
+                   for x0 in x0s]
+            cols.append(_jnp.stack(row, axis=-1))
+        return _jnp.stack(cols, axis=-2)
+
+    return perceive
+
+
 @dataclasses.dataclass
 class SweepResult:
     designs: List[WaveguideDesign]
     histograms: np.ndarray       # (D, L, N, M, ny, nx)
     efficiencies: np.ndarray     # (D, L) per-design per-wavelength efficiency
     bounces: np.ndarray          # (D,)
+    # per-design display metrics (delta_e / u_fov / u_eyebox EvalResults),
+    # filled by run_design_sweep_persistent(evaluate_metrics=True)
+    metrics: Optional[list] = None
 
 
 def run_design_sweep(
@@ -202,6 +241,8 @@ def run_design_sweep_persistent(
     spawn_mode: str = "gens",
     slots: Optional[int] = None,
     accum_mode: str = "fma",
+    evaluate_metrics: bool = False,
+    eval_cfg=None,
 ) -> SweepResult:
     """Design sweep on the production persistent kernel (TPU speed-of-light path).
 
@@ -233,6 +274,16 @@ def run_design_sweep_persistent(
     per cell (count mode amortizes drain tails better with fewer slots).
     Per-design efficiencies reduce on device; full histograms are pulled only
     on ``keep_histograms`` (a D x 0.3 GB pull otherwise).
+
+    ``evaluate_metrics=True`` additionally computes the four display metrics
+    *per design* (ΔE2000 color dispersion, FoV/eyebox uniformity — the
+    numbers the reference driver prints for its one design,
+    gpu_ray_tracing_pro_fullColor.py:205-210) so sweeps can rank on the real
+    objective instead of raw efficiency.  Cost is one extra jitted
+    pupil-integration per chunk plus one batched colorimetry dispatch at the
+    end (vmapped :func:`..eval.metrics.evaluate_jnp_batch`); nothing larger
+    than the (D, L, fy, fx, 7, 8) perception stacks ever leaves the device.
+    Results land in ``SweepResult.metrics`` (one EvalResult per design).
     """
     import jax.numpy as jnp
 
@@ -321,6 +372,11 @@ def run_design_sweep_persistent(
     nominal = cfg.rays_per_fov if count_spawn else slots * gens
     db = max(1, min(designs_per_batch, D))
     eff_parts, bounce_parts, hist_parts, nb_parts = [], [], [], []
+    perc_parts = []
+    if eval_cfg is None:
+        from ..config import EvalConfig
+
+        eval_cfg = EvalConfig()
     rng_cell = None
     if broadcast:
         from ..ops import rng as rng_ops
@@ -400,6 +456,11 @@ def run_design_sweep_persistent(
         eff_d, bounce_d, factor = red(tiles, nb)
         eff_parts.append(eff_d[:keep])
         bounce_parts.append(bounce_d[:keep])
+        if evaluate_metrics:
+            perc = _chunk_perceiver(
+                nd, n_cells, L, M, N, ny, nx, eval_cfg.pupil_mask_bins,
+                eval_cfg.eye_step_y, eval_cfg.eye_step_x)(tiles, factor)
+            perc_parts.append(perc[:keep])   # device array; pulled at the end
         if keep_histograms:
             hist_parts.extend(
                 trace_pallas_persistent.hist_tiles_to_histogram(
@@ -419,10 +480,17 @@ def run_design_sweep_persistent(
             f"{overflowed} deposit codes overflowed the kernel's staging "
             "slots (nb[:, 3] != 0) — the histogram undercounts; lower "
             "flush_w")
+    metrics = None
+    if evaluate_metrics:
+        from ..eval.metrics import evaluate_jnp_batch
+
+        metrics = evaluate_jnp_batch(
+            jnp.concatenate(perc_parts, axis=0), norm=nominal)
     return SweepResult(
         designs=list(designs),
         histograms=np.stack(hist_parts) if keep_histograms else None,
         efficiencies=np.concatenate(
             [np.asarray(e) for e in eff_parts], axis=0),
         bounces=np.concatenate([np.asarray(b) for b in bounce_parts], axis=0),
+        metrics=metrics,
     )

@@ -393,3 +393,41 @@ def test_r2_pupil_sampling_points_and_engine():
         effs[mode] = res.efficiencies["G"]
         assert res.total_bounces > 0
     assert effs["r2"] == pytest.approx(effs["uniform"], rel=0.25)
+
+
+def test_design_sweep_persistent_metrics():
+    """evaluate_metrics=True must produce per-design display metrics equal to
+    host evaluation of the same (kept) histograms at the sweep's nominal
+    normalization (device f32 colorimetry vs host f64: ~1e-3)."""
+    import dataclasses
+
+    from gpu_ray_tracing_for_waveguide_based_ar_display_tpu.eval.metrics import (
+        evaluate,
+    )
+    from gpu_ray_tracing_for_waveguide_based_ar_display_tpu.sweep import (
+        run_design_sweep_persistent,
+    )
+
+    base = WaveguideDesign()
+    designs = [
+        dataclasses.replace(base, lambda_ic=p, lambda_oc=p)
+        for p in (380.0, 396.0)
+    ]
+    cfg = TraceConfig(num_fov_x=4, num_fov_y=3, rays_per_fov=128,
+                      max_bounces=256, seed=5)
+    res = run_design_sweep_persistent(designs, cfg, interpret=True,
+                                      spawn_iters=64, keep_histograms=True,
+                                      evaluate_metrics=True)
+    assert res.metrics is not None and len(res.metrics) == 2
+    nominal = 128 * -(-64 // 1)  # gens mode nominal = slots * gens; slots=128
+    # slots = min(rays_per_fov, 2048) -> 128; gens = ceil(128/128) = 1
+    nominal = 128 * 1
+    for d in range(2):
+        host = evaluate(res.histograms[d] / nominal, with_image=False)
+        got = res.metrics[d]
+        assert abs(got.delta_e - host.delta_e) < 2e-3 * max(1, host.delta_e)
+        assert abs(got.u_fov - host.u_fov) < 1e-4
+        assert abs(got.u_eyebox - host.u_eyebox) < 1e-4
+        assert got.starved_eye_positions == host.starved_eye_positions
+    # metrics must distinguish designs (different gratings -> different color)
+    assert res.metrics[0].delta_e != res.metrics[1].delta_e
