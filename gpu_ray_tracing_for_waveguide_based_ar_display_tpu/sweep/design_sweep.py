@@ -88,7 +88,8 @@ def _chunk_reducer(nd: int, n_cells: int, L: int, MN: int, nx: int,
 @functools.lru_cache(maxsize=8)
 def _sweep_trace_fn(cfg: TraceConfig, num_fc: int, num_oc: int, rt: int,
                     gens: int, interpret: bool, phase_gating: bool,
-                    count_spawn: bool, accum_mode: str):
+                    count_spawn: bool, accum_mode: str,
+                    cells_per_block: int = 1):
     """Memoized persistent-kernel builder for sweeps.
 
     ``run_design_sweep_persistent`` is called repeatedly (bench reps, CLI
@@ -104,10 +105,11 @@ def _sweep_trace_fn(cfg: TraceConfig, num_fc: int, num_oc: int, rt: int,
     from ..engine.trace_pallas import MAX_EDGES
 
     return trace_pallas_persistent.make_persistent_trace_fn(
-        cfg, num_fc, num_oc, rt, gens=gens, interpret=interpret,
+        cfg, num_fc, num_oc, rt * cells_per_block, gens=gens,
+        interpret=interpret,
         phase_gating=phase_gating, max_iters=cfg.max_bounces,
         edge_counts=(MAX_EDGES,) * 3, count_spawn=count_spawn,
-        accum_mode=accum_mode)
+        accum_mode=accum_mode, cells_per_block=cells_per_block)
 
 
 @functools.lru_cache(maxsize=16)
@@ -243,6 +245,7 @@ def run_design_sweep_persistent(
     accum_mode: str = "fma",
     evaluate_metrics: bool = False,
     eval_cfg=None,
+    cells_per_block: int = 1,
 ) -> SweepResult:
     """Design sweep on the production persistent kernel (TPU speed-of-light path).
 
@@ -284,6 +287,14 @@ def run_design_sweep_persistent(
     end (vmapped :func:`..eval.metrics.evaluate_jnp_batch`); nothing larger
     than the (D, L, fy, fx, 7, 8) perception stacks ever leaves the device.
     Results land in ``SweepResult.metrics`` (one EvalResult per design).
+
+    ``cells_per_block`` (packed accum mode + broadcast path only) packs that
+    many cells into each kernel block as sublane row groups (see
+    trace_pallas_persistent) — sweep cells are extremely drain-tail-bound
+    (a ~2048-sample target is 1-2 generations per lane against a ~50-iter
+    residual max lifetime), so fewer slots per cell at a fixed block width
+    amortizes the tail; per-cell physics is bitwise-identical to
+    single-cell blocks.  ``SWEEP_CPB`` env overrides for probing.
     """
     import jax.numpy as jnp
 
@@ -318,6 +329,17 @@ def run_design_sweep_persistent(
     broadcast = (cfg.shared_pupil_samples and cfg.rng_mode == "fast"
                  and n_cells * slots <= 0xFFFFFFFF
                  and not _force_host_blocks)
+
+    import os as _os
+
+    cpb = int(_os.environ.get("SWEEP_CPB", cells_per_block))
+    if cpb > 1:
+        if accum_mode != "packed" or not broadcast or n_cells % cpb:
+            raise ValueError(
+                "cells_per_block > 1 requires accum_mode='packed', the "
+                "broadcast ray path, and a cell count divisible by it "
+                f"(got accum_mode={accum_mode!r}, broadcast={broadcast}, "
+                f"{n_cells} cells, cpb={cpb})")
 
     import dataclasses as _dc
 
@@ -357,8 +379,13 @@ def run_design_sweep_persistent(
                     g, _dc.replace(cfg, rays_per_fov=slots),
                     cell_ids=np.array([0]), rays_per_cell=slots)
                 tile, _ = trace_pallas.pack_ray_blocks(b, 1, slots, rt)
-                prev_ic, prev = g.ic, tile[0]
-                tiles.append(tile[0])             # (6, RT, 128) per design
+                tile0 = tile[0]                   # (6, RT, 128) per design
+                if cpb > 1:
+                    # every row group (block cell) respawns from the same
+                    # shared pupil samples — the single-cell semantics
+                    tile0 = np.concatenate([tile0] * cpb, axis=1)
+                prev_ic, prev = g.ic, tile0
+                tiles.append(tile0)
             else:
                 b = seeding.build_ray_batch(
                     g, _dc.replace(cfg, rays_per_fov=slots))
@@ -384,8 +411,11 @@ def run_design_sweep_persistent(
         ridx = (jnp.arange(n_cells, dtype=jnp.uint32)[:, None]
                 * jnp.uint32(slots)
                 + jnp.arange(slots, dtype=jnp.uint32)[None, :])
+        # the (n_cells // cpb, rt * cpb, LANES) reshape pairs consecutive
+        # cells' stream blocks into one kernel block (contiguous: each row
+        # group IS its cell's single-cell seed block — bitwise parity)
         rng_cell = rng_ops.seed_fast_device(ridx, cfg.seed).reshape(
-            n_cells, rt, trace_pallas.LANES)
+            n_cells // cpb, rt * cpb, trace_pallas.LANES)
 
     chunks = [list(range(s, min(s + db, D))) for s in range(0, D, db)]
     prepped = prep(chunks[0])  # chunk 0 preps up front
@@ -417,7 +447,7 @@ def run_design_sweep_persistent(
             trace = _sweep_trace_fn(
                 cfg, num_fc, num_oc, rt, gens,
                 interpret, (spawn_iters <= 0 and not count_spawn),
-                count_spawn, accum_mode)
+                count_spawn, accum_mode, cpb)
         if any(g.num_fc != num_fc or g.num_oc != num_oc for g in tgs):
             raise ValueError(
                 "designs in one sweep batch must share strip counts")

@@ -431,3 +431,29 @@ def test_design_sweep_persistent_metrics():
         assert got.starved_eye_positions == host.starved_eye_positions
     # metrics must distinguish designs (different gratings -> different color)
     assert res.metrics[0].delta_e != res.metrics[1].delta_e
+
+
+def test_design_sweep_persistent_cells_per_block():
+    """Sweeps with cells_per_block=2 (two cells per kernel block as sublane
+    row groups) must be bitwise-identical to single-cell blocks: same rng
+    stream blocks, same shared pupil tile per row group."""
+    import dataclasses
+
+    from gpu_ray_tracing_for_waveguide_based_ar_display_tpu.sweep import (
+        run_design_sweep_persistent,
+    )
+
+    base = WaveguideDesign()
+    designs = [
+        dataclasses.replace(base, lambda_ic=p, lambda_oc=p)
+        for p in (380.0, 396.0)
+    ]
+    cfg = TraceConfig(num_fov_x=4, num_fov_y=3, rays_per_fov=200,
+                      max_bounces=256, seed=5)
+    kw = dict(interpret=True, spawn_iters=0, spawn_mode="count",
+              accum_mode="packed", keep_histograms=True)
+    a = run_design_sweep_persistent(designs, cfg, **kw)
+    b = run_design_sweep_persistent(designs, cfg, cells_per_block=2, **kw)
+    np.testing.assert_array_equal(a.efficiencies, b.efficiencies)
+    np.testing.assert_array_equal(a.bounces, b.bounces)
+    np.testing.assert_array_equal(a.histograms, b.histograms)
