@@ -212,8 +212,13 @@ def run_sweep_figure():
     # (~40x less device work than the spawn-budget mode at this config; the
     # per-design host prep pipelines behind the device trace).  Sampling is
     # the ranking-resolution knob: 2048 rays x 576 cells/design resolves
-    # efficiency to ~0.5% relative.
-    sweep_kw = dict(spawn_iters=0, spawn_mode="count", slots=1024)
+    # efficiency to ~0.5% relative.  slots=2048 = one generation per lane
+    # (the per-block drain tail dominates at sweep scale, so fewer, wider
+    # generations win — measured 13% over slots=1024 on v5e); 16-design
+    # chunks overlap each chunk's host prep with the previous chunk's
+    # device trace (measured 5.2 -> 4.0 s at 64 designs vs one 64-chunk).
+    sweep_kw = dict(spawn_iters=0, spawn_mode="count", slots=2048,
+                    designs_per_batch=16)
     if os.environ.get("BENCH_SWEEP_MODE") == "gens":
         sweep_kw = dict(spawn_iters=256)
     # warm-up must compile the *chunk-sized* grid the timed run dispatches

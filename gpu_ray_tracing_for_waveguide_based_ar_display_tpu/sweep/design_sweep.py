@@ -238,7 +238,7 @@ def run_design_sweep_persistent(
     spawn_iters: int = 256,
     interpret: bool = False,
     keep_histograms: bool = False,
-    designs_per_batch: int = 64,
+    designs_per_batch: int = 16,
     _force_host_blocks: bool = False,
     spawn_mode: str = "gens",
     slots: Optional[int] = None,
@@ -255,7 +255,12 @@ def run_design_sweep_persistent(
     same per-cell throughput as a single-design production run instead of the
     gather-bound vmapped jnp path.  Sweeps larger than ``designs_per_batch``
     dispatch in chunks (ray/tile buffers are ~60 MB HBM per design at the
-    default config; 256 designs at once exhausts a v5e); the tail chunk is
+    default config; 256 designs at once exhausts a v5e).  The default chunk
+    of 16 is an overlap choice, not an HBM one: chunk ``i+1``'s host prep
+    (geometry + tables, the sweep's largest cost) runs while chunk ``i``
+    traces on device, and smaller chunks start that overlap sooner — measured
+    5.2 -> 4.0 s on the 64-design bench sweep vs 64-design chunks, with the
+    dispatch count still negligible.  The tail chunk is
     padded with repeats of the last design so every dispatch reuses the one
     compiled kernel, and the padding's results are dropped.
 
@@ -274,7 +279,12 @@ def run_design_sweep_persistent(
     trace_pallas_persistent) instead of a ``spawn_iters``-saturated
     oversampled run — ~40x less device work at the default sweep config, the
     right mode when ranking many designs.  ``slots`` overrides the lane count
-    per cell (count mode amortizes drain tails better with fewer slots).
+    per cell.  The default (min(rays_per_fov, 2048)) meets the whole sample
+    target in ONE generation per lane: at sweep scale the per-block cost is
+    dominated by the fixed ~50-iteration residual-lifetime drain, so fewer,
+    wider generations win — slots=1024 (2 gens) measured 13% slower than
+    slots=2048 at the 64-design bench config on v5e (an earlier
+    fewer-slots-amortize-better result predated the THP fix and count mode).
     Per-design efficiencies reduce on device; full histograms are pulled only
     on ``keep_histograms`` (a D x 0.3 GB pull otherwise).
 
