@@ -150,7 +150,16 @@ class OracleTracer:
             "die_init": 0, "die_ic": 0, "die_fc": 0, "die_oc": 0,
             "die_escape_r1": 0, "die_oc_miss5": 0, "die_ic3_exit": 0,
             "deposit": 0, "out_of_quad": 0, "budget": 0,
+            # transit instrumentation: bounces that are pure TIR hops (strip
+            # miss in states 2-4; no RNG draw, no interaction) vs interaction
+            # bounces.  ``miss_runs`` collects the length of every maximal
+            # consecutive-miss run — the quantity a ballistic-jump scheme can
+            # collapse to O(1) work.
+            "miss_bounces": 0, "hit_bounces": 0,
+            "miss_s2": 0, "miss_s3": 0, "miss_s4": 0,
         }
+        self.miss_runs: list = []
+        self.lifetimes: list = []
         self.outcomes = np.full(len(rays["x"]), -1, dtype=np.int64)
         for i in range(len(rays["x"])):
             self._trace_one(
@@ -160,7 +169,31 @@ class OracleTracer:
             )
         return hist
 
+    def _miss_bounce(self, state: int = 0):
+        self.stats["miss_bounces"] += 1
+        if state in (2, 3, 4):
+            self.stats[f"miss_s{state}"] += 1
+        self._run += 1
+
+    def _hit_bounce(self):
+        self.stats["hit_bounces"] += 1
+        if self._run:
+            self.miss_runs.append(self._run)
+            self._run = 0
+
     def _trace_one(self, idx, x, y, m, n, lmd, ete, etm, delta, states, hist):
+        self._run = 0
+        self._life = 0
+        try:
+            self._trace_one_impl(idx, x, y, m, n, lmd, ete, etm, delta,
+                                 states, hist)
+        finally:
+            if self._run:
+                self.miss_runs.append(self._run)
+            self.lifetimes.append(self._life)
+
+    def _trace_one_impl(self, idx, x, y, m, n, lmd, ete, etm, delta, states,
+                        hist):
         g = self.geom
         lut = self.luts
         tir = g.lut_tir[lmd, m, n]
@@ -207,10 +240,13 @@ class OracleTracer:
         # --- bounce loop
         for _ in range(self.max_bounces):
             self.total_bounces += 1
+            self._life += 1
             if not self._in(x, y, g.eff_reg1):
                 self.stats["die_escape_r1"] += 1
+                self._miss_bounce()
                 return
             if state in (0, 1):
+                self._hit_bounce()
                 if state == 0:
                     qa, qb = schema.JONES_IC2_TO_IC2, schema.JONES_IC2_TO_IC3
                     row = ic2
@@ -253,6 +289,7 @@ class OracleTracer:
                         hit = i
                         break
                 if hit >= 0:
+                    self._hit_bounce()
                     f1 = lut.fc1[hit, lmd, m, n]
                     f2 = lut.fc2[hit, lmd, m, n]
                     if state == 2:
@@ -285,6 +322,7 @@ class OracleTracer:
                         return
                     x += gap[0]; y += gap[1]
                 else:
+                    self._miss_bounce(state)
                     if state == 3 and not self._in(x, y, self.geom.eff_reg2):
                         state = 4
                     elif state == 2:
@@ -300,12 +338,14 @@ class OracleTracer:
                         hit = i
                         break
                 if hit < 0:
+                    self._miss_bounce(state)
                     if state == 5:
                         self.stats["die_oc_miss5"] += 1
                         return
                     x += gap[0]; y += gap[1]
                     delta += 2 * tir[1]
                     continue
+                self._hit_bounce()
                 o1 = lut.oc1[hit, lmd, m, n]
                 o2 = lut.oc2[hit, lmd, m, n]
                 if state == 4:

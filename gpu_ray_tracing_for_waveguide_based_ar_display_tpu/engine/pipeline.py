@@ -82,6 +82,7 @@ class Simulator:
         spawn_mode: str = "gens",
         fold_iterations: bool = False,
         pers_cells_per_block: int = 1,
+        pers_transit_jump: bool = False,
         splitting_capacity: int = 1 << 16,
         splitting_threshold: float = 1e-6,
         splitting_max_steps: int = 1024,
@@ -146,6 +147,24 @@ class Simulator:
         if cpb_env is not None:
             pers_cells_per_block = int(cpb_env)
         self._pers_cpb = max(1, int(pers_cells_per_block))
+        # ballistic transit jumps (persistent engine, packed mode): TIR-miss
+        # lanes advance to their next event in one iteration — see
+        # trace_pallas_persistent.make_persistent_trace_fn(transit_jump=...).
+        # PERS_JUMP env overrides for probing.
+        jump_env = os.environ.get("PERS_JUMP")
+        if jump_env is not None:
+            pers_transit_jump = jump_env not in ("", "0")
+        self._pers_transit_jump = bool(pers_transit_jump)
+        if self._pers_transit_jump:
+            if pers_accum_mode != "packed":
+                raise ValueError(
+                    "pers_transit_jump requires pers_accum_mode='packed' "
+                    "(jump mode is within-MC-tolerance, like the packed "
+                    "selection; the fma mode stays the bitwise parity anchor)")
+            if self._pers_cpb > 1:
+                raise ValueError(
+                    "pers_transit_jump does not compose with "
+                    "pers_cells_per_block > 1")
         if self._pers_cpb > 1:
             if pers_accum_mode != "packed":
                 raise ValueError(
@@ -555,6 +574,7 @@ class Simulator:
                     "PERS_FLUSH_W", trace_pallas_persistent._FLUSH_W)),
                 count_spawn=(self._spawn_mode == "count"),
                 cells_per_block=cpb,
+                transit_jump=self._pers_transit_jump,
             )
             if self._mesh is not None:
                 from ..parallel.shard import make_sharded_cell_trace_fn

@@ -63,6 +63,7 @@ _OC_BLK = 352         # 6 strips x 56: JA/JB/JC per bit (48), s_a, s_b, pad6
 _OC_STRIDE = 56
 _EBT = 688            # 4: deposit rect pre-widened by _EDGE_TOL (persistent)
 _EBS = 692            # 2: deposit bin scales nx/(x1-x0), ny/(y1-y0) (persistent)
+_HOP2_ANG = 694       # 2: TIR hop phase angles 2*delta (dirs 0/1; transit jump)
 PC = 704
 
 # ---- geometry SMEM row layout ------------------------------------------------
@@ -145,6 +146,12 @@ def build_kernel_cell_params(tables: CellTables,
     p[:, _HOP2_PH:_HOP2_PH + 8] = np.stack(
         [h2.real, h2.imag], axis=-1
     ).reshape(C, 8)
+    # hop phase *angles* for the transit-jump mode: a k-hop ballistic jump
+    # multiplies the TM field by phasor^k = exp(i*k*ang); the kernel computes
+    # cos/sin(k*ang) per jump, so it needs the wrapped angle, not the phasor.
+    # Only hop directions 0 (pre-fold stay) and 1 (fold/OC) ever TIR-hop.
+    p[:, _HOP2_ANG + 0] = np.angle(h2[:, 0])
+    p[:, _HOP2_ANG + 1] = np.angle(h2[:, 1])
     # accepts (M, N, 4) (or anything reshapeable to (M*N, 4) — the original
     # single-design contract) or design-batched (D, M, N, 4) matching
     # tables.D; cid is l-major within each design's L*M*N-row run, so the

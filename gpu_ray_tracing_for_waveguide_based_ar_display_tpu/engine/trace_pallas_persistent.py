@@ -39,8 +39,8 @@ from .trace_pallas import (
     _FC_BLK, _FC_STRIDE, _GAPS, _G_FC_INVW, _G_FC_ROT, _G_FC_TOP,
     _G_IC, _G_MC_HULL, _G_MC_R1, _G_MC_R2, _G_OC_B, _G_OC_BT, _G_OC_INVW,
     _G_OC_ROT, _G_OC_TOP, _G_HULL, _G_R1, _G_R2,
-    _HOP2_PH, _IC_BLK, _IC_SA, _IC_SB, _INIT_COS0, _INIT_JA, _INIT_JB,
-    _INIT_SA, _INIT_SB, _OC_BLK, _OC_SOUT, _OC_STRIDE, _TIR_PH,
+    _HOP2_ANG, _HOP2_PH, _IC_BLK, _IC_SA, _IC_SB, _INIT_COS0, _INIT_JA,
+    _INIT_JB, _INIT_SA, _INIT_SB, _OC_BLK, _OC_SOUT, _OC_STRIDE, _TIR_PH,
     _draw24, _jones_scalar, _jones_vec, _region_test, _region_test_max,
     _xorshift,
 )
@@ -117,7 +117,8 @@ def make_persistent_trace_fn(cfg: TraceConfig, num_fc: int, num_oc: int,
                              flush_w: int = _FLUSH_W,
                              count_spawn: bool = False,
                              body_unroll: int = 0,
-                             cells_per_block: int = 1):
+                             cells_per_block: int = 1,
+                             transit_jump: bool = False):
     """Build ``trace(cell_params, geom_row, rays_in, rng_in[, ctrl]) -> (hist, nb)``.
 
     - rays_in: (C, 6, RT, 128) initial fields (x, y, ter, tei, tmr, tmi); these are
@@ -180,6 +181,22 @@ def make_persistent_trace_fn(cfg: TraceConfig, num_fc: int, num_oc: int,
             "cells_per_block > 1 is implemented for the packed selection only")
         assert H % 8 == 0 or interpret, (
             "per-cell row group must be sublane-aligned (H % 8 == 0) on TPU")
+    if transit_jump:
+        # Ballistic transit jumps: a TIR-miss lane advances all the way to its
+        # next *event* (FC-hull entry, OC-rect entry, eff_reg2 exit, or
+        # eff_reg1 exit) in ONE iteration — position += k*gap, TM field *=
+        # exp(i*k*2*delta_TIR) via cos/sin, bounce counter += k.  44% of all
+        # reference-workload bounces are such pure hops (mean run 3.7, p90 9;
+        # measured with the oracle's transit instrumentation), so this cuts
+        # both total iterations (~1.5x) and the drain-tail max ray lifetime.
+        # The event index comes from half-plane interval arithmetic along the
+        # hop line — exact in reals, float-rounded here, so jump mode is a
+        # within-MC-tolerance production mode like the packed selection (a
+        # ray within ~1 ulp of an edge can interact one hop early/late); it
+        # is NOT bitwise vs the single-hop path.  Implemented for the packed
+        # selection, cpb == 1.
+        assert accum_mode == "packed" and cpb == 1, (
+            "transit_jump requires accum_mode='packed', cells_per_block=1")
     ny, nx = cfg.eyebox_bins
     assert nx <= NY_PAD
     assert flush_w >= 4 and (flush_w & (flush_w - 1)) == 0, flush_w
@@ -285,6 +302,83 @@ def make_persistent_trace_fn(cfg: TraceConfig, num_fc: int, num_oc: int,
             if accum_mode == "packed":
                 return _region_test_max(g, base, _MC[base], px, py, n)
             return _region_test(g, base, px, py, n)
+
+        # ---- transit-jump preamble: per-edge hop-line slopes and their
+        # guarded reciprocals, once per block (scalar unit; loop-invariant).
+        # Along q_j = p + j*g_dir the edge value is d_e(j) = d_e + j*s_e with
+        # s_e = n_e . g_dir, inside iff d_e(j) <= 0.  The reciprocal encoding
+        # avoids any per-edge select:
+        #   exit  (region currently containing the lane): first j violating
+        #     edge e is floor(d_e * rex_e) + 1 with rex_e = -1/max(s_e, tiny);
+        #     receding/parallel edges (s_e <= 0) get rex = -1/tiny, making
+        #     d_e * rex a huge positive that never wins the min-chain.
+        #   entry (region ahead of the lane): edge e is satisfied from
+        #     j >= d_e * ren_e with ren_e = 1/max(-s_e, tiny); approaching
+        #     edges (s_e < 0) give the true crossing, receding violated edges
+        #     give a huge positive ("never enters", correct), receding
+        #     satisfied edges give a huge negative (neutral in the max-chain).
+        if transit_jump:
+            _jgx0, _jgy0 = c(_GAPS + 0), c(_GAPS + 1)
+            _jgx1, _jgy1 = c(_GAPS + 2), c(_GAPS + 3)
+
+            def _slopes(base, n, gx_, gy_):
+                return [g(base + e) * gx_ + g(base + MAX_EDGES + e) * gy_
+                        for e in range(n)]
+
+            def _rex(slopes):
+                return [-1.0 / jnp.maximum(s, 1e-30) for s in slopes]
+
+            def _ren(slopes):
+                return [1.0 / jnp.maximum(-s, 1e-30) for s in slopes]
+
+            _rex_r1 = (_rex(_slopes(_G_R1, n_r1, _jgx0, _jgy0)),
+                       _rex(_slopes(_G_R1, n_r1, _jgx1, _jgy1)))
+            _ren_h = (_ren(_slopes(_G_HULL, n_hull, _jgx0, _jgy0)),
+                      _ren(_slopes(_G_HULL, n_hull, _jgx1, _jgy1)))
+            # only state 3 (hop dir 1) ever tests eff_reg2 on a miss
+            _rex_r2 = _rex(_slopes(_G_R2, n_r2, _jgx1, _jgy1))
+            # OC-rect slab (state-4 lanes hop with dir 1): sign-preserving
+            # magnitude-clamped reciprocals of the hop components
+            _jrgx1 = (jnp.where(_jgx1 >= 0.0, 1.0, -1.0)
+                      / jnp.maximum(jnp.abs(_jgx1), 1e-12))
+            _jrgy1 = (jnp.where(_jgy1 >= 0.0, 1.0, -1.0)
+                      / jnp.maximum(jnp.abs(_jgy1), 1e-12))
+
+        def rtest_exit(base, px, py, n, rex, dirm0=None):
+            """Packed max-chain region test fused with the exit bound.
+
+            Returns (inside, b) with b = min_e d_e * rex_e — the continuous
+            hop index where the first edge is crossed outward (valid when the
+            lane is inside; garbage otherwise, masked by the caller)."""
+            mc_base = _MC[base]
+            m = None
+            b = None
+            for e in range(n):
+                d = px * g(base + e) + (py * g(base + MAX_EDGES + e)
+                                        + g(mc_base + e))
+                m = d if m is None else jnp.maximum(m, d)
+                r = (rex[0][e] if dirm0 is None
+                     else jnp.where(dirm0, rex[0][e], rex[1][e]))
+                u = d * r
+                b = u if b is None else jnp.minimum(b, u)
+            return m <= 0.0, b
+
+        def rtest_entry(base, px, py, n, ren, dirm0):
+            """Packed max-chain region test fused with the entry bound.
+
+            Returns (inside, b) with b = max_e d_e * ren_e — the continuous
+            hop index from which every edge is satisfied (huge if the region
+            is never entered along this line)."""
+            mc_base = _MC[base]
+            m = None
+            b = None
+            for e in range(n):
+                d = px * g(base + e) + (py * g(base + MAX_EDGES + e)
+                                        + g(mc_base + e))
+                m = d if m is None else jnp.maximum(m, d)
+                u = d * jnp.where(dirm0, ren[0][e], ren[1][e])
+                b = u if b is None else jnp.maximum(b, u)
+            return m <= 0.0, b
 
         # carry: x, y, ter, tei, tmr, tmi, cos_th, gx, gy, state, gen,
         # rng, nb, it, ov, dcode, scode
@@ -467,7 +561,13 @@ def make_persistent_trace_fn(cfg: TraceConfig, num_fc: int, num_oc: int,
             # reduce at kernel exit (vs a reduce per iteration) — the int
             # sum is associative, so totals are bitwise-unchanged
             nb = nb + alive.astype(jnp.int32)
-            in_r1 = rtest(_G_R1, x, y, n_r1)
+            if transit_jump:
+                # hop direction per lane: state 2 hops with dir 0, states
+                # 3/4 with dir 1 (other states' bounds are masked garbage)
+                dirm0 = state == 2
+                in_r1, ex_r1 = rtest_exit(_G_R1, x, y, n_r1, _rex_r1, dirm0)
+            else:
+                in_r1 = rtest(_G_R1, x, y, n_r1)
             state = jnp.where(alive & ~in_r1, 6, state)
             alive = state < 6
 
@@ -477,7 +577,11 @@ def make_persistent_trace_fn(cfg: TraceConfig, num_fc: int, num_oc: int,
             bit = (state & 1) == 1
 
             yrot = g(_G_FC_ROT) * x + g(_G_FC_ROT + 1) * y
-            in_hull = rtest(_G_HULL, x, y, n_hull)
+            if transit_jump:
+                in_hull, en_hull = rtest_entry(_G_HULL, x, y, n_hull,
+                                               _ren_h, dirm0)
+            else:
+                in_hull = rtest(_G_HULL, x, y, n_hull)
             fc_strip = jnp.clip(
                 jnp.floor((g(_G_FC_TOP) - yrot) * g(_G_FC_INVW)).astype(jnp.int32),
                 0, num_fc - 1)
@@ -813,12 +917,41 @@ def make_persistent_trace_fn(cfg: TraceConfig, num_fc: int, num_oc: int,
             # ---- misses
             miss_fc2 = grp_fc & ~in_hull & (state == 2)
             miss_fc3 = grp_fc & ~in_hull & (state == 3)
-            in_r2 = rtest(_G_R2, x, y, n_r2)
+            if transit_jump:
+                in_r2, ex_r2 = rtest_exit(_G_R2, x, y, n_r2, (_rex_r2,))
+            else:
+                in_r2 = rtest(_G_R2, x, y, n_r2)
             fc3_to_oc = miss_fc3 & ~in_r2
             hop = (miss_fc2 | (miss_fc3 & in_r2)
                    | (grp_oc & ~in_rect & (state == 4)))
             miss_oc5 = grp_oc & ~in_rect & (state == 5)
-            if cpb == 1:
+            if transit_jump:
+                # OC-rect entry along hop dir 1 (slab test; valid for the
+                # state-4 lanes that consume it)
+                t0x = (g(_G_OC_BT + 0) - x) * _jrgx1
+                t1x = (g(_G_OC_BT + 1) - x) * _jrgx1
+                t0y = (g(_G_OC_BT + 2) - y) * _jrgy1
+                t1y = (g(_G_OC_BT + 3) - y) * _jrgy1
+                en_rect = jnp.maximum(jnp.minimum(t0x, t1x),
+                                      jnp.minimum(t0y, t1y))
+                # first event index: exits happen at floor(u)+1 (first j
+                # strictly past the crossing), entries at ceil(u) (first j at
+                # or past it); the per-lane minimum over this state's events,
+                # clamped to [1, 4095] (k=1 == the plain single hop)
+                k_exit = jnp.floor(ex_r1) + 1.0
+                k_ent = jnp.ceil(jnp.where(grp_oc, en_rect, en_hull))
+                kf = jnp.minimum(k_exit, k_ent)
+                kf = jnp.where(miss_fc3,
+                               jnp.minimum(kf, jnp.floor(ex_r2) + 1.0), kf)
+                kf = jnp.clip(kf, 1.0, 4095.0)
+                # skipped hops are real TIR bounces: count them
+                nb = nb + jnp.where(hop, kf.astype(jnp.int32) - 1, 0)
+                # k-hop phase: TM *= exp(i * k * 2*delta_TIR(dir))
+                ang = jnp.where(miss_fc2, c(_HOP2_ANG + 0), c(_HOP2_ANG + 1))
+                th_j = kf * ang
+                h_phr = jnp.cos(th_j)
+                h_phi = jnp.sin(th_j)
+            elif cpb == 1:
                 h_phr = jnp.where(miss_fc2, c(_HOP2_PH + 0), c(_HOP2_PH + 2))
                 h_phi = jnp.where(miss_fc2, c(_HOP2_PH + 1), c(_HOP2_PH + 3))
             else:
@@ -836,8 +969,12 @@ def make_persistent_trace_fn(cfg: TraceConfig, num_fc: int, num_oc: int,
                 accept, st_acc,
                 jnp.where(br_c | die | miss_oc5, 6,
                           jnp.where(fc3_to_oc, 4, state))).astype(jnp.int32)
-            x = jnp.where(accept, x_acc, jnp.where(hop, x + gx, x))
-            y = jnp.where(accept, y_acc, jnp.where(hop, y + gy, y))
+            if transit_jump:
+                x = jnp.where(accept, x_acc, jnp.where(hop, x + kf * gx, x))
+                y = jnp.where(accept, y_acc, jnp.where(hop, y + kf * gy, y))
+            else:
+                x = jnp.where(accept, x_acc, jnp.where(hop, x + gx, x))
+                y = jnp.where(accept, y_acc, jnp.where(hop, y + gy, y))
             ter = jnp.where(accept, ter_n, ter)
             tei = jnp.where(accept, tei_n, tei)
             tmr = jnp.where(accept, tmr_n, jnp.where(hop, hop_tmr, tmr))

@@ -367,6 +367,50 @@ def test_packed_accum_mode_close_to_f32(setup):
         pers_p(cp, gr, rays_in, rng_in)
 
 
+def test_transit_jump_matches_single_hop(setup):
+    """transit_jump collapses every TIR-miss run to one iteration.  Event
+    indices come from half-plane interval arithmetic, so the mode is
+    within-MC-tolerance (like packed) rather than bitwise: deposits must
+    agree closely, bounce totals (which count the skipped hops) almost
+    exactly, and the iteration count must strictly drop."""
+    geom, tgeom, cfg, n_cells, cp, gr, rays_in, rng_in = setup
+    cpk = trace_pallas_persistent.pack_selection_params(
+        np.asarray(cp), tgeom.num_fc, tgeom.num_oc)
+    res = {}
+    for jump in (False, True):
+        pers = trace_pallas_persistent.make_persistent_trace_fn(
+            cfg, tgeom.num_fc, tgeom.num_oc, RT, gens=2, interpret=True,
+            max_iters=1300, accum_mode="packed", transit_jump=jump,
+            edge_counts=(len(tgeom.hull_hp), len(tgeom.r1_hp),
+                         len(tgeom.r2_hp)))
+        tiles, nb = pers(cp, gr, rays_in, rng_in, cell_params_packed=cpk)
+        res[jump] = (np.asarray(tiles), np.asarray(nb))
+    t0, nb0 = res[False]
+    t1, nb1 = res[True]
+    dep0, dep1 = t0.sum(), t1.sum()
+    assert dep0 > 0
+    # per-ray outcomes can flip only for rays within float rounding of an
+    # edge; at this workload the tiles come out identical, but the bound is
+    # the contract
+    assert abs(dep1 - dep0) / dep0 < 0.05
+    b0, b1 = int(nb0[:, 0].sum()), int(nb1[:, 0].sum())
+    assert abs(b1 - b0) / b0 < 0.002, (b0, b1)
+    assert nb1[:, 1].sum() < nb0[:, 1].sum(), "jump mode must cut iterations"
+    # the overflow diagnostic must stay clean under jumps
+    assert int(nb1[:, 3].sum()) == 0
+
+
+def test_transit_jump_requires_packed():
+    from gpu_ray_tracing_for_waveguide_based_ar_display_tpu.engine.pipeline import (
+        Simulator,
+    )
+
+    with pytest.raises(ValueError, match="transit_jump"):
+        Simulator(engine="pallas_persistent", interpret=True,
+                  cfg=TraceConfig(num_fov_x=2, num_fov_y=2, rays_per_fov=8),
+                  pers_transit_jump=True, pers_accum_mode="fma")
+
+
 def test_pack_selection_params_round_trip():
     """The packed words hold exactly the bf16 roundings of the row params."""
     import ml_dtypes
