@@ -92,6 +92,14 @@ def run(engine: str):
         # MC tolerance of the bitwise-parity fma mode (test_persistent)
         pers_accum_mode=os.environ.get("BENCH_ACCUM", "packed"),
     )
+    # ballistic transit jumps (+27% kernel-level: 3.16 -> 4.00 G on v5e with
+    # the pow2 phase): TIR-miss runs collapse to one iteration; the skipped
+    # hops are real reference bounces (position + TM phase applied exactly),
+    # so bounces/s stays reference-equivalent work.  Within-MC-tolerance mode
+    # like packed itself.  BENCH_JUMP=0 disables.
+    if (sim_kwargs["pers_accum_mode"] == "packed"
+            and os.environ.get("BENCH_JUMP", "1") not in ("", "0")):
+        sim_kwargs["pers_transit_jump"] = True
     reps = REPS if engine == "pallas_persistent" else 1
     sims = _rep_sims(make_cfg, reps, **sim_kwargs)
 
@@ -143,11 +151,17 @@ def run_reference_workload():
     # num_iter x 5,000 samples per cell with every lane respawning until the
     # cell's exact spawn target is met, paying the drain tail once — see
     # trace_pallas_persistent.make_persistent_trace_fn(count_spawn=True)
+    ref_accum = os.environ.get("BENCH_REF_ACCUM", "packed")
     sims = _rep_sims(
         make_cfg, REPS, engine="pallas_persistent", geometry_simplify_tol=0.05,
         persistent_slots=int(os.environ.get("BENCH_REF_SLOTS", 2048)),
         spawn_mode="count", fold_iterations=True,
-        pers_accum_mode=os.environ.get("BENCH_REF_ACCUM", "packed"),
+        pers_accum_mode=ref_accum,
+        # transit jumps cut iterations/cell 116 -> 89 and lift lane
+        # utilization 0.63 -> 0.83 at this workload (same-session A/B:
+        # trace 2.65 s vs 2.73 s) — see run()'s note; BENCH_JUMP=0 disables
+        pers_transit_jump=(ref_accum == "packed" and os.environ.get(
+            "BENCH_JUMP", "1") not in ("", "0")),
     )
     # warm-up compiles the kernel + grid shapes on a small spawn target
     sims[0].run(num_iter=1, rays_per_fov=2048, cells_per_batch=4500,

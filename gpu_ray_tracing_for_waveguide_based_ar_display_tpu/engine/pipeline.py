@@ -83,6 +83,7 @@ class Simulator:
         fold_iterations: bool = False,
         pers_cells_per_block: int = 1,
         pers_transit_jump: bool = False,
+        pers_jump_phase: str = "pow2",
         splitting_capacity: int = 1 << 16,
         splitting_threshold: float = 1e-6,
         splitting_max_steps: int = 1024,
@@ -155,6 +156,11 @@ class Simulator:
         if jump_env is not None:
             pers_transit_jump = jump_env not in ("", "0")
         self._pers_transit_jump = bool(pers_transit_jump)
+        # jump-phase lowering: "pow2" (exp-by-squaring of the single-hop
+        # phasor; default — measured faster, no per-lane transcendentals) or
+        # "cos" (direct cos/sin of k*2*delta).  PERS_JUMP_PHASE overrides.
+        self._pers_jump_phase = os.environ.get("PERS_JUMP_PHASE",
+                                               pers_jump_phase)
         if self._pers_transit_jump:
             if pers_accum_mode != "packed":
                 raise ValueError(
@@ -575,6 +581,7 @@ class Simulator:
                 count_spawn=(self._spawn_mode == "count"),
                 cells_per_block=cpb,
                 transit_jump=self._pers_transit_jump,
+                jump_phase=self._pers_jump_phase,
             )
             if self._mesh is not None:
                 from ..parallel.shard import make_sharded_cell_trace_fn

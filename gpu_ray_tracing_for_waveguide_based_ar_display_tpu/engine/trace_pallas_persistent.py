@@ -118,7 +118,8 @@ def make_persistent_trace_fn(cfg: TraceConfig, num_fc: int, num_oc: int,
                              count_spawn: bool = False,
                              body_unroll: int = 0,
                              cells_per_block: int = 1,
-                             transit_jump: bool = False):
+                             transit_jump: bool = False,
+                             jump_phase: str = "cos"):
     """Build ``trace(cell_params, geom_row, rays_in, rng_in[, ctrl]) -> (hist, nb)``.
 
     - rays_in: (C, 6, RT, 128) initial fields (x, y, ter, tei, tmr, tmi); these are
@@ -197,6 +198,7 @@ def make_persistent_trace_fn(cfg: TraceConfig, num_fc: int, num_oc: int,
         # selection, cpb == 1.
         assert accum_mode == "packed" and cpb == 1, (
             "transit_jump requires accum_mode='packed', cells_per_block=1")
+        assert jump_phase in ("cos", "pow2"), jump_phase
     ny, nx = cfg.eyebox_bins
     assert nx <= NY_PAD
     assert flush_w >= 4 and (flush_w & (flush_w - 1)) == 0, flush_w
@@ -943,14 +945,43 @@ def make_persistent_trace_fn(cfg: TraceConfig, num_fc: int, num_oc: int,
                 kf = jnp.minimum(k_exit, k_ent)
                 kf = jnp.where(miss_fc3,
                                jnp.minimum(kf, jnp.floor(ex_r2) + 1.0), kf)
-                kf = jnp.clip(kf, 1.0, 4095.0)
+                # pow2 phase caps the jump at 15 hops (4 phasor bits); longer
+                # runs (p99 of measured run lengths is ~9) just take another
+                # jump iteration — scheduling only, physics unchanged
+                kf = jnp.clip(kf, 1.0, 15.0 if jump_phase == "pow2"
+                              else 4095.0)
                 # skipped hops are real TIR bounces: count them
                 nb = nb + jnp.where(hop, kf.astype(jnp.int32) - 1, 0)
-                # k-hop phase: TM *= exp(i * k * 2*delta_TIR(dir))
-                ang = jnp.where(miss_fc2, c(_HOP2_ANG + 0), c(_HOP2_ANG + 1))
-                th_j = kf * ang
-                h_phr = jnp.cos(th_j)
-                h_phi = jnp.sin(th_j)
+                if jump_phase == "pow2":
+                    # k-hop phase by exponentiation-by-squaring of the
+                    # single-hop phasor (_HOP2_PH, the same per-dir scalars
+                    # the non-jump path loads): ~50 mul/select vector ops and
+                    # NO per-lane transcendentals or extra SMEM loads, vs the
+                    # cos/sin pair of the "cos" variant.  |z|=1 rounding drift
+                    # over <=15 squared multiplies is ~1e-6 — far inside the
+                    # packed mode's bf16 parameter rounding.
+                    z1r = jnp.where(miss_fc2, c(_HOP2_PH + 0), c(_HOP2_PH + 2))
+                    z1i = jnp.where(miss_fc2, c(_HOP2_PH + 1), c(_HOP2_PH + 3))
+                    ki = kf.astype(jnp.int32)
+                    one = zero + 1.0
+                    bit0 = (ki & 1) != 0
+                    h_phr = jnp.where(bit0, z1r, one)
+                    h_phi = jnp.where(bit0, z1i, zero)
+                    zr, zi = z1r, z1i
+                    for b in (2, 4, 8):
+                        zr, zi = zr * zr - zi * zi, 2.0 * zr * zi
+                        bitb = (ki & b) != 0
+                        nrr = h_phr * zr - h_phi * zi
+                        nri = h_phr * zi + h_phi * zr
+                        h_phr = jnp.where(bitb, nrr, h_phr)
+                        h_phi = jnp.where(bitb, nri, h_phi)
+                else:
+                    # k-hop phase: TM *= exp(i * k * 2*delta_TIR(dir))
+                    ang = jnp.where(miss_fc2, c(_HOP2_ANG + 0),
+                                    c(_HOP2_ANG + 1))
+                    th_j = kf * ang
+                    h_phr = jnp.cos(th_j)
+                    h_phi = jnp.sin(th_j)
             elif cpb == 1:
                 h_phr = jnp.where(miss_fc2, c(_HOP2_PH + 0), c(_HOP2_PH + 2))
                 h_phi = jnp.where(miss_fc2, c(_HOP2_PH + 1), c(_HOP2_PH + 3))

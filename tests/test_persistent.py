@@ -377,16 +377,17 @@ def test_transit_jump_matches_single_hop(setup):
     cpk = trace_pallas_persistent.pack_selection_params(
         np.asarray(cp), tgeom.num_fc, tgeom.num_oc)
     res = {}
-    for jump in (False, True):
+    for jump, phase in ((False, "cos"), (True, "cos"), (True, "pow2")):
         pers = trace_pallas_persistent.make_persistent_trace_fn(
             cfg, tgeom.num_fc, tgeom.num_oc, RT, gens=2, interpret=True,
             max_iters=1300, accum_mode="packed", transit_jump=jump,
+            jump_phase=phase,
             edge_counts=(len(tgeom.hull_hp), len(tgeom.r1_hp),
                          len(tgeom.r2_hp)))
         tiles, nb = pers(cp, gr, rays_in, rng_in, cell_params_packed=cpk)
-        res[jump] = (np.asarray(tiles), np.asarray(nb))
-    t0, nb0 = res[False]
-    t1, nb1 = res[True]
+        res[(jump, phase)] = (np.asarray(tiles), np.asarray(nb))
+    t0, nb0 = res[(False, "cos")]
+    t1, nb1 = res[(True, "cos")]
     dep0, dep1 = t0.sum(), t1.sum()
     assert dep0 > 0
     # per-ray outcomes can flip only for rays within float rounding of an
@@ -398,6 +399,14 @@ def test_transit_jump_matches_single_hop(setup):
     assert nb1[:, 1].sum() < nb0[:, 1].sum(), "jump mode must cut iterations"
     # the overflow diagnostic must stay clean under jumps
     assert int(nb1[:, 3].sum()) == 0
+    # pow2 phase (exp-by-squaring, production default) vs direct cos/sin:
+    # same events and hop counts (the 15-hop clamp only splits long runs
+    # into more iterations), deposits within phasor-power rounding
+    t2, nb2 = res[(True, "pow2")]
+    assert int(nb2[:, 0].sum()) == int(nb1[:, 0].sum())
+    assert abs(float(t2.sum()) - float(t1.sum())) <= 1e-4 * abs(float(t1.sum()))
+    assert nb2[:, 1].sum() < nb0[:, 1].sum()
+    assert int(nb2[:, 3].sum()) == 0
 
 
 def test_transit_jump_requires_packed():
