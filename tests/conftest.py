@@ -71,6 +71,11 @@ _SLOW_TESTS = {
     "test_sample_sharded_persistent_bitwise",
     "test_checkpoint_resume_persistent_fast_path",
     "test_segmented_pallas_matches_monolithic",
+    # round-3: pipeline-level transit-jump plumbing (two interpret Simulators;
+    # the kernel-level jump A/B test stays in the quick tier)
+    "test_simulator_transit_jump_matches_baseline",
+    # round-3: jump-mode cross-design fuzz (3 designs x 2 interpret kernels)
+    "test_transit_jump_design_fuzz",
 }
 
 

@@ -520,3 +520,61 @@ def test_cells_per_block_bitwise(setup, spawn):
     np.testing.assert_array_equal(np.asarray(nb1)[:, 0], np.asarray(nb2)[:, 0])
     np.testing.assert_array_equal(np.asarray(nb1)[:, 2], np.asarray(nb2)[:, 2])
     assert int(np.asarray(nb2)[:, 3].sum()) == 0
+
+
+def test_transit_jump_design_fuzz():
+    """Jump-mode event arithmetic is geometry-dependent (per-edge hop-line
+    slopes, guarded reciprocals, the OC slab bounds): fuzz the jump/no-jump
+    agreement across perturbed designs, not just the paper design.  The
+    perturbations move every geometric degree of freedom while keeping strip
+    counts (and so the kernel program) fixed — the same set as
+    test_design_fuzz."""
+    import dataclasses
+
+    from gpu_ray_tracing_for_waveguide_based_ar_display_tpu.config import (
+        DEG,
+        WaveguideDesign,
+    )
+
+    perturbs = [
+        {"lambda_ic": 379.0, "lambda_oc": 379.0},
+        {"phi_ic": -33.0 * DEG, "phi_oc": -147.0 * DEG, "thickness": 0.55},
+        {"eyebox_center": (2.0, 13.0), "eyebox_size": (10.0, 9.0),
+         "pupil_radius": 1.6, "fov_x": 16.0 * DEG},
+    ]
+    cfg = TraceConfig(num_fov_x=M, num_fov_y=N, rays_per_fov=RPC,
+                      max_bounces=600, rng_mode="fast", ic_test="circle",
+                      seed=6)
+    n_cells = 3 * M * N
+    kernels = {}
+    for pk in perturbs:
+        d = dataclasses.replace(WaveguideDesign(), **pk)
+        geom = generate_geometry(d, M, N)
+        tables = build_cell_tables(geom, make_synthetic_luts(geom))
+        tgeom = build_trace_geometry(geom, simplify_tol=0.05)
+        cp = trace_pallas.build_kernel_cell_params(tables, geom.eyebox_range)
+        gr = trace_pallas.build_kernel_geom(tgeom)[None, :]
+        batch = seeding.build_ray_batch(geom, cfg)
+        rays_in, rng_in = trace_pallas.pack_ray_blocks(batch, n_cells, RPC, RT)
+        cpk = trace_pallas_persistent.pack_selection_params(
+            np.asarray(cp), tgeom.num_fc, tgeom.num_oc)
+        if not kernels:
+            # default (padded) edge budget -> one program serves every design
+            for jump in (False, True):
+                kernels[jump] = trace_pallas_persistent.make_persistent_trace_fn(
+                    cfg, tgeom.num_fc, tgeom.num_oc, RT, gens=2,
+                    interpret=True, max_iters=1300, accum_mode="packed",
+                    transit_jump=jump, jump_phase="pow2")
+        res = {}
+        for jump in (False, True):
+            tiles, nb = kernels[jump](cp, gr, rays_in, rng_in,
+                                      cell_params_packed=cpk)
+            res[jump] = (np.asarray(tiles), np.asarray(nb))
+        t0, nb0 = res[False]
+        t1, nb1 = res[True]
+        assert t0.sum() > 0, pk
+        assert abs(t1.sum() - t0.sum()) / t0.sum() < 0.05, pk
+        b0, b1 = int(nb0[:, 0].sum()), int(nb1[:, 0].sum())
+        assert abs(b1 - b0) / b0 < 0.005, (pk, b0, b1)
+        assert nb1[:, 1].sum() < nb0[:, 1].sum(), pk
+        assert int(nb1[:, 3].sum()) == 0, pk

@@ -119,3 +119,33 @@ def test_compacted_tracing_matches(sim):
     np.testing.assert_array_equal(np.asarray(h1), np.asarray(h2))
     assert int(b1) == int(b2)
     assert n1 == n2
+
+
+def test_simulator_transit_jump_matches_baseline():
+    """Pipeline-level transit-jump plumbing (packed + pow2 phase, count spawn
+    + folding — the production bench stack): efficiencies must agree with the
+    non-jump packed path within MC/rounding tolerance and trace the same
+    nominal sample counts."""
+    cfg = TraceConfig(num_fov_x=4, num_fov_y=3, rays_per_fov=256,
+                      max_bounces=512, seed=0, rng_mode="fast")
+    kw = dict(cfg=cfg, engine="pallas_persistent", interpret=True,
+              geometry_simplify_tol=0.05, persistent_slots=256,
+              spawn_mode="count", fold_iterations=True,
+              pers_accum_mode="packed")
+    res = {}
+    for jump in (False, True):
+        sim = Simulator(pers_transit_jump=jump, **kw)
+        res[jump] = sim.run(num_iter=2, cells_per_batch=36,
+                            evaluate_metrics=False, histogram_device=True)
+    # count-spawn overshoots by at most one iteration's deaths, and jump mode
+    # kills lanes faster, so the overshoot (and rays_traced) differs slightly;
+    # the Wald renormalization makes the efficiencies comparable
+    nominal = 4 * 3 * 3 * 2 * 256  # cells x num_iter x rays_per_fov
+    for r in res.values():
+        assert nominal <= r.rays_traced <= int(nominal * 1.25)
+    for k, v in res[False].efficiencies.items():
+        assert abs(res[True].efficiencies[k] - v) / max(v, 1e-12) < 0.05, k
+    # jump counts the skipped hops, so bounces-per-ray agree closely
+    bpr0 = res[False].total_bounces / res[False].rays_traced
+    bpr1 = res[True].total_bounces / res[True].rays_traced
+    assert abs(bpr1 - bpr0) / bpr0 < 0.01

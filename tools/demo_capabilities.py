@@ -38,7 +38,8 @@ if os.environ.get("DEMO_CONV", "1") != "0":
                       ic_test="circle")
     sim = Simulator(cfg=cfg, engine="pallas_persistent",
                     geometry_simplify_tol=0.05, persistent_slots=4096,
-                    spawn_mode="count", pers_accum_mode="packed")
+                    spawn_mode="count", pers_accum_mode="packed",
+                    pers_transit_jump=True)
     t0 = time.perf_counter()
     res = sim.run(num_iter=1, cells_per_batch=4500, evaluate_metrics=True,
                   histogram_device=True)
@@ -68,9 +69,11 @@ if os.environ.get("DEMO_SWEEP", "1") != "0":
     ]
     cfg = TraceConfig(num_fov_x=16, num_fov_y=12, rays_per_fov=2048,
                       max_bounces=4096, seed=0, rng_mode="fast")
-    # count-spawn sweep at the exact per-cell sample target; warm the
-    # chunk-sized grid (C = 64 x cells) the timed run dispatches
-    kw = dict(spawn_iters=0, spawn_mode="count", slots=1024)
+    # count-spawn sweep at the exact per-cell sample target, bench settings
+    # (slots=2048 = one generation per lane, 16-design pipelined chunks);
+    # warm the chunk-sized grid the timed run dispatches
+    kw = dict(spawn_iters=0, spawn_mode="count", slots=2048,
+              designs_per_batch=16)
     run_design_sweep_persistent(designs[:1] * 64, cfg, **kw)
     t0 = time.perf_counter()
     res = run_design_sweep_persistent(designs, cfg, **kw)
