@@ -187,3 +187,45 @@ def test_polygon_area_matches_roll_form():
         x, y = v[:, 0], v[:, 1]
         ref = 0.5 * float(np.sum(x * np.roll(y, -1) - np.roll(x, -1) * y))
         assert convex.polygon_area(v) == ref
+
+
+def test_hull_prefilter_ring_bitwise():
+    """convex_hull's Akl-Toussaint prefilter must return the bitwise-identical
+    ring to a plain qhull call — on random clouds and on the real design
+    pipeline's tangent-intersection cloud."""
+    from scipy.spatial import ConvexHull
+
+    rng = np.random.default_rng(7)
+    for n in (5000, 20000):
+        pts = rng.normal(size=(n, 2)) * [3.0, 1.5] + [10.0, -4.0]
+        ring_plain = pts[ConvexHull(pts).vertices]
+        ring_fast = convex.convex_hull(pts)          # n > threshold -> filtered
+        np.testing.assert_array_equal(ring_plain, ring_fast)
+        cand = convex.hull_candidates(pts)
+        assert len(cand) < n  # the filter actually drops points
+
+    import dataclasses
+
+    from gpu_ray_tracing_for_waveguide_based_ar_display_tpu.config import (
+        WaveguideDesign,
+    )
+    from gpu_ray_tracing_for_waveguide_based_ar_display_tpu.design import (
+        geometry as G,
+    )
+
+    for pk in ({}, {"lambda_ic": 379.0, "lambda_oc": 379.0},
+               {"phi_ic": WaveguideDesign().phi_ic + 0.07, "thickness": 0.6}):
+        d = dataclasses.replace(WaveguideDesign(), **pk)
+        lmd = np.asarray(d.wavelengths)
+        g_ic, _, g_fc, _, _ = G._grating_vectors(d)
+        ns = d.design_sweep_n
+        fx = np.linspace(-d.fov_x / 2, d.fov_x / 2, ns)[:, None, None]
+        fy = np.linspace(-d.fov_y / 2, d.fov_y / 2, ns)[None, :, None]
+        cloud, *_ = G._fold_intersections(
+            d, fx, fy, (2 * np.pi / lmd)[None, None, :], g_ic, g_fc)
+        ring_plain = cloud[ConvexHull(cloud).vertices]
+        np.testing.assert_array_equal(ring_plain, convex.convex_hull(cloud))
+
+    # degenerate inputs fall back to keep-everything (no crash, exact hull)
+    line = np.stack([np.linspace(0, 1, 5000), np.linspace(0, 2, 5000)], axis=1)
+    assert len(convex.hull_candidates(line)) == 5000
