@@ -126,12 +126,25 @@ def cmd_simulate(args) -> int:
                       histogram_device=(args.engine == "pallas_persistent"),
                       metrics_device=(args.engine == "pallas_persistent"
                                       and not args.image),
-                      error_groups=args.error_bars)
+                      error_groups=args.error_bars,
+                      dense_metrics=bool(args.dense_eyebox))
     print(format_report(res))
     if res.metric_stderr:
         print("MC standard errors (jackknife over num_iter groups):")
         for k, v in res.metric_stderr.items():
             print(f"  {k:<10} +/- {v:.3g}")
+    if res.dense is not None:
+        d = res.dense
+        n_epy, n_epx = d.eye_luminance.shape
+        print(f"dense eye-position scan ({n_epy}x{n_epx} = "
+              f"{n_epy * n_epx:,} pupil positions):")
+        print(f"  delta_e={d.delta_e:.3f} u_fov={d.u_fov:.4f} "
+              f"u_eyebox={d.u_eyebox:.4f} starved={d.starved_eye_positions}")
+        if args.dense_eyebox and args.dense_eyebox != "-":
+            from .eval.image import save_eyebox_luminance_map
+
+            save_eyebox_luminance_map(args.dense_eyebox, d.eye_luminance)
+            print(f"dense eyebox luminance map written to {args.dense_eyebox}")
     if args.image and res.metrics is not None:
         save_eyebox_center_view(args.image, res.metrics.output_image)
         print(f"Eyebox center view written to {args.image}")
@@ -159,6 +172,14 @@ def cmd_simulate(args) -> int:
             "trace_seconds": res.trace_seconds,
             "metric_stderr": res.metric_stderr,
         }
+        if res.dense is not None:
+            out["dense"] = {
+                "delta_e": res.dense.delta_e,
+                "u_fov": res.dense.u_fov,
+                "u_eyebox": res.dense.u_eyebox,
+                "starved_eye_positions": res.dense.starved_eye_positions,
+                "eye_positions": list(res.dense.eye_luminance.shape),
+            }
         with open(args.json, "w") as f:
             json.dump(out, f, indent=2)
     return 0
@@ -403,6 +424,14 @@ def main(argv=None) -> int:
                    help="download the reference's seven Drive-hosted RCWA LUT "
                         ".npy files into DIR and use them (download_lut.py "
                         "parity; degrades gracefully offline)")
+    p.add_argument("--dense-eyebox", default=None, metavar="PNG",
+                   nargs="?", const="-",
+                   help="also evaluate the metrics at EVERY valid eye "
+                        "position (stride-1 pupil convolution; the "
+                        "reference's commented-out dense scan, "
+                        "AR_system_evaluation_functions.py:77-89) and, if a "
+                        "PNG path is given, save the full-resolution eyebox "
+                        "luminance map")
     p.add_argument("--accum-mode", default="fma",
                    choices=("fma", "select", "packed"),
                    help="persistent-kernel parameter-selection lowering: fma "

@@ -48,6 +48,10 @@ class SimulationResult:
     # jackknife over the num_iter independent sample groups (run(...,
     # error_groups=True)); keys: eff_R/G/B, delta_e, u_fov, u_eyebox.
     metric_stderr: Optional[dict] = None
+    # dense-eye-position metrics (run(..., dense_metrics=True)): the same
+    # EvalResult evaluated at EVERY valid pupil position instead of the
+    # reference's 7x8 sampled grid; eye_luminance is the full-resolution map.
+    dense: Optional[EvalResult] = None
 
     @property
     def bounces_per_second(self) -> float:
@@ -677,6 +681,7 @@ class Simulator:
         histogram_device: bool = False,
         error_groups: bool = False,
         metrics_device: bool = False,
+        dense_metrics: bool = False,
     ) -> SimulationResult:
         """Trace the full workload and reduce metrics.
 
@@ -694,6 +699,14 @@ class Simulator:
         reduction (~2 MB) per iteration; the result's ``metric_stderr`` maps
         eff_R/G/B, delta_e, u_fov, u_eyebox to their standard errors at this
         run's total sampling.
+
+        ``dense_metrics``: additionally evaluate the metrics over EVERY valid
+        eye position (stride-1 pupil convolution — the reference's
+        commented-out dense scan, AR_system_evaluation_functions.py:77-89,
+        which it replaced with the 7x8 sampled grid as too slow; one XLA conv
+        + chunked device colorimetry here).  The result's ``dense`` field
+        carries the dense EvalResult incl. the full-resolution eyebox
+        luminance map (51x91 at reference resolution vs the sampler's 7x8).
 
         ``wavelengths``: optional subset of wavelength indices to trace (e.g.
         ``(1,)`` for a green-only run); other cells receive no rays.
@@ -916,6 +929,20 @@ class Simulator:
                 perc = np.asarray(eye_perceived_jnp(histogram, eval_cfg))
                 met = evaluate(None, eval_cfg,
                                perceive=perc / actual_rpf / iters)
+        dense = None
+        if dense_metrics:
+            import jax.numpy as jnp
+
+            from ..eval.metrics import evaluate_dense
+
+            hist_dev = (histogram if not isinstance(histogram, np.ndarray)
+                        else jnp.asarray(histogram, jnp.float32))
+            n_epy = histogram.shape[3] - eval_cfg.pupil_mask_bins + 1
+            dense = evaluate_dense(
+                hist_dev, eval_cfg, norm=actual_rpf * iters,
+                chunk_rows=8 if n_epy > 16 else 0,
+            )
+
         rays_traced = total_rays
         if (self.engine == "pallas_persistent"
                 and (self._spawn_iters > 0 or self._spawn_mode == "count")):
@@ -933,6 +960,7 @@ class Simulator:
             total_bounces=total_bounces,
             trace_seconds=trace_seconds,
             metric_stderr=stderr,
+            dense=dense,
         )
 
     def _jackknife_stderr(self, snaps, actual_rpf, iters, eval_cfg):

@@ -1,2 +1,4 @@
-from .metrics import EvalResult, evaluate, efficiencies  # noqa: F401
+from .metrics import (  # noqa: F401
+    EvalResult, evaluate, evaluate_dense, efficiencies,
+)
 from . import color  # noqa: F401

@@ -33,6 +33,34 @@ def save_eyebox_center_view(path: str, output_image: np.ndarray) -> None:
     save_png(path, eye_view_uint8(output_image))
 
 
+def save_eyebox_luminance_map(path: str, eye_luminance: np.ndarray) -> None:
+    """Heatmap of mean luminance per eye position over the eyebox.
+
+    Intended for the dense eye-position scan (evaluate_dense /
+    ``simulate --dense-eyebox``): the (n_epy, n_epx) luminance map at every
+    valid pupil position — the full-resolution view of what the reference's
+    7x8 sampled grid (AR_system_evaluation_functions.py:91-109) probes at 56
+    points.  Positions with zero luminance (starved or dark) render black.
+    """
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    lum = np.asarray(eye_luminance, dtype=np.float64)
+    fig, ax = plt.subplots(figsize=(8, 5))
+    mx = lum.max()
+    im = ax.imshow(lum / mx if mx > 0 else lum, origin="lower",
+                   aspect="auto", cmap="magma", vmin=0.0, vmax=1.0)
+    ax.set_title("Eyebox luminance (per eye position, normalized)")
+    ax.set_xlabel("eye position x (0.1 mm bins)")
+    ax.set_ylabel("eye position y (0.1 mm bins)")
+    fig.colorbar(im, ax=ax)
+    fig.tight_layout()
+    fig.savefig(path, dpi=120)
+    plt.close(fig)
+
+
 def save_fov_efficiency_heatmaps(path: str, histogram: np.ndarray) -> None:
     """3-panel normalized per-FoV efficiency heatmaps, one per color.
 

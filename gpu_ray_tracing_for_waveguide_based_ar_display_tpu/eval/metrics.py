@@ -122,7 +122,97 @@ def eye_perceived_jnp(matrix_eb, cfg: EvalConfig = EvalConfig()):
     return _PERCEIVE_CACHE[key](matrix_eb)
 
 
+def eye_perceived_conv_jnp(matrix_eb, cfg: EvalConfig = EvalConfig(),
+                           stride: Optional[Tuple[int, int]] = None):
+    """Pupil integration as ONE XLA convolution over the eyebox axes.
+
+    The reference defines the *full* eye-position scan as a ``convolve2d`` of
+    the eyebox histogram with the pupil mask but ships it commented out as too
+    slow (/root/reference/AR_system_evaluation_functions.py:77-89), falling
+    back to the 8x12-strided sampler (:91-109).  On TPU the dense scan is one
+    ``lax.conv_general_dilated`` with the (msize, msize) pupil disc as kernel
+    — ``stride=(1, 1)`` gives every valid eye position (51x91 = 4,641 at
+    reference resolution vs the sampler's 7x8 = 56); the default stride
+    reproduces the reference's sampled grid exactly (VALID windows at steps
+    (eye_step_y, eye_step_x) visit the same ``y0s``/``x0s``).
+
+    Returns (L, FoVy, FoVx, n_epy, n_epx), same contract as
+    :func:`eye_perceived_jnp` (sum order inside a window may differ by float
+    association; tested to f32 tolerance in test_eval).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    if stride is None:
+        stride = (cfg.eye_step_y, cfg.eye_step_x)
+    msize = cfg.pupil_mask_bins
+    n_eby, n_ebx = matrix_eb.shape[-2:]
+    key = ("conv", msize, stride, n_eby, n_ebx, str(matrix_eb.dtype))
+    if key not in _PERCEIVE_CACHE:
+        kernel = np.asarray(pupil_mask(msize), str(matrix_eb.dtype))
+
+        @jax.jit
+        def _perceive(m):
+            lead = m.shape[:-2]
+            flat = m.reshape((-1, 1) + m.shape[-2:])      # (N, 1, eby, ebx)
+            out = jax.lax.conv_general_dilated(
+                flat, jnp.asarray(kernel)[None, None],    # (1, 1, ms, ms)
+                window_strides=stride, padding="VALID",
+                dimension_numbers=("NCHW", "OIHW", "NCHW"),
+            )
+            return out.reshape(lead + out.shape[-2:])
+
+        _PERCEIVE_CACHE[key] = _perceive
+    return _PERCEIVE_CACHE[key](matrix_eb)
+
+
 _EVAL_JNP_CACHE = {}
+
+
+def evaluate_dense(matrix_eb, cfg: EvalConfig = EvalConfig(),
+                   norm: float = 1.0, chunk_rows: int = 0) -> "EvalResult":
+    """Metrics over EVERY valid eye position (the reference's commented-out
+    dense scan, AR_system_evaluation_functions.py:77-89) — device-side.
+
+    Computes the dense perception stack via :func:`eye_perceived_conv_jnp`
+    (stride 1) and runs the same colorimetry core as :func:`evaluate_jnp`
+    over all ~4,641 eye positions; the returned ``eye_luminance`` is the
+    full-resolution eyebox luminance map.  ``chunk_rows > 0`` evaluates the
+    eye-position rows in chunks of that many rows (bounds peak device memory:
+    the dense Lab/dE intermediates are ~(epy, epx, fy, fx) sized); chunked
+    and unchunked results agree to float association (tested).
+    """
+    import jax
+
+    perc = eye_perceived_conv_jnp(matrix_eb, cfg, stride=(1, 1))
+    n_epy, n_epx = perc.shape[3], perc.shape[4]
+    if chunk_rows <= 0 or chunk_rows >= n_epy:
+        return evaluate_jnp(perc, cfg, norm=norm)
+
+    key = ("eval", perc.shape[0], False, str(perc.dtype))
+    if key not in _EVAL_JNP_CACHE:
+        _EVAL_JNP_CACHE[key] = jax.jit(_make_eval_core(False))
+    core = _EVAL_JNP_CACHE[key]
+    inv = np.asarray(1.0 / norm, dtype=str(perc.dtype))
+
+    de_sum = 0.0
+    ratio_sum = 0.0
+    u_eb_rows = []
+    for y0 in range(0, n_epy, chunk_rows):
+        out = jax.device_get(core(perc[:, :, :, y0 : y0 + chunk_rows], inv))
+        rows = min(chunk_rows, n_epy - y0)
+        de_sum += float(out["delta_e"]) * rows * n_epx
+        ratio_sum += float(out["ratio_sum"])
+        u_eb_rows.append(np.asarray(out["u_eb"], dtype=np.float64))
+    u_eb = np.concatenate(u_eb_rows, axis=0)
+    return EvalResult(
+        delta_e=de_sum / (n_epy * n_epx),
+        u_fov=ratio_sum / (n_epy * n_epx),
+        u_eyebox=0.0 if u_eb.max() == 0 else float(u_eb.min() / u_eb.max()),
+        output_image=None,
+        eye_luminance=u_eb,
+        starved_eye_positions=int((u_eb == 0.0).sum()),
+    )
 
 
 def evaluate_jnp(perceive, cfg: EvalConfig = EvalConfig(),

@@ -160,6 +160,69 @@ def test_eye_perceived_jnp_matches_numpy():
     np.testing.assert_allclose(b, a, rtol=2e-6)
 
 
+def test_eye_perceived_conv_matches_strided():
+    """The XLA-conv pupil integrator at the reference stride reproduces the
+    strided window-sum sampler (same eye-position grid, float association
+    tolerance)."""
+    jnp = pytest.importorskip("jax.numpy")
+
+    rng = np.random.default_rng(3)
+    m = rng.uniform(size=(2, 4, 3, 40, 60)).astype(np.float32)
+    cfg = EvalConfig(pupil_mask_bins=10, eye_step_y=7, eye_step_x=9)
+    a = metrics.eye_perceived(m.astype(np.float64), cfg)
+    b = np.asarray(metrics.eye_perceived_conv_jnp(jnp.asarray(m), cfg))
+    assert b.shape == a.shape
+    np.testing.assert_allclose(b, a, rtol=3e-6, atol=1e-6)
+
+
+def test_eye_perceived_conv_dense_matches_loop():
+    """stride=(1, 1) visits EVERY valid eye position — the reference's
+    commented-out convolve2d scan (AR_system_evaluation_functions.py:77-89)."""
+    jnp = pytest.importorskip("jax.numpy")
+
+    rng = np.random.default_rng(4)
+    m = rng.uniform(size=(2, 3, 2, 24, 30)).astype(np.float32)
+    cfg = EvalConfig(pupil_mask_bins=8)
+    dense_cfg = EvalConfig(pupil_mask_bins=8, eye_step_y=1, eye_step_x=1)
+    a = metrics.eye_perceived(m.astype(np.float64), dense_cfg)
+    b = np.asarray(
+        metrics.eye_perceived_conv_jnp(jnp.asarray(m), cfg, stride=(1, 1)))
+    assert b.shape == (2, 3, 2, 24 - 8 + 1, 30 - 8 + 1)
+    np.testing.assert_allclose(b, a, rtol=3e-6, atol=1e-6)
+
+
+def test_evaluate_dense_chunked_matches_unchunked():
+    jnp = pytest.importorskip("jax.numpy")
+
+    rng = np.random.default_rng(6)
+    m = (rng.random((3, 4, 5, 20, 24)) * 1e-3).astype(np.float32)
+    m[..., :8, :8] = 0.0   # starve a corner of the dense position grid
+    cfg = EvalConfig(pupil_mask_bins=8)
+    a = metrics.evaluate_dense(jnp.asarray(m), cfg, norm=2.0)
+    b = metrics.evaluate_dense(jnp.asarray(m), cfg, norm=2.0, chunk_rows=5)
+    assert a.eye_luminance.shape == (13, 17)
+    assert b.delta_e == pytest.approx(a.delta_e, rel=1e-6)
+    assert b.u_fov == pytest.approx(a.u_fov, rel=1e-6)
+    assert b.u_eyebox == pytest.approx(a.u_eyebox, rel=1e-6)
+    assert b.starved_eye_positions == a.starved_eye_positions
+    assert a.starved_eye_positions > 0
+    np.testing.assert_allclose(b.eye_luminance, a.eye_luminance, rtol=1e-6)
+
+
+def test_evaluate_dense_perfect_white():
+    """A flat field scores perfect uniformities at every dense position and
+    the display's intrinsic white-point delta-E floor."""
+    jnp = pytest.importorskip("jax.numpy")
+
+    cfg = EvalConfig(pupil_mask_bins=8)
+    eb = jnp.full((3, 3, 4, 20, 24), 0.001, jnp.float32)
+    res = metrics.evaluate_dense(eb, cfg)
+    assert res.delta_e == pytest.approx(_display_white_floor(), abs=1e-3)
+    assert res.u_fov == pytest.approx(1.0, abs=1e-6)
+    assert res.u_eyebox == pytest.approx(1.0, abs=1e-6)
+    assert res.starved_eye_positions == 0
+
+
 def test_evaluate_flags_starved_eye_positions():
     """An eye position whose pupil window caught zero photons must zero
     u_eyebox AND be reported via starved_eye_positions (the MC-convergence
@@ -199,6 +262,54 @@ def test_evaluate_jnp_matches_host():
                                    with_image=True)
     np.testing.assert_allclose(dev_img.output_image, host.output_image,
                                rtol=2e-3, atol=1e-5)
+
+
+def test_save_eyebox_luminance_map(tmp_path):
+    from gpu_ray_tracing_for_waveguide_based_ar_display_tpu.eval.image import (
+        save_eyebox_luminance_map,
+    )
+
+    rng = np.random.default_rng(7)
+    path = str(tmp_path / "lum.png")
+    save_eyebox_luminance_map(path, rng.random((51, 91)))
+    import os
+
+    assert os.path.getsize(path) > 1000
+
+
+def test_simulator_dense_metrics():
+    """run(dense_metrics=True) returns the dense eye-position EvalResult,
+    consistent with host evaluation of the dense perception stack."""
+    pytest.importorskip("jax")
+    import jax.numpy as jnp
+
+    from gpu_ray_tracing_for_waveguide_based_ar_display_tpu.config import TraceConfig
+    from gpu_ray_tracing_for_waveguide_based_ar_display_tpu.engine.pipeline import (
+        Simulator,
+    )
+
+    cfg = TraceConfig(num_fov_x=4, num_fov_y=3, rays_per_fov=256, num_iter=2,
+                      max_bounces=300, seed=11, rng_mode="fast",
+                      ic_test="circle")
+    sim = Simulator(cfg=cfg, engine="pallas_persistent")
+    res = sim.run(histogram_device=True, metrics_device=True,
+                  dense_metrics=True)
+    assert res.dense is not None
+    eb_y, eb_x = np.asarray(res.histogram).shape[-2:]
+    msize = EvalConfig().pupil_mask_bins
+    assert res.dense.eye_luminance.shape == (eb_y - msize + 1,
+                                             eb_x - msize + 1)
+    # cross-check against the host path on the dense perception stack
+    norm = res.rays_traced / (4 * 3 * 3 * 2) * 2  # actual rays/FoV * iters
+    perc = np.asarray(metrics.eye_perceived_conv_jnp(
+        jnp.asarray(np.asarray(res.histogram), jnp.float32), EvalConfig(),
+        stride=(1, 1)))
+    host = metrics.evaluate(None, perceive=perc.astype(np.float64) / norm,
+                            with_image=False)
+    assert res.dense.delta_e == pytest.approx(host.delta_e, rel=1e-3)
+    assert res.dense.u_fov == pytest.approx(host.u_fov, rel=1e-3, abs=1e-6)
+    assert res.dense.u_eyebox == pytest.approx(host.u_eyebox, rel=1e-3,
+                                               abs=1e-6)
 
 
 def test_simulator_metrics_device_matches_host():
