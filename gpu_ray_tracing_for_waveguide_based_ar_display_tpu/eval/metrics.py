@@ -153,17 +153,31 @@ def eye_perceived_conv_jnp(matrix_eb, cfg: EvalConfig = EvalConfig(),
 
         @jax.jit
         def _perceive(m):
-            lead = m.shape[:-2]
-            flat = m.reshape((-1, 1) + m.shape[-2:])      # (N, 1, eby, ebx)
-            out = jax.lax.conv_general_dilated(
-                flat, jnp.asarray(kernel)[None, None],    # (1, 1, ms, ms)
-                window_strides=stride, padding="VALID",
-                dimension_numbers=("NCHW", "OIHW", "NCHW"),
-            )
-            return out.reshape(lead + out.shape[-2:])
+            return pupil_conv(m, jnp.asarray(kernel), stride)
 
         _PERCEIVE_CACHE[key] = _perceive
     return _PERCEIVE_CACHE[key](matrix_eb)
+
+
+def pupil_conv(m, mask, stride: Tuple[int, int]):
+    """Traceable pupil-window integration over the trailing two (eyebox) axes.
+
+    One VALID ``conv_general_dilated`` with the pupil disc as kernel; leading
+    axes are flattened into the conv batch.  Shared by
+    :func:`eye_perceived_conv_jnp` and the sweep chunk perceiver
+    (``sweep.design_sweep._chunk_perceiver``) so the window semantics live in
+    one place.
+    """
+    import jax
+
+    lead = m.shape[:-2]
+    flat = m.reshape((-1, 1) + m.shape[-2:])          # (B, 1, eby, ebx)
+    out = jax.lax.conv_general_dilated(
+        flat, mask[None, None].astype(m.dtype),       # (1, 1, ms, ms)
+        window_strides=stride, padding="VALID",
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+    )
+    return out.reshape(lead + out.shape[-2:])
 
 
 _EVAL_JNP_CACHE = {}

@@ -132,32 +132,42 @@ def make_sharded_cell_trace_fn(pers_fn, mesh: Mesh, axis: str = "rays",
     mesh with ``interpret=True`` kernels and on real TPU slices compiled.
     """
 
-    if packed:
-        # the packed bf16-pair selection table shards with the cell axis like
-        # cell_params; shard_map wants positionals, the public trace keeps the
-        # engine's keyword contract
-        def _local(cp, cpk, geom_row, rays, rng, ctrl):
-            return pers_fn(cp, geom_row, rays, rng, ctrl,
-                           cell_params_packed=cpk)
+    # rays_in is either per-cell (C, 6, RT, 128) — shards with the cell axis
+    # — or the pipeline/sweep's shared per-design tile (D, 6, RT, 128), which
+    # must replicate like geom_row (the kernel's BlockSpec fans it out on each
+    # device); one shard_map per choice, built on first use
+    _cache = {}
 
-        sharded = shard_map(
-            _local,
-            mesh=mesh,
-            in_specs=(P(axis), P(axis), P(), P(axis), P(axis), P()),
-            out_specs=(P(axis), P(axis)),
-            check_vma=False,
-        )
-    else:
-        def _local(cp, geom_row, rays, rng, ctrl):
-            return pers_fn(cp, geom_row, rays, rng, ctrl)
+    def _sharded(shared_rays: bool):
+        if shared_rays not in _cache:
+            rays_spec = P() if shared_rays else P(axis)
+            if packed:
+                # the packed bf16-pair selection table shards with the cell
+                # axis like cell_params; shard_map wants positionals, the
+                # public trace keeps the engine's keyword contract
+                def _local(cp, cpk, geom_row, rays, rng, ctrl):
+                    return pers_fn(cp, geom_row, rays, rng, ctrl,
+                                   cell_params_packed=cpk)
 
-        sharded = shard_map(
-            _local,
-            mesh=mesh,
-            in_specs=(P(axis), P(), P(axis), P(axis), P()),
-            out_specs=(P(axis), P(axis)),
-            check_vma=False,
-        )
+                _cache[shared_rays] = shard_map(
+                    _local,
+                    mesh=mesh,
+                    in_specs=(P(axis), P(axis), P(), rays_spec, P(axis), P()),
+                    out_specs=(P(axis), P(axis)),
+                    check_vma=False,
+                )
+            else:
+                def _local(cp, geom_row, rays, rng, ctrl):
+                    return pers_fn(cp, geom_row, rays, rng, ctrl)
+
+                _cache[shared_rays] = shard_map(
+                    _local,
+                    mesh=mesh,
+                    in_specs=(P(axis), P(), rays_spec, P(axis), P()),
+                    out_specs=(P(axis), P(axis)),
+                    check_vma=False,
+                )
+        return _cache[shared_rays]
 
     def trace(cell_params, geom_row, rays_in, rng_in, ctrl,
               cell_params_packed=None):
@@ -168,6 +178,7 @@ def make_sharded_cell_trace_fn(pers_fn, mesh: Mesh, axis: str = "rays",
             raise ValueError(
                 f"{cell_params.shape[0]} cells do not divide over {n_dev} "
                 f"devices of mesh axis {axis!r}")
+        sharded = _sharded(rays_in.shape[0] != cell_params.shape[0])
         if packed:
             if cell_params_packed is None:
                 raise ValueError("packed=True needs cell_params_packed")
@@ -284,25 +295,34 @@ def make_2d_sharded_cell_trace_fn(pers_fn, mesh: Mesh,
         return tiles, nb
 
     cell_p, rng_p = P(cell_axis), P(sample_axis, cell_axis)
-    if packed:
-        sharded = shard_map(
-            lambda cp, cpk, g, r, s, c: _body(cp, g, r, s, c, cpk),
-            mesh=mesh,
-            in_specs=(cell_p, cell_p, P(), cell_p, rng_p, P()),
-            out_specs=(cell_p, cell_p),
-            check_vma=False,
-        )
-    else:
-        sharded = shard_map(
-            _body,
-            mesh=mesh,
-            in_specs=(cell_p, P(), cell_p, rng_p, P()),
-            out_specs=(cell_p, cell_p),
-            check_vma=False,
-        )
+    _cache = {}
+
+    def _sharded(shared_rays: bool):
+        # shared per-design ray tiles replicate; per-cell blocks shard with
+        # the cell axis (same contract as make_sharded_cell_trace_fn)
+        if shared_rays not in _cache:
+            rays_spec = P() if shared_rays else cell_p
+            if packed:
+                _cache[shared_rays] = shard_map(
+                    lambda cp, cpk, g, r, s, c: _body(cp, g, r, s, c, cpk),
+                    mesh=mesh,
+                    in_specs=(cell_p, cell_p, P(), rays_spec, rng_p, P()),
+                    out_specs=(cell_p, cell_p),
+                    check_vma=False,
+                )
+            else:
+                _cache[shared_rays] = shard_map(
+                    _body,
+                    mesh=mesh,
+                    in_specs=(cell_p, P(), rays_spec, rng_p, P()),
+                    out_specs=(cell_p, cell_p),
+                    check_vma=False,
+                )
+        return _cache[shared_rays]
 
     def trace(cell_params, geom_row, rays_in, rng_in, ctrl,
               cell_params_packed=None):
+        sharded = _sharded(rays_in.shape[0] != cell_params.shape[0])
         n_cell = mesh.shape[cell_axis]
         n_samp = mesh.shape[sample_axis]
         if cell_params.shape[0] % n_cell:

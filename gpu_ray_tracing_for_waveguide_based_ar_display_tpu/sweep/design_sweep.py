@@ -121,29 +121,22 @@ def _chunk_perceiver(nd: int, n_cells: int, L: int, M: int, N: int,
     Assembles each design's (L, N, M, ny, nx) histogram from its
     Wald-renormalized cell tiles on device (reshape/transpose only — the
     cell grid is laid out (L, M, N)-major, cf. hist_tiles_to_histogram) and
-    applies the same strided pupil-window sums as
-    :func:`..eval.metrics.eye_perceived_jnp`."""
+    applies the same pupil-window integration as
+    :func:`..eval.metrics.eye_perceived_conv_jnp` (shared
+    :func:`..eval.metrics.pupil_conv` core)."""
     import jax as _jax
     import jax.numpy as _jnp
 
-    from ..eval.metrics import pupil_mask
+    from ..eval.metrics import pupil_conv, pupil_mask
 
-    y0s = range(0, ny - msize + 1, step_y)
-    x0s = range(0, nx - msize + 1, step_x)
     mask_np = pupil_mask(msize)
 
     @_jax.jit
     def perceive(tiles, factor):
-        mask = _jnp.asarray(mask_np, tiles.dtype)
         h = (tiles * factor[:, None, None])[:, :, :nx]
         h = h.reshape(nd, L, M, N, ny, nx).transpose(0, 1, 3, 2, 4, 5)
-        cols = []
-        for y0 in y0s:
-            row = [_jnp.einsum("...yx,yx->...",
-                               h[..., y0:y0 + msize, x0:x0 + msize], mask)
-                   for x0 in x0s]
-            cols.append(_jnp.stack(row, axis=-1))
-        return _jnp.stack(cols, axis=-2)
+        return pupil_conv(h, _jnp.asarray(mask_np, tiles.dtype),
+                          (step_y, step_x))
 
     return perceive
 

@@ -4,6 +4,10 @@
   100x75x3 grid with full metric evaluation.
 - DEMO_SWEEP=1 (default): 256-design batched sweep on the persistent kernel,
   reported as designs/hour.
+- DEMO_DENSE=1 (default): reference default workload with the DENSE
+  eye-position scan — metrics at every valid pupil position (the reference's
+  convolve2d version is commented out as too slow,
+  AR_system_evaluation_functions.py:77-89).
 
 Prints one JSON object per enabled demo.  These are the capabilities the
 reference cannot express (its driver hard-codes one design and ~5e3 rays/FoV,
@@ -53,6 +57,44 @@ if os.environ.get("DEMO_CONV", "1") != "0":
         "delta_e": round(res.metrics.delta_e, 3),
         "u_fov": round(res.metrics.u_fov, 5),
         "u_eyebox": round(res.metrics.u_eyebox, 5),
+    }
+    print(json.dumps(out), flush=True)
+
+if os.environ.get("DEMO_DENSE", "1") != "0":
+    from gpu_ray_tracing_for_waveguide_based_ar_display_tpu.engine.pipeline import (
+        Simulator,
+    )
+    from gpu_ray_tracing_for_waveguide_based_ar_display_tpu.eval.metrics import (
+        evaluate_dense,
+    )
+
+    cfg = TraceConfig(num_fov_x=100, num_fov_y=75, rays_per_fov=5000,
+                      max_bounces=100000, seed=0, rng_mode="fast",
+                      ic_test="circle")
+    sim = Simulator(cfg=cfg, engine="pallas_persistent",
+                    geometry_simplify_tol=0.05, persistent_slots=2048,
+                    spawn_mode="count", fold_iterations=True,
+                    pers_accum_mode="packed", pers_transit_jump=True)
+    t0 = time.perf_counter()
+    res = sim.run(num_iter=4, cells_per_batch=4500, evaluate_metrics=True,
+                  histogram_device=True, metrics_device=True,
+                  dense_metrics=True)
+    wall = time.perf_counter() - t0
+    # warm re-timing of the dense pass alone (value-independent cost)
+    t0 = time.perf_counter()
+    evaluate_dense(res.histogram, norm=1.0, chunk_rows=8)
+    dense_s = time.perf_counter() - t0
+    d = res.dense
+    out["dense_eyebox_ref_workload"] = {
+        "wall_s": round(wall, 1),
+        "dense_eval_s": round(dense_s, 2),
+        "eye_positions": list(d.eye_luminance.shape),
+        "dense_delta_e": round(d.delta_e, 3),
+        "dense_u_fov": round(d.u_fov, 5),
+        "dense_u_eyebox": round(d.u_eyebox, 5),
+        "dense_starved_eye_positions": d.starved_eye_positions,
+        "sampled_delta_e": round(res.metrics.delta_e, 3),
+        "sampled_u_fov": round(res.metrics.u_fov, 5),
     }
     print(json.dumps(out), flush=True)
 
