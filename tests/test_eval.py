@@ -191,6 +191,31 @@ def test_eye_perceived_conv_dense_matches_loop():
     np.testing.assert_allclose(b, a, rtol=3e-6, atol=1e-6)
 
 
+def test_dense_scan_matches_reference_convolve2d():
+    """Execute the reference's commented-out dense formulation
+    (AR_system_evaluation_functions.py:75-87: per-(lambda, FoV)
+    scipy.signal.convolve2d with the pupil mask, mode='valid') and pin the
+    XLA-conv path against it.  The pupil disc is 180-degree symmetric, so
+    true convolution equals the conv_general_dilated correlation."""
+    jnp = pytest.importorskip("jax.numpy")
+    convolve2d = pytest.importorskip("scipy.signal").convolve2d
+
+    rng = np.random.default_rng(8)
+    m = rng.uniform(size=(2, 3, 4, 24, 30)).astype(np.float32)
+    cfg = EvalConfig(pupil_mask_bins=8)
+    mask = metrics.pupil_mask(8)
+    n_epy, n_epx = 24 - 8 + 1, 30 - 8 + 1
+    ref = np.zeros((2, 3, 4, n_epy, n_epx))
+    for i in range(2):
+        for j in range(3):
+            for k in range(4):
+                ref[i, j, k] = convolve2d(m[i, j, k].astype(np.float64),
+                                          mask, mode="valid")
+    got = np.asarray(
+        metrics.eye_perceived_conv_jnp(jnp.asarray(m), cfg, stride=(1, 1)))
+    np.testing.assert_allclose(got, ref, rtol=3e-6, atol=1e-6)
+
+
 def test_evaluate_dense_chunked_matches_unchunked():
     jnp = pytest.importorskip("jax.numpy")
 

@@ -46,7 +46,7 @@ if os.environ.get("DEMO_CONV", "1") != "0":
                     pers_transit_jump=True)
     t0 = time.perf_counter()
     res = sim.run(num_iter=1, cells_per_batch=4500, evaluate_metrics=True,
-                  histogram_device=True)
+                  histogram_device=True, dense_metrics=True)
     wall = time.perf_counter() - t0
     out["convergence_1e6"] = {
         "wall_s": round(wall, 1),
@@ -57,6 +57,11 @@ if os.environ.get("DEMO_CONV", "1") != "0":
         "delta_e": round(res.metrics.delta_e, 3),
         "u_fov": round(res.metrics.u_fov, 5),
         "u_eyebox": round(res.metrics.u_eyebox, 5),
+        # the dense 4,641-position scan at 200x the reference sampling: how
+        # many eyebox-edge pupil positions remain MC-dark when converged
+        "dense_u_fov": round(res.dense.u_fov, 5),
+        "dense_u_eyebox": round(res.dense.u_eyebox, 5),
+        "dense_starved_eye_positions": res.dense.starved_eye_positions,
     }
     print(json.dumps(out), flush=True)
 
