@@ -67,9 +67,18 @@ class ApodizationResult:
 
 
 def _eyebox_objective(hist, L, M, N, ny, nx, n0, eff_weight,
-                      fov_uniformity_weight, eyebox_uniformity_weight):
+                      fov_uniformity_weight, eyebox_uniformity_weight,
+                      pupil=None):
     """Differentiable loss reductions of the zero-variance eyebox histogram:
-    maximize mean efficiency, minimize FoV / eyebox nonuniformity."""
+    maximize mean efficiency, minimize FoV / eyebox nonuniformity.
+
+    ``pupil``: optional (ms, ms) pupil-disc mask.  When given, the eyebox
+    term is the relative std of the PUPIL-INTEGRATED radiance over every
+    valid eye position (one differentiable conv via
+    :func:`..eval.metrics.pupil_conv`) instead of raw 0.1 mm bins — the
+    quantity the evaluation metrics actually score (a bin-level ripple finer
+    than the pupil is invisible to the eye and should not be penalized).
+    """
     eps = 1e-12
     h = hist.reshape(L, N, M, ny, nx)
     e_fov = h.sum(axis=(3, 4)) * (L * M * N / n0)   # (L, N, M) per-FoV eff
@@ -78,6 +87,10 @@ def _eyebox_objective(hist, L, M, N, ny, nx, n0, eff_weight,
     fov_nonuni = (jnp.sqrt(((e_fov - mu[:, None, None]) ** 2)
                            .mean(axis=(1, 2))) / (mu + eps)).mean()
     e_bins = h.sum(axis=(1, 2))                      # (L, ny, nx)
+    if pupil is not None:
+        from ..eval.metrics import pupil_conv
+
+        e_bins = pupil_conv(e_bins, pupil.astype(e_bins.dtype), (1, 1))
     mu_b = e_bins.mean(axis=(1, 2))
     eb_nonuni = (jnp.sqrt(((e_bins - mu_b[:, None, None]) ** 2)
                           .mean(axis=(1, 2))) / (mu_b + eps)).mean()
@@ -85,6 +98,17 @@ def _eyebox_objective(hist, L, M, N, ny, nx, n0, eff_weight,
            + fov_uniformity_weight * fov_nonuni
            + eyebox_uniformity_weight * eb_nonuni)
     return val, (eff, fov_nonuni, eb_nonuni)
+
+
+def _pupil_for(pupil_bins: int, ny: int, nx: int):
+    """The loss's pupil-disc mask, or None for raw-bin uniformity.
+
+    ``pupil_bins`` is clamped to the eyebox so tiny test grids stay valid."""
+    if pupil_bins <= 0:
+        return None
+    from ..eval.metrics import pupil_mask
+
+    return jnp.asarray(pupil_mask(min(pupil_bins, ny, nx)))
 
 
 def make_apodization_loss(
@@ -98,13 +122,16 @@ def make_apodization_loss(
     eff_weight: float = 1.0,
     fov_uniformity_weight: float = 1.0,
     eyebox_uniformity_weight: float = 0.25,
+    pupil_bins: int = 0,
 ):
     """Build ``loss(theta) -> (scalar, aux)`` plus the base table pytree.
 
     ``theta`` is a dict ``{"fc": (num_fc,), "oc": (num_oc,)}`` of
     pre-sigmoid parameters.  ``aux`` is ``(efficiency, fov_nonuni,
     eyebox_nonuni)`` — all differentiable reductions of the splitting
-    tracer's zero-variance eyebox histogram.
+    tracer's zero-variance eyebox histogram.  ``pupil_bins > 0`` scores the
+    eyebox term on pupil-integrated radiance (disc of that many bins over
+    every valid eye position) instead of raw bins.
     """
     T0 = trace_jnp._as_jnp(tables)
     trace = splitting.make_splitting_trace_fn(
@@ -114,6 +141,7 @@ def make_apodization_loss(
     ny, nx = cfg.eyebox_bins
     L, M, N = tables.L, tables.M, tables.N
     n0 = max(len(rays0["x"]), 1)
+    pupil = _pupil_for(pupil_bins, ny, nx)
 
     def loss(theta: Dict[str, jnp.ndarray]):
         s_fc = jax.nn.sigmoid(theta["fc"])
@@ -122,7 +150,7 @@ def make_apodization_loss(
         hist, out_w, _, _, _ = trace(rays0, T)
         return _eyebox_objective(hist, L, M, N, ny, nx, n0, eff_weight,
                                  fov_uniformity_weight,
-                                 eyebox_uniformity_weight)
+                                 eyebox_uniformity_weight, pupil=pupil)
 
     return loss, T0
 
@@ -214,6 +242,7 @@ def make_grating_loss(
     eff_weight: float = 1.0,
     fov_uniformity_weight: float = 1.0,
     eyebox_uniformity_weight: float = 0.25,
+    pupil_bins: int = 0,
 ):
     """Build ``loss(theta) -> (scalar, aux)`` over grating design parameters.
 
@@ -243,6 +272,7 @@ def make_grating_loss(
     L, M, N = tables.L, tables.M, tables.N
     n0 = max(len(rays0["x"]), 1)
     base = design_params(design)
+    pupil = _pupil_for(pupil_bins, ny, nx)
 
     def loss(theta: Dict[str, jnp.ndarray]):
         p = dict(base)
@@ -255,7 +285,7 @@ def make_grating_loss(
         hist, out_w, _, _, _ = trace(rays0, T)
         return _eyebox_objective(hist, L, M, N, ny, nx, n0, eff_weight,
                                  fov_uniformity_weight,
-                                 eyebox_uniformity_weight)
+                                 eyebox_uniformity_weight, pupil=pupil)
 
     return loss, T0
 

@@ -94,6 +94,48 @@ def test_gradients_finite_and_nonzero(setup):
         assert np.abs(gk).max() > 0, (k, gk)
 
 
+def test_pupil_integrated_loss_gradients(setup):
+    """pupil_bins > 0 scores the eyebox term on pupil-integrated radiance
+    (differentiable conv); gradients stay finite/nonzero and the objective
+    differs from the raw-bin form (a bin-level ripple finer than the pupil
+    is invisible and must not be penalized the same)."""
+    geom, tables, tgeom, cfg, rays = setup
+    kw = dict(capacity=1024, fixed_steps=32)
+    loss_raw, _ = make_apodization_loss(tables, tgeom, cfg, rays, **kw)
+    loss_pup, _ = make_apodization_loss(tables, tgeom, cfg, rays,
+                                        pupil_bins=6, **kw)
+    theta = {"fc": jnp.full((tgeom.num_fc,), 2.0),
+             "oc": jnp.full((tgeom.num_oc,), 2.0)}
+    (v_raw, aux_raw), _ = jax.value_and_grad(loss_raw, has_aux=True)(theta)
+    (v_pup, aux_pup), g = jax.value_and_grad(loss_pup, has_aux=True)(theta)
+    assert np.isfinite(float(v_pup))
+    # efficiency / FoV terms are untouched; the eyebox nonuniformity differs
+    assert float(aux_pup[0]) == pytest.approx(float(aux_raw[0]), rel=1e-6)
+    assert float(aux_pup[1]) == pytest.approx(float(aux_raw[1]), rel=1e-6)
+    assert float(aux_pup[2]) != pytest.approx(float(aux_raw[2]), rel=1e-3)
+    # pupil integration is a smoother: integrated nonuniformity is lower
+    assert float(aux_pup[2]) < float(aux_raw[2])
+    for k in ("fc", "oc"):
+        gk = np.asarray(g[k])
+        assert np.isfinite(gk).all(), (k, gk)
+        assert np.abs(gk).max() > 0, (k, gk)
+
+
+def test_pupil_objective_uniform_field_is_zero():
+    """A spatially uniform eyebox has zero pupil-integrated nonuniformity
+    (interior positions all integrate the same disc area)."""
+    from gpu_ray_tracing_for_waveguide_based_ar_display_tpu.opt.grating_opt import (
+        _eyebox_objective, _pupil_for,
+    )
+
+    L, M_, N_, ny, nx = 2, 3, 2, 12, 16
+    hist = jnp.ones((L * M_ * N_, ny, nx), jnp.float32).reshape(-1, ny, nx)
+    pupil = _pupil_for(6, ny, nx)
+    _, aux = _eyebox_objective(hist.reshape(L * N_ * M_, ny, nx), L, M_, N_,
+                               ny, nx, 1, 1.0, 1.0, 1.0, pupil=pupil)
+    assert float(aux[2]) == pytest.approx(0.0, abs=1e-6)
+
+
 def test_optimizer_improves_loss(setup):
     geom, tables, tgeom, cfg, rays = setup
     res = optimize_apodization(geom, tables, tgeom, cfg, rays_per_fov=8,
