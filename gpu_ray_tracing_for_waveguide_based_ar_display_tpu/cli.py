@@ -134,16 +134,13 @@ def cmd_simulate(args) -> int:
         for k, v in res.metric_stderr.items():
             print(f"  {k:<10} +/- {v:.3g}")
     if res.dense is not None:
-        d = res.dense
-        n_epy, n_epx = d.eye_luminance.shape
-        print(f"dense eye-position scan ({n_epy}x{n_epx} = "
-              f"{n_epy * n_epx:,} pupil positions):")
-        print(f"  delta_e={d.delta_e:.3f} u_fov={d.u_fov:.4f} "
-              f"u_eyebox={d.u_eyebox:.4f} starved={d.starved_eye_positions}")
+        # the dense metric lines are part of format_report; here only the
+        # optional luminance-map export remains
         if args.dense_eyebox and args.dense_eyebox != "-":
             from .eval.image import save_eyebox_luminance_map
 
-            save_eyebox_luminance_map(args.dense_eyebox, d.eye_luminance)
+            save_eyebox_luminance_map(args.dense_eyebox,
+                                      res.dense.eye_luminance)
             print(f"dense eyebox luminance map written to {args.dense_eyebox}")
     if args.image and res.metrics is not None:
         save_eyebox_center_view(args.image, res.metrics.output_image)

@@ -1036,4 +1036,13 @@ def format_report(result: SimulationResult) -> str:
                 f"  [unconverged: {n} eye position(s) have empty (FoV, eye) "
                 "bins at this sample budget; u_eyebox/u_fov are biased low — "
                 "raise rays_per_fov or num_iter]")
+    if result.dense is not None:
+        d = result.dense
+        n_epy, n_epx = d.eye_luminance.shape
+        lines += [
+            f"Dense scan ({n_epy}x{n_epx} = {n_epy * n_epx:,} eye positions):",
+            f"  delta_e {d.delta_e:.3f}  u_fov {d.u_fov * 100:.2f} %  "
+            f"u_eyebox {d.u_eyebox * 100:.2f} %  "
+            f"starved {d.starved_eye_positions}",
+        ]
     return "\n".join(lines)
