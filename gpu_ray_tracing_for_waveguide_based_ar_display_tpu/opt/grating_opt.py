@@ -103,12 +103,21 @@ def _eyebox_objective(hist, L, M, N, ny, nx, n0, eff_weight,
 def _pupil_for(pupil_bins: int, ny: int, nx: int):
     """The loss's pupil-disc mask, or None for raw-bin uniformity.
 
-    ``pupil_bins`` is clamped to the eyebox so tiny test grids stay valid."""
+    ``pupil_bins`` is clamped to the eyebox so tiny test grids stay valid,
+    but a pupil that leaves only one valid eye position would make the
+    integrated nonuniformity identically zero — the term would silently
+    stop contributing, so that is an error, not a clamp."""
     if pupil_bins <= 0:
         return None
+    ms = min(pupil_bins, ny, nx)
+    if (ny - ms + 1) * (nx - ms + 1) < 2:
+        raise ValueError(
+            f"pupil_bins={pupil_bins} leaves <2 valid eye positions on the "
+            f"({ny}, {nx}) eyebox — the pupil-integrated uniformity term "
+            f"would be identically 0; use a smaller pupil or pupil_bins=0")
     from ..eval.metrics import pupil_mask
 
-    return jnp.asarray(pupil_mask(min(pupil_bins, ny, nx)))
+    return jnp.asarray(pupil_mask(ms))
 
 
 def make_apodization_loss(

@@ -117,6 +117,44 @@ def shard_ray_batch(rays: dict, mesh: Mesh) -> dict:
     return {k: jax.device_put(jnp.asarray(v), sharding) for k, v in rays.items()}
 
 
+def _classify_rays(cell_params, geom_row, rays_in, n_dev: int) -> bool:
+    """Shared discriminator/validator for the cell-sharding wrappers: is
+    ``rays_in`` the shared per-design tile form (replicate) or per-cell
+    blocks (shard with the cell axis)?
+
+    The persistent kernel accepts ``rays_in`` with leading dim ``Cb``
+    (per-cell-block tiles, where Cb = C / cells_per_block) or ``D``
+    (one shared tile per design, ``D = geom_row.shape[0]``), so the design
+    axis is the exact discriminator.  Two configurations cannot shard
+    soundly and are rejected loudly instead of producing silently wrong
+    fan-out (the kernel's BlockSpec index maps are computed from the LOCAL
+    cell count inside shard_map, so multi-design layouts would assign the
+    wrong design's rows to cells on devices past the first):
+
+    - shared tiles with ``D > 1`` on a multi-device mesh axis;
+    - per-cell tiles whose block count differs from the cell count
+      (``cells_per_block > 1``) — block rows would misalign with the
+      cell shards.
+    """
+    D = geom_row.shape[0]
+    C = cell_params.shape[0]
+    nr = rays_in.shape[0]
+    shared = nr == D and nr != C
+    if n_dev > 1:
+        if D > 1:
+            raise ValueError(
+                f"cell-axis sharding supports one design per call on a "
+                f"multi-device mesh (geom_row has {D} design rows; the "
+                f"kernel's per-device fan-out would mix designs) — group "
+                f"sweep designs per device or use a single-design call")
+        if not shared and nr != C:
+            raise ValueError(
+                f"per-cell ray tiles must have one row per cell to shard "
+                f"(got {nr} rows for {C} cells; cells_per_block > 1 does "
+                f"not compose with cell-axis sharding)")
+    return shared
+
+
 def make_sharded_cell_trace_fn(pers_fn, mesh: Mesh, axis: str = "rays",
                                packed: bool = False):
     """Shard the *cell* axis of the persistent Pallas tracer over a mesh.
@@ -178,7 +216,8 @@ def make_sharded_cell_trace_fn(pers_fn, mesh: Mesh, axis: str = "rays",
             raise ValueError(
                 f"{cell_params.shape[0]} cells do not divide over {n_dev} "
                 f"devices of mesh axis {axis!r}")
-        sharded = _sharded(rays_in.shape[0] != cell_params.shape[0])
+        sharded = _sharded(_classify_rays(cell_params, geom_row, rays_in,
+                                          n_dev))
         if packed:
             if cell_params_packed is None:
                 raise ValueError("packed=True needs cell_params_packed")
@@ -322,8 +361,9 @@ def make_2d_sharded_cell_trace_fn(pers_fn, mesh: Mesh,
 
     def trace(cell_params, geom_row, rays_in, rng_in, ctrl,
               cell_params_packed=None):
-        sharded = _sharded(rays_in.shape[0] != cell_params.shape[0])
         n_cell = mesh.shape[cell_axis]
+        sharded = _sharded(_classify_rays(cell_params, geom_row, rays_in,
+                                          n_cell))
         n_samp = mesh.shape[sample_axis]
         if cell_params.shape[0] % n_cell:
             raise ValueError(

@@ -374,3 +374,42 @@ def test_2d_mesh_cells_x_samples_bitwise():
         traced(cp[:n_cells - 1], gr, rays_in, jnp.asarray(rng_dev), ctrl)
     with pytest.raises(ValueError, match="samples"):
         traced(cp, gr, rays_in, jnp.asarray(rng_dev[:1]), ctrl)
+
+
+def test_classify_rays_guards():
+    """The cell-sharding wrappers' shared/per-cell discriminator: shared
+    per-design tiles replicate, per-cell blocks shard, and the two layouts
+    that would silently fan out the wrong rows on a multi-device mesh are
+    rejected loudly (multi-design shared tiles; cells_per_block > 1)."""
+    from gpu_ray_tracing_for_waveguide_based_ar_display_tpu.parallel.shard import (
+        _classify_rays,
+    )
+
+    cp = np.zeros((8, 4))          # 8 cells
+    gr1 = np.zeros((1, 3))         # one design
+    gr2 = np.zeros((2, 3))         # two designs
+    per_cell = np.zeros((8, 6, 1, 128))
+    shared1 = np.zeros((1, 6, 1, 128))
+
+    assert _classify_rays(cp, gr1, per_cell, 4) is False
+    assert _classify_rays(cp, gr1, shared1, 4) is True
+    # single device: anything the kernel accepts is fine
+    assert _classify_rays(cp, gr2, np.zeros((2, 6, 1, 128)), 1) is True
+
+    with pytest.raises(ValueError, match="one design per call"):
+        _classify_rays(cp, gr2, np.zeros((2, 6, 1, 128)), 4)
+    with pytest.raises(ValueError, match="cells_per_block"):
+        _classify_rays(cp, gr1, np.zeros((4, 6, 1, 128)), 4)
+
+
+def test_pupil_loss_degenerate_pupil_raises():
+    """A pupil that leaves <2 valid eye positions would zero the integrated
+    uniformity term silently; _pupil_for must reject it."""
+    from gpu_ray_tracing_for_waveguide_based_ar_display_tpu.opt.grating_opt import (
+        _pupil_for,
+    )
+
+    assert _pupil_for(0, 24, 24) is None
+    assert _pupil_for(6, 24, 24) is not None
+    with pytest.raises(ValueError, match="eye positions"):
+        _pupil_for(30, 24, 24)
