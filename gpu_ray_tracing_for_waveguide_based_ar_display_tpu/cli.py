@@ -99,6 +99,22 @@ def cmd_simulate(args) -> int:
                 f"(use XLA_FLAGS=--xla_force_host_platform_device_count=N "
                 f"JAX_PLATFORMS=cpu for a virtual mesh)")
         mesh = Mesh(np.asarray(devs[:args.mesh]), ("cells",))
+    # fail fast on missing optional viz deps BEFORE the expensive trace: the
+    # dense-eyebox / heatmap exports import matplotlib only after the full
+    # simulation, which used to throw the ImportError away with the run
+    # (ADVICE r3)
+    needs_mpl = [name for flag, name in (
+        (args.dense_eyebox and args.dense_eyebox != "-", "--dense-eyebox PNG"),
+        (args.heatmaps, "--heatmaps"),
+    ) if flag]
+    if needs_mpl:
+        try:
+            import matplotlib  # noqa: F401
+        except ImportError:
+            raise SystemExit(
+                f"matplotlib is required for {', '.join(needs_mpl)} — "
+                "install the viz extra (pip install '.[viz]') or drop the "
+                "PNG export (use '--dense-eyebox -' for metrics only)")
     cfg = TraceConfig(
         num_fov_x=args.fov_x, num_fov_y=args.fov_y,
         rays_per_fov=args.rays_per_fov, num_iter=args.num_iter,

@@ -23,12 +23,16 @@ def hull_candidates(points: np.ndarray) -> np.ndarray:
     """Indices of points that can be hull vertices (Akl-Toussaint prefilter).
 
     Drops points strictly inside the octagon spanned by the 8 extreme points
-    (min/max of x, y, x+y, x-y).  Exact-conservative: the returned subset
-    contains every hull vertex of the full set, in the original relative
-    order — and qhull's output *ring* on the subset is bitwise-identical to
-    the full-set ring (pinned by tests/test_convex.py and the design fuzz;
-    ~4% of the design pipeline's 30k-point clouds survive, cutting the hull
-    cost ~2.5x).  Degenerate inputs fall back to "keep everything"."""
+    (min/max of x, y, x+y, x-y).  Exact-conservative for non-degenerate
+    inputs: the returned subset contains every hull vertex of the full set,
+    in the original relative order — and qhull's output *ring* on the subset
+    matches the full-set ring (pinned by tests/test_convex.py and the design
+    fuzz; ~4% of the design pipeline's 30k-point clouds survive, cutting the
+    hull cost ~2.5x).  The strictly-inside slack scales with the data: the
+    f64 cross-product rounding error grows ~eps * R^2 with the coordinate
+    magnitude R, so an absolute 1e-12 would misclassify boundary-grazing
+    hull vertices once |coords| reaches ~1e2 (ADVICE r3).  Degenerate inputs
+    fall back to "keep everything"."""
     points = np.asarray(points, dtype=np.float64)
     x, y = points[:, 0], points[:, 1]
     proj = np.stack([x, y, x + y, x - y], axis=0)
@@ -43,11 +47,16 @@ def hull_candidates(points: np.ndarray) -> np.ndarray:
     a = oh
     b = np.roll(oh, -1, axis=0)
     ex, ey = (b - a)[:, 0], (b - a)[:, 1]
+    # conservative strictly-inside slack, scaled to the squared coordinate
+    # magnitude (the cross product is a difference of coordinate products,
+    # so its rounding error is ~eps * R^2, not an absolute constant)
+    r_max = float(np.max(np.abs(points))) if len(points) else 1.0
+    tol = 64.0 * np.finfo(np.float64).eps * max(1.0, r_max) ** 2
     inside = np.ones(len(points), dtype=bool)
     for i in range(len(oh)):
-        # strictly left of every CCW edge, with a conservative slack so
+        # strictly left of every CCW edge, with the conservative slack so
         # boundary-grazing points are kept
-        inside &= (ex[i] * (y - a[i, 1]) - ey[i] * (x - a[i, 0])) > 1e-12
+        inside &= (ex[i] * (y - a[i, 1]) - ey[i] * (x - a[i, 0])) > tol
     return np.flatnonzero(~inside)
 
 

@@ -199,6 +199,18 @@ def make_persistent_trace_fn(cfg: TraceConfig, num_fc: int, num_oc: int,
         assert accum_mode == "packed" and cpb == 1, (
             "transit_jump requires accum_mode='packed', cells_per_block=1")
         assert jump_phase in ("cos", "pow2"), jump_phase
+    if accum_mode == "bf16" and not interpret:
+        # the direct bf16 vector selection faults the current axon Mosaic
+        # toolchain on v5e (TPU worker crash — see the accum_mode=="bf16"
+        # branch below); fail loudly instead of crashing the worker.  The
+        # packed mode delivers the same bandwidth saving and IS
+        # production-validated; bf16 stays available in interpret mode as the
+        # documented measurement.
+        raise NotImplementedError(
+            "accum_mode='bf16' is interpret-mode only: its Mosaic lowering "
+            "crashes the TPU worker on the current toolchain. Use "
+            "accum_mode='packed' (same bf16 bandwidth saving, validated) or "
+            "pass interpret=True.")
     ny, nx = cfg.eyebox_bins
     assert nx <= NY_PAD
     assert flush_w >= 4 and (flush_w & (flush_w - 1)) == 0, flush_w

@@ -457,3 +457,40 @@ def test_design_sweep_persistent_cells_per_block():
     np.testing.assert_array_equal(a.efficiencies, b.efficiencies)
     np.testing.assert_array_equal(a.bounces, b.bounces)
     np.testing.assert_array_equal(a.histograms, b.histograms)
+
+
+def test_cli_dense_eyebox_png_fails_fast_without_matplotlib(monkeypatch):
+    """A PNG export that needs matplotlib must fail BEFORE the trace when the
+    viz extra is missing, not after the expensive simulation (ADVICE r3)."""
+    import builtins
+    import sys
+
+    from gpu_ray_tracing_for_waveguide_based_ar_display_tpu.cli import main
+
+    real_import = builtins.__import__
+
+    def no_mpl(name, *a, **kw):
+        if name == "matplotlib" or name.startswith("matplotlib."):
+            raise ImportError("matplotlib disabled for test")
+        return real_import(name, *a, **kw)
+
+    for mod in [m for m in sys.modules if m.startswith("matplotlib")]:
+        monkeypatch.delitem(sys.modules, mod)
+    monkeypatch.setattr(builtins, "__import__", no_mpl)
+    traced = []
+    # tracing must never start: poison Simulator.run
+    from gpu_ray_tracing_for_waveguide_based_ar_display_tpu.engine import (
+        pipeline,
+    )
+
+    monkeypatch.setattr(pipeline.Simulator, "run",
+                        lambda self, *a, **kw: traced.append(1))
+    import pytest
+
+    with pytest.raises(SystemExit, match="matplotlib"):
+        main(["simulate", "--fov-x", "4", "--fov-y", "3",
+              "--rays-per-fov", "40", "--num-iter", "1",
+              "--max-bounces", "64", "--dense-eyebox", "/tmp/never.png"])
+    assert not traced
+    # metrics-only dense scan ('-') must still work without matplotlib
+    # (no PNG): not asserted here to keep the test fast.

@@ -229,3 +229,35 @@ def test_hull_prefilter_ring_bitwise():
     # degenerate inputs fall back to keep-everything (no crash, exact hull)
     line = np.stack([np.linspace(0, 1, 5000), np.linspace(0, 2, 5000)], axis=1)
     assert len(convex.hull_candidates(line)) == 5000
+
+
+def test_hull_prefilter_scale_invariant_slack():
+    """The prefilter's strictly-inside slack must scale with the coordinate
+    magnitude (ADVICE r3): at |coords| ~ 1e3+ the f64 cross-product rounding
+    error exceeds an absolute 1e-12, so a true hull vertex lying within
+    rounding of an octagon edge would be silently dropped with a fixed
+    slack.  Construct exactly that: collinear-up-to-rounding boundary points
+    on a large-magnitude cloud, and check the hull ring survives filtering."""
+    from scipy.spatial import ConvexHull
+
+    rng = np.random.default_rng(11)
+    for scale in (1.0, 1e2, 1e4, 1e6):
+        # dense cloud + points ON the octagon boundary (midpoints of extreme
+        # -point pairs are exactly the rounding-critical case)
+        pts = (rng.normal(size=(8000, 2)) + 3.0) * scale
+        x, y = pts[:, 0], pts[:, 1]
+        proj = np.stack([x, y, x + y, x - y], axis=0)
+        ei = np.unique(np.concatenate([proj.argmin(axis=1),
+                                       proj.argmax(axis=1)]))
+        ring = pts[ei]
+        mids = (ring + np.roll(ring, -1, axis=0)) / 2.0
+        cloud = np.concatenate([pts, mids])
+        ring_plain = cloud[ConvexHull(cloud).vertices]
+        ring_fast = convex.convex_hull(
+            cloud) if len(cloud) > 4096 else None
+        cand = convex.hull_candidates(cloud)
+        kept = set(map(tuple, cloud[cand]))
+        for v in ring_plain:
+            assert tuple(v) in kept, (scale, v)
+        if ring_fast is not None:
+            np.testing.assert_array_equal(ring_plain, ring_fast)

@@ -238,3 +238,70 @@ def test_fused_cell_tables_batch_bitwise():
         [trace_pallas_persistent.pack_selection_params(c, 7, 6)
          for c in (cp_s[:C], cp_s[C:])], axis=0)
     assert np.array_equal(cpk_b, cpk_s)
+
+
+# ---------------------------------------------------------------------------
+# Manifest validation fuzz (VERDICT r3 #7): every malformed-file class must be
+# rejected at LOAD time with an error naming the file and the expected layout
+# (the real Drive RCWA files have never been reachable offline, so the loader
+# is the guard for the day they arrive; download_lut.py:13-19).
+
+
+def _fresh_files(tmp_path):
+    geom = generate_geometry(num_fov_x=4, num_fov_y=3)
+    luts = make_synthetic_luts(geom)
+    _write_files(luts, tmp_path)
+    return luts
+
+
+@pytest.mark.parametrize("mutation, match", [
+    # (key, transform) -> expected error-message fragment
+    (("ic2", lambda a: a[0]), "wavelength"),          # 3-D: λ axis dropped
+    (("oc1", lambda a: a[..., :30]), "channel"),      # too few channels
+    (("fc2", lambda a: a.real.astype(np.float32)), "complex"),
+    (("ic1", lambda a: a[:, :3]), "grid"),            # inconsistent (L,M,N)
+    (("fc1", lambda a: a[:5]), "strip"),              # fc1/fc2 strip mismatch
+])
+def test_load_luts_rejects_malformed_files(tmp_path, mutation, match):
+    luts = _fresh_files(tmp_path)
+    (key, fn) = mutation
+    np.save(tmp_path / _FILES[key], fn(np.asarray(getattr(luts, key))))
+    with pytest.raises(ValueError, match=match):
+        load_luts(str(tmp_path))
+
+
+def test_load_luts_rejects_nonfinite_and_corrupt(tmp_path):
+    luts = _fresh_files(tmp_path)
+    bad = np.asarray(luts.ic3).copy()
+    bad[0, 0, 0, 0] = np.nan
+    np.save(tmp_path / _FILES["ic3"], bad)
+    with pytest.raises(ValueError, match="non-finite"):
+        load_luts(str(tmp_path))
+    # truncated/corrupt file: np.load fails -> ValueError naming the file
+    _fresh_files(tmp_path)
+    with open(tmp_path / _FILES["oc2"], "wb") as f:
+        f.write(b"\x93NUMPY garbage")
+    with pytest.raises(ValueError, match="lut_oc2"):
+        load_luts(str(tmp_path))
+
+
+def test_load_luts_fuzzed_random_mutations(tmp_path):
+    """Randomized structural fuzz: axis drops/permutes, channel cuts, dtype
+    casts — every mutation must either load (if still layout-conformant) or
+    raise a ValueError that names the broken file."""
+    rng = np.random.default_rng(0)
+    mutators = [
+        lambda a: a[..., : rng.integers(1, 10)],            # channel cut
+        lambda a: a.real.astype(np.float64),                # real dtype
+        lambda a: a[None],                                  # extra axis
+        lambda a: np.swapaxes(a, 0, -1) if a.ndim else a,   # axis permute
+        lambda a: a.reshape(-1),                            # flattened
+    ]
+    keys = list(_FILES)
+    for trial in range(10):
+        luts = _fresh_files(tmp_path)
+        key = keys[int(rng.integers(len(keys)))]
+        mut = mutators[int(rng.integers(len(mutators)))]
+        np.save(tmp_path / _FILES[key], mut(np.asarray(getattr(luts, key))))
+        with pytest.raises(ValueError, match=f"lut_{key}"):
+            load_luts(str(tmp_path))

@@ -578,3 +578,16 @@ def test_transit_jump_design_fuzz():
         assert abs(b1 - b0) / b0 < 0.005, (pk, b0, b1)
         assert nb1[:, 1].sum() < nb0[:, 1].sum(), pk
         assert int(nb1[:, 3].sum()) == 0, pk
+
+
+def test_bf16_accum_mode_raises_on_compiled_path(setup):
+    """accum_mode='bf16' crashes the TPU worker under the current Mosaic
+    toolchain (documented dead end); the compiled path must refuse loudly
+    instead of relying on the caller reading the docstring (VERDICT r3 #8)."""
+    geom, tgeom, cfg, n_cells, cp, gr, rays_in, rng_in = setup
+    import pytest
+
+    with pytest.raises(NotImplementedError, match="interpret"):
+        trace_pallas_persistent.make_persistent_trace_fn(
+            cfg, tgeom.num_fc, tgeom.num_oc, RT, gens=2, interpret=False,
+            max_iters=1300, accum_mode="bf16")
