@@ -88,9 +88,10 @@ class Simulator:
         pers_cells_per_block: int = 1,
         pers_transit_jump: bool = False,
         pers_jump_phase: str = "pow2",
-        splitting_capacity: int = 1 << 16,
+        splitting_capacity: Optional[int] = None,
         splitting_threshold: float = 1e-6,
         splitting_max_steps: int = 1024,
+        splitting_percell: bool = True,
     ):
         if engine not in ("jnp", "pallas", "pallas_persistent", "cellblock",
                           "splitting"):
@@ -203,20 +204,46 @@ class Simulator:
             # (engine/splitting.py) producing the *exact* branch expectation
             # of the MC tracer for the traced launch positions.  rays_per_fov
             # becomes the pupil-quadrature point count per cell; num_iter > 1
-            # adds further independent position batches.  Use small FoV grids:
-            # cost scales with the branch-tree width, not ray count.
+            # adds further independent position batches.
+            #
+            # Default mode (splitting_percell=True) runs ONE wavefront buffer
+            # of ``splitting_capacity`` slots PER CELL, vmapped over the cell
+            # chunk — the production-scale engine: cost scales with
+            # cells x per-cell tree width, memory with
+            # cells_per_batch x capacity, and the full reference grid
+            # (22,500 cells) evaluates exactly in bounded memory.
+            # splitting_percell=False keeps the legacy single shared buffer
+            # (cost scales with the whole batch's tree width; small grids
+            # only; the differentiable opt path uses this engine).
             from . import splitting
 
+            if splitting_capacity is None:
+                # engine-appropriate defaults: the per-cell buffer needs to
+                # hold ONE cell's peak tree width (~2.5k slots per launch
+                # position at threshold 1e-6, measured); the legacy shared
+                # buffer holds the whole batch's
+                splitting_capacity = 8192 if splitting_percell else 1 << 16
             self._split_capacity = splitting_capacity
-            self._split_trace = splitting.make_splitting_trace_fn(
-                self.tables, self.tgeom, cfg, capacity=splitting_capacity,
-                weight_threshold=splitting_threshold,
-                max_steps=splitting_max_steps)
+            self._split_percell = splitting_percell
+            if splitting_percell:
+                self._split_trace_cells = {}  # per_cell_seeds -> jitted trace
+                self._split_kw = dict(
+                    capacity=splitting_capacity,
+                    weight_threshold=splitting_threshold,
+                    max_steps=splitting_max_steps)
+            else:
+                self._split_trace = splitting.make_splitting_trace_fn(
+                    self.tables, self.tgeom, cfg, capacity=splitting_capacity,
+                    weight_threshold=splitting_threshold,
+                    max_steps=splitting_max_steps)
             # running weight-loss diagnostics (per run() call the caller can
             # difference these; truncated must stay ~0 for the zero-variance
-            # guarantee — warned about in trace_batch)
+            # guarantee — warned about in trace_batch).  split_peak_live
+            # tracks the widest per-cell wavefront seen (per-cell mode), the
+            # capacity-sizing diagnostic.
             self.split_truncated = 0.0
             self.split_pruned = 0.0
+            self.split_peak_live = 0
         elif engine == "pallas_persistent":
             self._cp = trace_pallas.build_kernel_cell_params(
                 self.tables, self.geom.eyebox_range,
@@ -286,6 +313,9 @@ class Simulator:
         if self.engine == "splitting":
             import warnings
 
+            if self._split_percell:
+                return self._trace_batch_splitting_cells(
+                    batch, cell_ids, rays_per_cell)
             if 2 * len(batch["x"]) > self._split_capacity:
                 raise ValueError(
                     f"{len(batch['x'])} launch rays cannot even seed the "
@@ -361,6 +391,60 @@ class Simulator:
         import jax.numpy as jnp
 
         return hist, jnp.sum(nb[:, 0]), len(batch["x"])
+
+    def _trace_batch_splitting_cells(self, batch: dict, cell_ids: np.ndarray,
+                                     rays_per_cell: int):
+        """Per-cell-wavefront exact trace of one cell chunk (VERDICT r3 #1).
+
+        Every cell gets its own ``splitting_capacity``-slot buffer (vmapped),
+        so capacity needs scale with per-cell tree width only — the full
+        reference grid evaluates exactly with a few-thousand-slot buffer.
+        Weight ledgers accumulate on the Simulator; any truncation (buffer
+        overflow) warns loudly with the observed peak width so the caller can
+        raise ``splitting_capacity``."""
+        import warnings
+
+        import jax.numpy as jnp
+
+        from . import splitting
+
+        C = len(cell_ids)
+        P = rays_per_cell
+        shared = bool(self.cfg.shared_pupil_samples)
+        te = np.asarray(batch["te"], np.complex128).reshape(C, P)
+        tm = np.asarray(batch["tm"], np.complex128).reshape(C, P)
+        x = np.asarray(batch["x"], np.float64).reshape(C, P)
+        y = np.asarray(batch["y"], np.float64).reshape(C, P)
+        if shared:
+            x, y, te, tm = x[0], y[0], te[0], tm[0]
+        seeds = {
+            "x": jnp.asarray(x, jnp.float32),
+            "y": jnp.asarray(y, jnp.float32),
+            "ter": jnp.asarray(te.real, jnp.float32),
+            "tei": jnp.asarray(te.imag, jnp.float32),
+            "tmr": jnp.asarray(tm.real, jnp.float32),
+            "tmi": jnp.asarray(tm.imag, jnp.float32),
+        }
+        if shared not in self._split_trace_cells:
+            self._split_trace_cells[shared] = splitting.make_splitting_cells_fn(
+                self.tables, self.tgeom, self.cfg,
+                per_cell_seeds=not shared, **self._split_kw)
+        tiles, _out_w, trunc, pruned, steps, peak = self._split_trace_cells[
+            shared](jnp.asarray(np.asarray(cell_ids), jnp.int32), seeds)
+        self.split_pruned += float(jnp.sum(pruned))
+        tr = float(jnp.sum(trunc))
+        self.split_truncated += tr
+        pk = int(jnp.max(peak))
+        self.split_peak_live = max(self.split_peak_live, pk)
+        if tr > 0:
+            warnings.warn(
+                f"splitting wavefront truncated {tr:.3g} weight "
+                f"(peak live width {pk}/{self._split_capacity} slots) — the "
+                "expectation is biased low; raise splitting_capacity")
+        ny, nx = self.cfg.eyebox_bins
+        hist = splitting.cells_tiles_to_histogram(
+            tiles, np.asarray(cell_ids), self.L, self.M, self.N, ny, nx)
+        return hist, int(steps), C * P
 
     def trace_batch_compacted(
         self, cell_ids: np.ndarray, rays_per_cell: int, iteration: int,
@@ -720,6 +804,13 @@ class Simulator:
         """
         rpf = rays_per_fov if rays_per_fov is not None else self.cfg.rays_per_fov
         iters = num_iter if num_iter is not None else self.cfg.num_iter
+        if self.engine == "splitting" and self._split_percell:
+            # bound device memory: chunk slots (cells x capacity) to ~2M
+            # (x ~11 SoA leaves x 4 B x 2 for the children concat ~ 190 MB);
+            # SPLIT_SLOT_BUDGET overrides for probing
+            budget = int(os.environ.get("SPLIT_SLOT_BUDGET", 1 << 21))
+            cells_per_batch = max(
+                1, min(cells_per_batch, budget // self._split_capacity))
         if error_groups:
             if self.engine != "pallas_persistent" or iters < 2:
                 raise ValueError(

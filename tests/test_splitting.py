@@ -105,40 +105,128 @@ def test_splitting_energy_conservation(setup):
     assert res.histogram.sum() == pytest.approx(res.out_coupled, rel=1e-5)
 
 
+def test_splitting_percell_matches_global(setup):
+    """The per-cell production engine must reproduce the legacy shared-buffer
+    engine's exact expectation when neither truncates: identical pruned
+    ledger and step count, per-bin agreement to float-add-order noise."""
+    geom, tables, tgeom = setup
+    import jax.numpy as jnp
+
+    cells = np.arange(3 * M * N)
+    P = 4
+    cfg = TraceConfig(num_fov_x=M, num_fov_y=N, rays_per_fov=P,
+                      max_bounces=400, rng_mode="fast", seed=2)
+    _, rays0 = _rays(geom, cfg, cells, P)
+    direct = splitting.run_splitting(
+        tables, tgeom, cfg, rays0, capacity=1 << 17,
+        weight_threshold=1e-5, max_steps=300)
+    assert direct.truncated == 0.0
+
+    batch1 = seeding.build_ray_batch(geom, cfg, cell_ids=cells[:1],
+                                     rays_per_cell=P)
+    te = np.asarray(batch1["te"])
+    tm = np.asarray(batch1["tm"])
+    seeds = {
+        "x": jnp.asarray(batch1["x"], jnp.float32),
+        "y": jnp.asarray(batch1["y"], jnp.float32),
+        "ter": jnp.asarray(te.real, jnp.float32),
+        "tei": jnp.asarray(te.imag, jnp.float32),
+        "tmr": jnp.asarray(tm.real, jnp.float32),
+        "tmi": jnp.asarray(tm.imag, jnp.float32),
+    }
+    pc = splitting.run_splitting_cells(
+        tables, tgeom, cfg, cells, seeds, capacity=8192,
+        weight_threshold=1e-5, max_steps=300)
+    assert pc.truncated == 0.0
+    assert 0 < pc.peak_live < 8192
+    assert pc.steps == direct.steps
+    assert pc.pruned == pytest.approx(direct.pruned, rel=1e-4)
+    a, b = direct.histogram, pc.histogram
+    np.testing.assert_allclose(b, a, rtol=2e-4, atol=1e-10)
+    assert pc.out_coupled == pytest.approx(direct.out_coupled, rel=1e-5)
+
+
+def test_splitting_percell_truncation_ledger(setup):
+    """Overflowing a deliberately tiny per-cell buffer must be *accounted*:
+    deposited + truncated + pruned stays <= launch weight, truncated > 0,
+    and peak_live reports a width above capacity."""
+    geom, tables, tgeom = setup
+    import jax.numpy as jnp
+
+    cells = np.arange(3 * M * N)
+    P = 8
+    cfg = TraceConfig(num_fov_x=M, num_fov_y=N, rays_per_fov=P,
+                      max_bounces=400, rng_mode="fast", seed=2)
+    batch1 = seeding.build_ray_batch(geom, cfg, cell_ids=cells[:1],
+                                     rays_per_cell=P)
+    te = np.asarray(batch1["te"])
+    tm = np.asarray(batch1["tm"])
+    seeds = {
+        "x": jnp.asarray(batch1["x"], jnp.float32),
+        "y": jnp.asarray(batch1["y"], jnp.float32),
+        "ter": jnp.asarray(te.real, jnp.float32),
+        "tei": jnp.asarray(te.imag, jnp.float32),
+        "tmr": jnp.asarray(tm.real, jnp.float32),
+        "tmi": jnp.asarray(tm.imag, jnp.float32),
+    }
+    small = splitting.run_splitting_cells(
+        tables, tgeom, cfg, cells, seeds, capacity=256,
+        weight_threshold=1e-5, max_steps=300)
+    big = splitting.run_splitting_cells(
+        tables, tgeom, cfg, cells, seeds, capacity=16384,
+        weight_threshold=1e-5, max_steps=300)
+    assert small.truncated > 0
+    assert big.truncated == 0.0
+    launched = P * len(cells)
+    assert small.out_coupled < big.out_coupled <= launched
+    assert small.out_coupled + small.truncated + small.pruned <= launched
+    # the tiny run's histogram is a biased-low version of the exact one
+    assert (small.histogram <= big.histogram + 1e-6).all()
+
+
 def test_simulator_splitting_engine(setup):
-    """engine="splitting" through the Simulator: equals the direct splitting
-    trace on the same launch batch, is chunking-invariant, and reports the
-    exact expectation with MC-compatible normalization."""
+    """engine="splitting" (per-cell default) through the Simulator: agrees
+    with the legacy shared-buffer expectation, chunk-dispatch is bitwise
+    invariant (per-cell wavefronts are independent), and the weight ledgers
+    report zero truncation at an adequate capacity."""
     from gpu_ray_tracing_for_waveguide_based_ar_display_tpu.engine.pipeline import (
         Simulator,
     )
 
     geom, tables, tgeom = setup
-    cfg = TraceConfig(num_fov_x=M, num_fov_y=N, rays_per_fov=16,
+    P = 4
+    cfg = TraceConfig(num_fov_x=M, num_fov_y=N, rays_per_fov=P,
                       max_bounces=400, rng_mode="fast", seed=2)
     luts = make_synthetic_luts(geom)
     sim = Simulator(cfg=cfg, geom=geom, luts=luts, engine="splitting",
                     splitting_threshold=1e-5, splitting_max_steps=300)
     res = sim.run(num_iter=1, cells_per_batch=3 * M * N)
     assert res.metrics is not None
-    # weight-loss diagnostics are tracked and small (bias bound ~1%)
-    assert (sim.split_truncated + sim.split_pruned) / res.rays_traced < 0.02
+    assert sim.split_truncated == 0.0              # zero-variance guarantee
+    assert 0 < sim.split_peak_live < sim._split_capacity
+    assert sim.split_pruned / res.rays_traced < 0.02   # bias bound ~1%
 
-    # direct trace over all cells at once must agree exactly (same batch,
-    # same trace config -> identical arithmetic)
+    # direct legacy trace over the same launch batch agrees (see
+    # test_splitting_percell_matches_global for the engine-level pin)
     cells = np.arange(3 * M * N)
-    _, rays0 = _rays(geom, cfg, cells, 16)
+    _, rays0 = _rays(geom, cfg, cells, P)
     direct = splitting.run_splitting(
-        tables, tgeom, cfg, rays0, capacity=1 << 16,
+        tables, tgeom, cfg, rays0, capacity=1 << 17,
         weight_threshold=1e-5, max_steps=300)
-    np.testing.assert_allclose(res.histogram, direct.histogram, rtol=1e-6,
-                               atol=1e-9)
+    np.testing.assert_allclose(res.histogram, direct.histogram, rtol=2e-4,
+                               atol=1e-10)
 
-    # chunked dispatch agrees statistically (smaller concurrent wavefronts
-    # truncate *less*, so this is tolerance- not bitwise-equality: the
-    # chunked run is at least as complete)
+    # chunked dispatch is BITWISE invariant: per-cell wavefronts never
+    # interact, so which cells share a vmapped call cannot matter
     res2 = sim.run(num_iter=1, cells_per_batch=7)
-    assert float(res2.histogram.sum()) >= float(res.histogram.sum()) * (1 - 1e-9)
-    np.testing.assert_allclose(res2.histogram.sum(), res.histogram.sum(),
-                               rtol=0.02)
-    assert res2.metrics.delta_e == pytest.approx(res.metrics.delta_e, rel=0.02)
+    np.testing.assert_array_equal(np.asarray(res2.histogram),
+                                  np.asarray(res.histogram))
+
+    # legacy engine still reachable for the differentiable path
+    sim3 = Simulator(cfg=cfg, geom=geom, luts=luts, engine="splitting",
+                     splitting_percell=False, splitting_threshold=1e-5,
+                     splitting_max_steps=300, splitting_capacity=1 << 17)
+    res3 = sim3.run(num_iter=1, cells_per_batch=3 * M * N)
+    np.testing.assert_allclose(np.asarray(res3.histogram),
+                               np.asarray(direct.histogram),
+                               rtol=1e-6, atol=1e-12)
