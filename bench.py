@@ -199,6 +199,60 @@ def run_reference_workload():
     }
 
 
+def run_hybrid_figure():
+    """Reference workload through the tail-boost hybrid (engine/hybrid.py):
+    same MC budget, but starvation-risk (FoV, eye-window) tails are re-resolved
+    by tier-boosted passes on the same kernel and spliced into the perception
+    stack — u_eyebox carries information at the reference's own default budget
+    (VERDICT r4 #3).  The tail (pilot + boosts) builds once per design; each
+    rep's wall is the per-run cost on top of that one-time build."""
+    from gpu_ray_tracing_for_waveguide_based_ar_display_tpu.config import TraceConfig
+    from gpu_ray_tracing_for_waveguide_based_ar_display_tpu.engine.hybrid import (
+        TailBoostHybrid,
+    )
+
+    def make_cfg(rep):
+        return TraceConfig(num_fov_x=100, num_fov_y=75, rays_per_fov=5000,
+                           max_bounces=100000, seed=rep, rng_mode="fast",
+                           ic_test="circle")
+
+    sims = _rep_sims(
+        make_cfg, REPS, engine="pallas_persistent", geometry_simplify_tol=0.05,
+        persistent_slots=2048, spawn_mode="count", fold_iterations=True,
+        pers_accum_mode="packed", pers_transit_jump=True,
+    )
+    sims[0].run(num_iter=1, rays_per_fov=2048, cells_per_batch=4500,
+                evaluate_metrics=False, histogram_device=True)  # warm-up
+    t0 = time.perf_counter()
+    hy0 = TailBoostHybrid(sims[0])
+    hy0.build_tail(cells_per_batch=4500)
+    build_s = time.perf_counter() - t0
+    walls, mets = [], []
+    diags = None
+    for sim in sims:
+        hy = TailBoostHybrid(sim, pilot_sim=hy0.pilot_sim)
+        hy._tail = hy0._tail       # tail depends on (design, pilot seed) only
+        t0 = time.perf_counter()
+        res, diags = hy.run(num_iter=4, cells_per_batch=4500)
+        walls.append(time.perf_counter() - t0)
+        mets.append(res)
+    res = mets[walls.index(statistics.median(walls))]
+    return {
+        "wall_s": round(statistics.median(walls), 2),
+        "runs_wall_s": [round(w, 2) for w in walls],
+        "tail_build_s": round(build_s, 2),
+        "tail_rays": diags.tail_rays,
+        "tail_cells": diags.selected_cells,
+        "tiers": {str(k): v for k, v in diags.tiers.items()},
+        "u_eyebox": round(res.metrics.u_eyebox, 5),
+        "u_eyebox_runs": [round(r.metrics.u_eyebox, 5) for r in mets],
+        "u_fov": round(res.metrics.u_fov, 5),
+        "delta_e": round(res.metrics.delta_e, 3),
+        "starved_eye_positions": res.metrics.starved_eye_positions,
+        "efficiency": {k: round(v, 6) for k, v in res.efficiencies.items()},
+    }
+
+
 def run_sweep_figure():
     """BASELINE config 5: a >=64-design batched sweep on the persistent kernel
     (one pallas_call over a D x cells grid; the reference hard-codes one design,
@@ -296,6 +350,13 @@ def main():
             out["ref_workload"] = run_reference_workload()
         except Exception as e:
             out["ref_workload_error"] = f"{type(e).__name__}: {str(e)[:120]}"
+    if engine == "pallas_persistent" and os.environ.get("BENCH_HYBRID",
+                                                        "1") != "0":
+        try:
+            out["ref_workload_hybrid"] = run_hybrid_figure()
+        except Exception as e:
+            out["ref_workload_hybrid_error"] = (
+                f"{type(e).__name__}: {str(e)[:120]}")
     if engine == "pallas_persistent" and os.environ.get("BENCH_SWEEP",
                                                         "1") != "0":
         try:

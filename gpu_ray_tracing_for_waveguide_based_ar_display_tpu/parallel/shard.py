@@ -117,21 +117,27 @@ def shard_ray_batch(rays: dict, mesh: Mesh) -> dict:
     return {k: jax.device_put(jnp.asarray(v), sharding) for k, v in rays.items()}
 
 
-def _classify_rays(cell_params, geom_row, rays_in, n_dev: int) -> bool:
-    """Shared discriminator/validator for the cell-sharding wrappers: is
-    ``rays_in`` the shared per-design tile form (replicate) or per-cell
-    blocks (shard with the cell axis)?
+def _classify_rays(cell_params, geom_row, rays_in, n_dev: int):
+    """Shared discriminator/validator for the cell-sharding wrappers.
+
+    Returns ``(shared, design_sharded)``: whether ``rays_in`` is the shared
+    per-design tile form (one (6, RT, 128) tile per design) or per-cell
+    blocks, and whether the design axis itself shards over the mesh.
 
     The persistent kernel accepts ``rays_in`` with leading dim ``Cb``
     (per-cell-block tiles, where Cb = C / cells_per_block) or ``D``
     (one shared tile per design, ``D = geom_row.shape[0]``), so the design
-    axis is the exact discriminator.  Two configurations cannot shard
-    soundly and are rejected loudly instead of producing silently wrong
-    fan-out (the kernel's BlockSpec index maps are computed from the LOCAL
-    cell count inside shard_map, so multi-design layouts would assign the
-    wrong design's rows to cells on devices past the first):
+    axis is the exact discriminator.  Multi-design calls shard when each
+    device receives WHOLE designs — the kernel derives its design fan-out
+    (``cpd = C // D``) from the local call shapes inside shard_map, so a
+    device holding D/n_dev contiguous designs with their C/n_dev
+    design-major cells computes exactly the single-device result
+    (dryrun-verified bitwise).  Layouts that would split a design across
+    devices are rejected loudly instead of producing silently wrong
+    fan-out:
 
-    - shared tiles with ``D > 1`` on a multi-device mesh axis;
+    - multi-design calls with ``D % n_dev != 0`` (a design would straddle a
+      device boundary);
     - per-cell tiles whose block count differs from the cell count
       (``cells_per_block > 1``) — block rows would misalign with the
       cell shards.
@@ -140,19 +146,25 @@ def _classify_rays(cell_params, geom_row, rays_in, n_dev: int) -> bool:
     C = cell_params.shape[0]
     nr = rays_in.shape[0]
     shared = nr == D and nr != C
+    design_sharded = D > 1 and n_dev > 1
     if n_dev > 1:
         if D > 1:
-            raise ValueError(
-                f"cell-axis sharding supports one design per call on a "
-                f"multi-device mesh (geom_row has {D} design rows; the "
-                f"kernel's per-device fan-out would mix designs) — group "
-                f"sweep designs per device or use a single-design call")
+            if D % n_dev:
+                raise ValueError(
+                    f"multi-design cell-axis sharding needs whole designs "
+                    f"per device: {D} designs do not divide over {n_dev} "
+                    f"devices of the mesh axis")
+            if not shared:
+                raise ValueError(
+                    "multi-design cell-axis sharding supports the shared "
+                    f"per-design ray-tile form only (got {nr} ray rows for "
+                    f"{D} designs / {C} cells)")
         if not shared and nr != C:
             raise ValueError(
                 f"per-cell ray tiles must have one row per cell to shard "
                 f"(got {nr} rows for {C} cells; cells_per_block > 1 does "
                 f"not compose with cell-axis sharding)")
-    return shared
+    return shared, design_sharded
 
 
 def make_sharded_cell_trace_fn(pers_fn, mesh: Mesh, axis: str = "rays",
@@ -172,13 +184,19 @@ def make_sharded_cell_trace_fn(pers_fn, mesh: Mesh, axis: str = "rays",
 
     # rays_in is either per-cell (C, 6, RT, 128) — shards with the cell axis
     # — or the pipeline/sweep's shared per-design tile (D, 6, RT, 128), which
-    # must replicate like geom_row (the kernel's BlockSpec fans it out on each
-    # device); one shard_map per choice, built on first use
+    # replicates for D=1 and shards with the design axis for device-aligned
+    # multi-design sweeps; rng_in shards when it carries per-cell streams
+    # (C rows) and replicates when designs share one per-cell-of-design seed
+    # block (the sweep's broadcast form).  One shard_map per layout choice.
     _cache = {}
 
-    def _sharded(shared_rays: bool):
-        if shared_rays not in _cache:
-            rays_spec = P() if shared_rays else P(axis)
+    def _sharded(shared_rays: bool, design_sharded: bool, rng_sharded: bool):
+        key = (shared_rays, design_sharded, rng_sharded)
+        if key not in _cache:
+            rays_spec = (P(axis) if (design_sharded or not shared_rays)
+                         else P())
+            geom_spec = P(axis) if design_sharded else P()
+            rng_spec = P(axis) if rng_sharded else P()
             if packed:
                 # the packed bf16-pair selection table shards with the cell
                 # axis like cell_params; shard_map wants positionals, the
@@ -187,10 +205,11 @@ def make_sharded_cell_trace_fn(pers_fn, mesh: Mesh, axis: str = "rays",
                     return pers_fn(cp, geom_row, rays, rng, ctrl,
                                    cell_params_packed=cpk)
 
-                _cache[shared_rays] = shard_map(
+                _cache[key] = shard_map(
                     _local,
                     mesh=mesh,
-                    in_specs=(P(axis), P(axis), P(), rays_spec, P(axis), P()),
+                    in_specs=(P(axis), P(axis), geom_spec, rays_spec,
+                              rng_spec, P()),
                     out_specs=(P(axis), P(axis)),
                     check_vma=False,
                 )
@@ -198,14 +217,14 @@ def make_sharded_cell_trace_fn(pers_fn, mesh: Mesh, axis: str = "rays",
                 def _local(cp, geom_row, rays, rng, ctrl):
                     return pers_fn(cp, geom_row, rays, rng, ctrl)
 
-                _cache[shared_rays] = shard_map(
+                _cache[key] = shard_map(
                     _local,
                     mesh=mesh,
-                    in_specs=(P(axis), P(), rays_spec, P(axis), P()),
+                    in_specs=(P(axis), geom_spec, rays_spec, rng_spec, P()),
                     out_specs=(P(axis), P(axis)),
                     check_vma=False,
                 )
-        return _cache[shared_rays]
+        return _cache[key]
 
     def trace(cell_params, geom_row, rays_in, rng_in, ctrl,
               cell_params_packed=None):
@@ -216,8 +235,20 @@ def make_sharded_cell_trace_fn(pers_fn, mesh: Mesh, axis: str = "rays",
             raise ValueError(
                 f"{cell_params.shape[0]} cells do not divide over {n_dev} "
                 f"devices of mesh axis {axis!r}")
-        sharded = _sharded(_classify_rays(cell_params, geom_row, rays_in,
-                                          n_dev))
+        shared, design_sharded = _classify_rays(cell_params, geom_row,
+                                                rays_in, n_dev)
+        # per-cell RNG streams (C rows) shard; a per-cell-of-design block
+        # shared across designs (C // D rows, the sweep broadcast form)
+        # replicates — each device's local kernel still maps it as i % cpd
+        rng_sharded = rng_in.shape[0] == cell_params.shape[0]
+        if (n_dev > 1 and not rng_sharded
+                and rng_in.shape[0] * geom_row.shape[0]
+                != cell_params.shape[0]):
+            raise ValueError(
+                f"rng_in rows ({rng_in.shape[0]}) must equal the cell count "
+                f"({cell_params.shape[0]}) or the per-design cell count to "
+                "shard soundly")
+        sharded = _sharded(shared, design_sharded, rng_sharded)
         if packed:
             if cell_params_packed is None:
                 raise ValueError("packed=True needs cell_params_packed")
@@ -362,8 +393,13 @@ def make_2d_sharded_cell_trace_fn(pers_fn, mesh: Mesh,
     def trace(cell_params, geom_row, rays_in, rng_in, ctrl,
               cell_params_packed=None):
         n_cell = mesh.shape[cell_axis]
-        sharded = _sharded(_classify_rays(cell_params, geom_row, rays_in,
-                                          n_cell))
+        shared, design_sharded = _classify_rays(cell_params, geom_row,
+                                                rays_in, n_cell)
+        if design_sharded:
+            raise ValueError(
+                "multi-design calls are not supported on the 2-D mesh "
+                "wrapper; use make_sharded_cell_trace_fn for sweep sharding")
+        sharded = _sharded(shared)
         n_samp = mesh.shape[sample_axis]
         if cell_params.shape[0] % n_cell:
             raise ValueError(

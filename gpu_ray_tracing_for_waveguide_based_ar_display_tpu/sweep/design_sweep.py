@@ -239,6 +239,7 @@ def run_design_sweep_persistent(
     evaluate_metrics: bool = False,
     eval_cfg=None,
     cells_per_block: int = 1,
+    mesh=None,
 ) -> SweepResult:
     """Design sweep on the production persistent kernel (TPU speed-of-light path).
 
@@ -401,6 +402,16 @@ def run_design_sweep_persistent(
     trace = None
     nominal = cfg.rays_per_fov if count_spawn else slots * gens
     db = max(1, min(designs_per_batch, D))
+    n_dev = 1
+    if mesh is not None:
+        # mesh-parallel sweep: the design axis shards device-aligned (whole
+        # designs per device — parallel.shard._classify_rays); every dispatch
+        # is padded to a design count divisible by the mesh axis
+        n_dev = mesh.shape[mesh.axis_names[0]]
+        if D > db and db % n_dev:
+            raise ValueError(
+                f"designs_per_batch ({db}) must divide over the {n_dev}-"
+                f"device mesh axis for mesh-parallel sweeps")
     eff_parts, bounce_parts, hist_parts, nb_parts = [], [], [], []
     perc_parts = []
     if eval_cfg is None:
@@ -432,6 +443,8 @@ def run_design_sweep_persistent(
 
     for ci, idx in enumerate(chunks):
         pad = db - len(idx) if D > db else 0
+        if mesh is not None:
+            pad = max(pad, -len(idx) % n_dev)
         keep = len(idx)
         nd = keep + pad
         tgs, cp, cpk, grs, rays_l, rngs_l = prepped
@@ -451,6 +464,12 @@ def run_design_sweep_persistent(
                 cfg, num_fc, num_oc, rt, gens,
                 interpret, (spawn_iters <= 0 and not count_spawn),
                 count_spawn, accum_mode, cpb)
+            if mesh is not None:
+                from ..parallel.shard import make_sharded_cell_trace_fn
+
+                trace = make_sharded_cell_trace_fn(
+                    trace, mesh, axis=mesh.axis_names[0],
+                    packed=(accum_mode == "packed"))
         if any(g.num_fc != num_fc or g.num_oc != num_oc for g in tgs):
             raise ValueError(
                 "designs in one sweep batch must share strip counts")
