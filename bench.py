@@ -15,16 +15,27 @@ headline plus the per-run values.  Reps perturb the RNG seed (the axon relay
 dedups bit-identical repeat dispatches) and share the compiled kernel cache,
 which is seed-independent.
 
+Budget robustness (VERDICT r4 #1): the whole bench runs under a wall-clock
+budget (``BENCH_BUDGET_S``, default 540 s).  Each figure is written to
+``bench_partial.json`` the moment it completes and a progress line goes to
+stderr; remaining optional figures are skipped (and named in
+``skipped_over_budget``) once the budget is spent; the headline run adapts its
+rep count to the budget (>= 1 rep always); and a SIGALRM watchdog prints
+whatever has been gathered and exits 0 if a device call wedges past
+``BENCH_BUDGET_S + 60``.  One slow figure can no longer destroy the record.
+
 Env knobs: BENCH_ENGINE (pallas|jnp), BENCH_FOV_X/Y, BENCH_RAYS_PER_FOV,
 BENCH_CELLS_PER_BATCH, BENCH_MAX_BOUNCES, BENCH_SLOTS, BENCH_COND_INTERVAL,
 BENCH_SPAWN_ITERS, BENCH_ACCUM, BENCH_REPS, PERS_FLUSH_W (headline run);
 BENCH_REF_SLOTS, BENCH_REF_WORKLOAD=0 (reference workload);
-BENCH_SWEEP_DESIGNS, BENCH_SWEEP=0 (sweep figure).
+BENCH_HYBRID=0 (tail-boost figure); BENCH_SWEEP_DESIGNS, BENCH_SWEEP=0
+(sweep figure); BENCH_BUDGET_S (wall-clock budget, seconds).
 """
 
 import dataclasses
 import json
 import os
+import signal
 import statistics
 import sys
 import time
@@ -35,6 +46,50 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
 
 REPS = int(os.environ.get("BENCH_REPS", 3))
+BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", 540))
+_T0 = time.perf_counter()
+_PARTIAL_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "bench_partial.json")
+_OUT = {}          # streamed figure results; the watchdog prints these as-is
+_PRINTED = False
+
+
+def _elapsed() -> float:
+    return time.perf_counter() - _T0
+
+
+def _remaining() -> float:
+    return BUDGET_S - _elapsed()
+
+
+def _stream(key, value):
+    """Record a completed figure: stream it to the partial file + stderr so a
+    later timeout cannot destroy it, keeping stdout for the final one-liner."""
+    _OUT[key] = value
+    _OUT["bench_elapsed_s"] = round(_elapsed(), 1)
+    try:
+        with open(_PARTIAL_PATH, "w") as f:
+            json.dump(_OUT, f)
+    except OSError:
+        pass
+    print(f"[bench +{_elapsed():.0f}s] {key}: done", file=sys.stderr,
+          flush=True)
+
+
+def _print_final():
+    global _PRINTED
+    if _PRINTED:
+        return
+    _PRINTED = True
+    print(json.dumps(_OUT), flush=True)
+
+
+def _watchdog(signum, frame):
+    """Last-resort guard: a wedged device call past the budget still yields a
+    record (whatever figures completed), not an rc-124 void."""
+    _OUT.setdefault("watchdog_fired_at_s", round(_elapsed(), 1))
+    _print_final()
+    os._exit(0)
 
 
 def _rep_sims(make_cfg, reps, **sim_kwargs):
@@ -104,15 +159,24 @@ def run(engine: str):
     sims = _rep_sims(make_cfg, reps, **sim_kwargs)
 
     # warm-up: a full pass compiles kernels and fills the RNG/table caches
+    t0 = time.perf_counter()
     sims[0].run(num_iter=1, cells_per_batch=cells_per_batch,
                 evaluate_metrics=False,
                 histogram_device=(engine == "pallas_persistent"))
+    rep_cost = time.perf_counter() - t0  # upper bound (includes compiles)
 
     runs = []
     for sim in sims:
+        # adaptive reps: never start a rep the budget cannot absorb (>= 1 rep
+        # always — the warm-up already proved one pass fits or we are doomed
+        # either way); the skipped count is reported so medians stay honest
+        if runs and _remaining() < rep_cost * 1.15:
+            break
+        t0 = time.perf_counter()
         res = sim.run(num_iter=1, cells_per_batch=cells_per_batch,
                       evaluate_metrics=False,
                       histogram_device=(engine == "pallas_persistent"))
+        rep_cost = time.perf_counter() - t0
         runs.append(res)
     bps = [r.bounces_per_second for r in runs]
     med = statistics.median(bps)
@@ -129,6 +193,8 @@ def run(engine: str):
         "total_bounces": best.total_bounces,
         "rays_traced": best.rays_traced,
         "elapsed_s": round(best.trace_seconds, 2),
+        "reps_run": len(runs),
+        "reps_requested": reps,
         "engine": engine,
         "device": str(jax.devices()[0]),
     }
@@ -205,7 +271,10 @@ def run_hybrid_figure():
     by tier-boosted passes on the same kernel and spliced into the perception
     stack — u_eyebox carries information at the reference's own default budget
     (VERDICT r4 #3).  The tail (pilot + boosts) builds once per design; each
-    rep's wall is the per-run cost on top of that one-time build."""
+    rep's wall is the per-run cost on top of that one-time build.  NOTE: reps
+    share that one tail (public ``tail=`` carry API), so their spliced tail
+    components are identical — ``u_eyebox_runs`` spread reflects the MC bulk
+    only and understates fully-independent reps."""
     from gpu_ray_tracing_for_waveguide_based_ar_display_tpu.config import TraceConfig
     from gpu_ray_tracing_for_waveguide_based_ar_display_tpu.engine.hybrid import (
         TailBoostHybrid,
@@ -230,13 +299,17 @@ def run_hybrid_figure():
     walls, mets = [], []
     diags = None
     for sim in sims:
-        hy = TailBoostHybrid(sim, pilot_sim=hy0.pilot_sim)
-        hy._tail = hy0._tail       # tail depends on (design, pilot seed) only
+        # share the built tail across reps via the public carry API (the tail
+        # depends on (design, pilot seed) only; see figure note on spread)
+        hy = TailBoostHybrid(sim, pilot_sim=hy0.pilot_sim, tail=hy0.tail)
         t0 = time.perf_counter()
         res, diags = hy.run(num_iter=4, cells_per_batch=4500)
         walls.append(time.perf_counter() - t0)
         mets.append(res)
-    res = mets[walls.index(statistics.median(walls))]
+        if _remaining() < 1.5 * (time.perf_counter() - t0):
+            break
+    wall = statistics.median(walls)
+    res = mets[walls.index(wall)] if wall in walls else mets[0]
     return {
         "wall_s": round(statistics.median(walls), 2),
         "runs_wall_s": [round(w, 2) for w in walls],
@@ -320,14 +393,18 @@ _TRANSIENT = ("UNAVAILABLE", "RESOURCE_EXHAUSTED", "DEADLINE_EXCEEDED",
 
 
 def main():
+    # watchdog: whatever happens (wedged device call, pathological compile),
+    # SOMETHING valid is printed before the driver's timeout
+    signal.signal(signal.SIGALRM, _watchdog)
+    signal.alarm(int(BUDGET_S + 60))
+
     engine = os.environ.get("BENCH_ENGINE", "pallas_persistent")
     fallbacks = {"pallas_persistent": "pallas", "pallas": "jnp"}
-    out = None
     err = None
     retried = False
     while True:
         try:
-            out = run(engine)
+            _OUT.update(run(engine))
             break
         except Exception as e:  # degrade gracefully on backends without Mosaic
             err = f"{type(e).__name__}: {str(e)[:120]}"
@@ -343,27 +420,36 @@ def main():
                 raise
             engine = fallbacks[engine]
     if err is not None:
-        out["fallback_reason"] = err
-    if engine == "pallas_persistent" and os.environ.get("BENCH_REF_WORKLOAD",
-                                                        "1") != "0":
+        _OUT["fallback_reason"] = err
+    _stream("headline_elapsed_s", round(_elapsed(), 1))
+
+    # optional figures, cheapest-information-first ordering with per-figure
+    # budget gates: the reference-workload contract is the one figure no
+    # round may drop, so it runs first; each result streams to the partial
+    # file the moment it exists (VERDICT r4 #1)
+    skipped = []
+    figures = [
+        ("ref_workload", run_reference_workload, "BENCH_REF_WORKLOAD", 60),
+        ("ref_workload_hybrid", run_hybrid_figure, "BENCH_HYBRID", 90),
+        ("sweep", run_sweep_figure, "BENCH_SWEEP", 45),
+    ]
+    for key, fn, env, min_budget_s in figures:
+        if engine != "pallas_persistent" or os.environ.get(env, "1") == "0":
+            continue
+        if _remaining() < min_budget_s:
+            skipped.append(key)
+            print(f"[bench +{_elapsed():.0f}s] {key}: skipped "
+                  f"({_remaining():.0f}s left < {min_budget_s}s floor)",
+                  file=sys.stderr, flush=True)
+            continue
         try:
-            out["ref_workload"] = run_reference_workload()
+            _stream(key, fn())
         except Exception as e:
-            out["ref_workload_error"] = f"{type(e).__name__}: {str(e)[:120]}"
-    if engine == "pallas_persistent" and os.environ.get("BENCH_HYBRID",
-                                                        "1") != "0":
-        try:
-            out["ref_workload_hybrid"] = run_hybrid_figure()
-        except Exception as e:
-            out["ref_workload_hybrid_error"] = (
-                f"{type(e).__name__}: {str(e)[:120]}")
-    if engine == "pallas_persistent" and os.environ.get("BENCH_SWEEP",
-                                                        "1") != "0":
-        try:
-            out["sweep"] = run_sweep_figure()
-        except Exception as e:
-            out["sweep_error"] = f"{type(e).__name__}: {str(e)[:120]}"
-    print(json.dumps(out))
+            _stream(f"{key}_error", f"{type(e).__name__}: {str(e)[:120]}")
+    if skipped:
+        _OUT["skipped_over_budget"] = skipped
+    signal.alarm(0)
+    _print_final()
 
 
 if __name__ == "__main__":

@@ -124,9 +124,11 @@ class TailBoostHybrid:
       count is below this (pilot counts are ~Poisson; 50 keeps the miss
       probability of a truly-risky cell negligible).
     - ``tau_target``: post-boost expected count floor for the worst window;
-      the boost factor per cell is ``tau_target / max(pilot_count, 0.5)``
+      the boost factor per cell is ``1.5 * tau_target / pilot_count``
       rounded up to a power-of-``tier_base`` tier (P[window still empty]
-      ~ exp(-tau_target) per pair).
+      ~ exp(-tau_target) per pair).  Zero-count windows — the starved
+      corners the feature exists for, where the pilot gives no rate
+      information at all — escalate straight to ``max_boost``.
     - ``max_boost``: tier cap — bounds the tail cost for physics-dark windows.
     """
 
@@ -134,7 +136,7 @@ class TailBoostHybrid:
                  tau_target: float = 20.0, tier_base: float = 2.0,
                  max_boost: float = 1024.0, cells_per_batch: int = 2048,
                  eval_cfg: EvalConfig = EvalConfig(),
-                 pilot_seed_offset: int = 104729):
+                 pilot_seed_offset: int = 104729, tail=None):
         if sim.engine != "pallas_persistent":
             raise ValueError("TailBoostHybrid needs the persistent engine")
         self.sim = sim
@@ -146,7 +148,20 @@ class TailBoostHybrid:
         self.max_boost = max_boost
         self.eval_cfg = eval_cfg
         self._cpb = cells_per_batch
-        self._tail = None   # (selected, rows, sums, diags fragment) cache
+        # (selected, rows, sums, diags fragment) cache.  ``tail`` is the
+        # public share/carry handle: pass a previous ``build_tail()`` /
+        # ``.tail`` result to reuse a tail across Simulators of the SAME
+        # design + pilot seed (the tail depends on nothing else).  NOTE:
+        # runs sharing a tail have identical spliced tail components — their
+        # u_eyebox spread understates fully-independent reps.
+        self._tail = tail
+
+    @property
+    def tail(self):
+        """The built tail (or None): a shareable (selected, rows, sums,
+        diagnostics) tuple — valid for any Simulator with the same design and
+        pilot seed; pass it to ``TailBoostHybrid(..., tail=...)``."""
+        return self._tail
 
     @staticmethod
     def make_pilot_sim(sim, seed: int):
@@ -202,10 +217,16 @@ class TailBoostHybrid:
         # mean satisfies m >= w/1.5 with overwhelming probability at the w
         # ranges that matter, so boost = 1.5*tau_target/w puts the post-boost
         # expectation above tau_target (P[window still empty] ~ e^-tau_target
-        # per pair; measured tail cost ~2x the base run at reference scale)
-        boost = np.clip(
-            1.5 * self.tau_target / np.maximum(worst[gsel], 1.0),
-            self.tier_base, self.max_boost)
+        # per pair; measured tail cost ~2x the base run at reference scale).
+        # w == 0 gives no rate information at all — these are exactly the
+        # starved corner windows the feature targets, so they escalate
+        # straight to max_boost (a 1/max_boost-of-budget true mean still
+        # lands ~tau_target expected counts post-boost)
+        wsel = worst[gsel]
+        boost = np.where(
+            wsel <= 0.0, self.max_boost,
+            np.clip(1.5 * self.tau_target / np.maximum(wsel, 1e-300),
+                    self.tier_base, self.max_boost))
         gtier = np.minimum(
             self.tier_base ** np.ceil(np.log(boost) / np.log(self.tier_base)),
             self.max_boost)

@@ -244,9 +244,19 @@ def make_sharded_cell_trace_fn(pers_fn, mesh: Mesh, axis: str = "rays",
         if (n_dev > 1 and not rng_sharded
                 and rng_in.shape[0] * geom_row.shape[0]
                 != cell_params.shape[0]):
+            C, nr = cell_params.shape[0], rng_in.shape[0]
+            if nr and C % nr == 0 and C // nr > 1:
+                # block-packed rng (C // cells_per_block rows): the actual
+                # unsupported knob is cells_per_block, mirror the per-cell
+                # tile rejection instead of a misleading row-count message
+                raise ValueError(
+                    f"rng_in has {nr} rows for {C} cells — "
+                    f"cells_per_block == {C // nr} does not compose with "
+                    "cell-axis sharding (block rows would misalign with "
+                    "the cell shards)")
             raise ValueError(
-                f"rng_in rows ({rng_in.shape[0]}) must equal the cell count "
-                f"({cell_params.shape[0]}) or the per-design cell count to "
+                f"rng_in rows ({nr}) must equal the cell count "
+                f"({C}) or the per-design cell count to "
                 "shard soundly")
         sharded = _sharded(shared, design_sharded, rng_sharded)
         if packed:

@@ -391,13 +391,17 @@ def test_classify_rays_guards():
     per_cell = np.zeros((8, 6, 1, 128))
     shared1 = np.zeros((1, 6, 1, 128))
 
-    assert _classify_rays(cp, gr1, per_cell, 4) is False
-    assert _classify_rays(cp, gr1, shared1, 4) is True
+    assert _classify_rays(cp, gr1, per_cell, 4) == (False, False)
+    assert _classify_rays(cp, gr1, shared1, 4) == (True, False)
     # single device: anything the kernel accepts is fine
-    assert _classify_rays(cp, gr2, np.zeros((2, 6, 1, 128)), 1) is True
+    assert _classify_rays(cp, gr2, np.zeros((2, 6, 1, 128)), 1) == (True, False)
+    # whole designs per device: 2 designs over 2 devices shard the design axis
+    assert _classify_rays(cp, gr2, np.zeros((2, 6, 1, 128)), 2) == (True, True)
 
-    with pytest.raises(ValueError, match="one design per call"):
+    with pytest.raises(ValueError, match="whole designs per device"):
         _classify_rays(cp, gr2, np.zeros((2, 6, 1, 128)), 4)
+    with pytest.raises(ValueError, match="shared per-design ray-tile"):
+        _classify_rays(cp, gr2, np.zeros((8, 6, 1, 128)), 2)
     with pytest.raises(ValueError, match="cells_per_block"):
         _classify_rays(cp, gr1, np.zeros((4, 6, 1, 128)), 4)
 
