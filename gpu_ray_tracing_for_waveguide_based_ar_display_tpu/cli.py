@@ -132,19 +132,59 @@ def cmd_simulate(args) -> int:
           if args.wavelengths else None)
     from .utils import xla_trace
 
-    # device-side metric colorimetry (one f32 jit, ~1e-4 rel of the host
-    # path) whenever the eye-view image is not requested — it is the only
-    # consumer of the host path's output_image
-    with xla_trace(args.profile_dir or None):
-        res = sim.run(cells_per_batch=args.cells_per_batch,
-                      verbose=args.verbose, wavelengths=wl,
-                      checkpoint_path=args.checkpoint,
-                      histogram_device=(args.engine == "pallas_persistent"),
-                      metrics_device=(args.engine == "pallas_persistent"
-                                      and not args.image),
-                      error_groups=args.error_bars,
-                      dense_metrics=bool(args.dense_eyebox))
+    diags = None
+    if args.tail_boost:
+        # MC bulk + tier-boosted starvation tail (engine/hybrid.py): the
+        # reference's u_eyebox min is zeroed by MC-starved corner windows at
+        # default budgets (AR_system_evaluation_functions.py:149-160); the
+        # hybrid re-resolves exactly that tail and splices it in unbiasedly
+        if args.engine != "pallas_persistent":
+            raise SystemExit(
+                "--tail-boost requires --engine pallas_persistent (the "
+                "boost tiers reuse the persistent kernel's runtime spawn "
+                "target)")
+        for flag, name in ((args.error_bars, "--error-bars"),
+                           (args.dense_eyebox, "--dense-eyebox"),
+                           (args.checkpoint, "--checkpoint"),
+                           (args.wavelengths, "--wavelengths"),
+                           (mesh, "--mesh")):
+            if flag:
+                raise SystemExit(
+                    f"--tail-boost does not compose with {name} (the tail "
+                    "splice patches the single-run perception stack)")
+        from .engine.hybrid import TailBoostHybrid
+
+        hy = TailBoostHybrid(sim, tau_select=args.tail_tau_select,
+                             tau_target=args.tail_tau_target,
+                             max_boost=args.tail_max_boost)
+        with xla_trace(args.profile_dir or None):
+            res, diags = hy.run(cells_per_batch=args.cells_per_batch,
+                                verbose=args.verbose)
+    else:
+        # device-side metric colorimetry (one f32 jit, ~1e-4 rel of the host
+        # path) whenever the eye-view image is not requested — it is the only
+        # consumer of the host path's output_image
+        with xla_trace(args.profile_dir or None):
+            res = sim.run(cells_per_batch=args.cells_per_batch,
+                          verbose=args.verbose, wavelengths=wl,
+                          checkpoint_path=args.checkpoint,
+                          histogram_device=(args.engine == "pallas_persistent"),
+                          metrics_device=(args.engine == "pallas_persistent"
+                                          and not args.image),
+                          error_groups=args.error_bars,
+                          dense_metrics=bool(args.dense_eyebox))
     print(format_report(res))
+    if diags is not None:
+        tiers = ", ".join(
+            f"{int(k)}x:{v}" for k, v in sorted(diags.tiers.items()))
+        print(
+            f"  [tail boost: {diags.selected_cells} starvation-risk cells "
+            f"(worst pilot window < {diags.tau_select:g}) re-resolved by "
+            f"{diags.tail_rays:,} boosted rays in tiers [{tiers}] and "
+            f"spliced into the perception stack — the metrics above use "
+            f"the patched rows; one-time pilot {diags.pilot_seconds:.1f} s "
+            f"+ tail {diags.tail_seconds:.1f} s, MC bulk "
+            f"{diags.mc_seconds:.1f} s]")
     if res.metric_stderr:
         print("MC standard errors (jackknife over num_iter groups):")
         for k, v in res.metric_stderr.items():
@@ -185,6 +225,18 @@ def cmd_simulate(args) -> int:
             "trace_seconds": res.trace_seconds,
             "metric_stderr": res.metric_stderr,
         }
+        if diags is not None:
+            out["tail_boost"] = {
+                "selected_cells": diags.selected_cells,
+                "tail_rays": diags.tail_rays,
+                "tiers": {str(int(k)): v for k, v in diags.tiers.items()},
+                "tau_select": diags.tau_select,
+                "tau_target": diags.tau_target,
+                "min_pilot_count": diags.min_pilot_count,
+                "min_tail_expected": diags.min_tail_expected,
+                "pilot_seconds": diags.pilot_seconds,
+                "tail_seconds": diags.tail_seconds,
+            }
         if res.dense is not None:
             out["dense"] = {
                 "delta_e": res.dense.delta_e,
@@ -446,6 +498,22 @@ def main(argv=None) -> int:
                         "AR_system_evaluation_functions.py:77-89) and, if a "
                         "PNG path is given, save the full-resolution eyebox "
                         "luminance map")
+    p.add_argument("--tail-boost", action="store_true",
+                   help="tail-patched transport (engine/hybrid.py): pilot-"
+                        "selected starvation-risk (FoV, eye-window) cells "
+                        "are re-resolved by tier-boosted passes on the same "
+                        "kernel and spliced into the perception stack, so "
+                        "u_eyebox carries information at default MC budgets "
+                        "(requires --engine pallas_persistent)")
+    p.add_argument("--tail-tau-select", type=float, default=30.0,
+                   metavar="COUNT", help="select cells whose worst pilot "
+                                         "window count is below this")
+    p.add_argument("--tail-tau-target", type=float, default=20.0,
+                   metavar="COUNT", help="post-boost expected count floor "
+                                         "for the worst window")
+    p.add_argument("--tail-max-boost", type=float, default=1024.0,
+                   metavar="X", help="boost tier cap (bounds tail cost for "
+                                     "physics-dark windows)")
     p.add_argument("--accum-mode", default="fma",
                    choices=("fma", "select", "packed"),
                    help="persistent-kernel parameter-selection lowering: fma "

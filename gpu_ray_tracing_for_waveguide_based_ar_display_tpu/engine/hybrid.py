@@ -225,7 +225,7 @@ class TailBoostHybrid:
         wsel = worst[gsel]
         boost = np.where(
             wsel <= 0.0, self.max_boost,
-            np.clip(1.5 * self.tau_target / np.maximum(wsel, 1e-300),
+            np.clip(1.5 * self.tau_target / np.where(wsel > 0.0, wsel, 1.0),
                     self.tier_base, self.max_boost))
         gtier = np.minimum(
             self.tier_base ** np.ceil(np.log(boost) / np.log(self.tier_base)),

@@ -78,9 +78,80 @@ class SplitResult:
     peak_live: int = 0          # max concurrent live wavefront width observed
 
 
+def _dir_sel(d, tab):
+    """Exact 4-way row select on a per-direction constant table.
+
+    Replaces the per-slot ``tab[cid, d]`` gathers of the dir-indexed tables
+    (gaps / tir_phasor / hop2_phasor): XLA lowers those element-serialized on
+    TPU; three vector selects are effectively free and bitwise-identical.
+    ``tab`` is (4,) or (4, W); ``d`` is a (K,) int vector of DIR_* values."""
+    if tab.ndim == 1:
+        r = jnp.broadcast_to(tab[3], d.shape)
+        for i in (2, 1, 0):
+            r = jnp.where(d == i, tab[i], r)
+    else:
+        dm = d[:, None]
+        r = jnp.broadcast_to(tab[3], d.shape + tab.shape[1:])
+        for i in (2, 1, 0):
+            r = jnp.where(dm == i, tab[i], r)
+    return r
+
+
+# unified site-record layout (fast path): [j_a(8), j_b(8), j_c(8), s_a, s_b]
+_REC_W = 26
+
+
+def _site_records_chunk(Tc, num_fc: int, num_oc: int):
+    """(C, R2, 26) unified site-parameter records from pre-gathered chunk
+    tables (leading cell axis, singleton cid axis — the
+    :func:`_gather_cell_tables` layout).
+
+    One record per exclusive interaction site x state bit, row key
+    ``site_row * 2 + bit`` with site rows ordered [IC, FC strip 0..S_fc-1,
+    OC strip 0..S_oc-1] — the same exclusive-site decomposition the
+    persistent MC kernel's one-hot selection uses
+    (trace_pallas_persistent.py site rows).  ``j_c`` (the OC out-couple
+    branch) is stored zero on IC/FC rows, so the selected eff_c is exactly 0
+    there — matching the gather path, which only ever *uses* eff_c on OC
+    hits."""
+    C = Tc["ic_scale"].shape[0]
+
+    def j8(j):  # (..., 2, 2, 2) split-real Jones -> (..., 8)
+        return j.reshape(j.shape[:-3] + (8,))
+
+    def bcast(s, like):  # (C, S) scale -> (C, S, 2bit, 1)
+        return jnp.broadcast_to(s[:, :, None, None], like.shape[:3] + (1,))
+
+    ic_ja = j8(Tc["ic_jones"][:, 0, :, 0])[:, None]    # (C, 1, 2, 8)
+    ic_jb = j8(Tc["ic_jones"][:, 1, :, 0])[:, None]
+    ic_sa = bcast(Tc["ic_scale"][:, 0:1, 0], ic_ja)
+    ic_sb = bcast(Tc["ic_scale"][:, 1:2, 0], ic_ja)
+    ic_rows = jnp.concatenate(
+        [ic_ja, ic_jb, jnp.zeros_like(ic_ja), ic_sa, ic_sb], -1)
+
+    fc_ja = j8(Tc["fc_jones"][:, 0, :, :, 0])          # (C, S_fc, 2, 8)
+    fc_jb = j8(Tc["fc_jones"][:, 1, :, :, 0])
+    fc_rows = jnp.concatenate(
+        [fc_ja, fc_jb, jnp.zeros_like(fc_ja),
+         bcast(Tc["fc_scale"][:, 0, :, 0], fc_ja),
+         bcast(Tc["fc_scale"][:, 1, :, 0], fc_ja)], -1)
+
+    oc_ja = j8(Tc["oc_jones"][:, 0, :, :, 0])          # (C, S_oc, 2, 8)
+    oc_jb = j8(Tc["oc_jones"][:, 1, :, :, 0])
+    oc_jc = j8(Tc["oc_jones"][:, 2, :, :, 0])
+    oc_rows = jnp.concatenate(
+        [oc_ja, oc_jb, oc_jc,
+         bcast(Tc["oc_scale"][:, 0, :, 0], oc_ja),
+         bcast(Tc["oc_scale"][:, 1, :, 0], oc_ja)], -1)
+
+    rows = jnp.concatenate([ic_rows, fc_rows, oc_rows], axis=1)
+    return rows.reshape(C, 2 * (1 + num_fc + num_oc), _REC_W)
+
+
 def _build_step_fns(cfg: TraceConfig, *, n_cells_mn: int, L: int, M: int,
                     N: int, num_fc: int, num_oc: int,
-                    weight_threshold: float, soft_binning: bool = False):
+                    weight_threshold: float, soft_binning: bool = False,
+                    fast: bool = False):
     """The shared branch-transport physics, parameterized over (T, G) args.
 
     Semantics mirror the verified MC step (trace_jnp.bounce_step /
@@ -122,7 +193,32 @@ def _build_step_fns(cfg: TraceConfig, *, n_cells_mn: int, L: int, M: int,
 
         Hard mode: nearest bin.  Soft mode: bilinear (cloud-in-cell) splat
         over the four surrounding bin centers — continuous (and hence
-        differentiable) in (x, y)."""
+        differentiable) in (x, y).  Fast mode (per-cell engine): the
+        scatter-add becomes an exact-0/1 one-hot row x weighted one-hot
+        column matmul onto the (ny, nx) tile — the MXU histogram pattern of
+        the persistent kernel — removing the last per-slot scatter from the
+        step (bin values equal the scatter path up to f32 summation
+        order)."""
+        if fast and not soft_binning:
+            er = G["eyebox_range"][0]
+            tol = trace_jnp._EDGE_TOL
+            in_quad = ((x >= er[0] - tol) & (x <= er[1] + tol)
+                       & (y >= er[2] - tol) & (y <= er[3] + tol))
+            dxb = (er[1] - er[0]) / nx
+            dyb = (er[3] - er[2]) / ny
+            ix = jnp.clip(jnp.floor((x - er[0]) / dxb).astype(jnp.int32),
+                          0, nx - 1)
+            iy = jnp.clip(jnp.floor((y - er[2]) / dyb).astype(jnp.int32),
+                          0, ny - 1)
+            wv = jnp.where(in_quad, w, 0.0)
+            oy = ((jnp.arange(ny, dtype=jnp.int32)[:, None] == iy[None, :])
+                  .astype(jnp.float32) * wv[None, :])
+            ox = (ix[:, None] == jnp.arange(nx, dtype=jnp.int32)[None, :]
+                  ).astype(jnp.float32)
+            tile = jax.lax.dot_general(
+                oy, ox, (((1,), (0,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST)
+            return hist + tile.reshape(-1)
         if not soft_binning:
             idx = hist_index(G, cid, x, y)
             return hist.at[jnp.maximum(idx, 0)].add(
@@ -231,25 +327,49 @@ def _build_step_fns(cfg: TraceConfig, *, n_cells_mn: int, L: int, M: int,
 
         pol = (buf["ter"], buf["tei"], buf["tmr"], buf["tmi"])
 
-        def site(jtab, stab, strip=None):
-            if strip is None:
-                return jtab[bit, cid], stab[cid]
-            return jtab[strip, bit, cid], stab[strip, cid]
+        if fast:
+            # unified one-hot site selection on the MXU (VERDICT r4 #3): each
+            # slot's site is exclusive, so one (K, R2) exact-0/1 one-hot
+            # matmul against the (R2, 26) records replaces the six
+            # strip/bit-indexed gathers (element-serialized on TPU).  With
+            # one-hot rows every partial product is exactly 0 or the
+            # parameter value (HIGHEST precision: bf16x3 reconstructs the
+            # f32 mantissa exactly), so selected values match the gathers.
+            R2 = 2 * (1 + num_fc + num_oc)
+            key = (jnp.where(grp_oc, 1 + num_fc + oc_strip,
+                             jnp.where(grp_fc, 1 + fc_strip, 0))
+                   .astype(jnp.int32) * 2 + bit)
+            onehot = (key[:, None] == jnp.arange(R2, dtype=jnp.int32)[None, :]
+                      ).astype(jnp.float32)
+            rec = jax.lax.dot_general(
+                onehot, T["site_records"], (((1,), (0,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST)
+            Kn = rec.shape[0]
+            j_a = rec[:, 0:8].reshape(Kn, 2, 2, 2)
+            j_b = rec[:, 8:16].reshape(Kn, 2, 2, 2)
+            j_oc_c = rec[:, 16:24].reshape(Kn, 2, 2, 2)
+            s_a = rec[:, 24]
+            s_b = rec[:, 25]
+        else:
+            def site(jtab, stab, strip=None):
+                if strip is None:
+                    return jtab[bit, cid], stab[cid]
+                return jtab[strip, bit, cid], stab[strip, cid]
 
-        j_ic_a, s_ic_a = site(T["ic_jones"][0], T["ic_scale"][0])
-        j_ic_b, s_ic_b = site(T["ic_jones"][1], T["ic_scale"][1])
-        j_fc_a, s_fc_a = site(T["fc_jones"][0], T["fc_scale"][0], fc_strip)
-        j_fc_b, s_fc_b = site(T["fc_jones"][1], T["fc_scale"][1], fc_strip)
-        j_oc_a, s_oc_a = site(T["oc_jones"][0], T["oc_scale"][0], oc_strip)
-        j_oc_b, s_oc_b = site(T["oc_jones"][1], T["oc_scale"][1], oc_strip)
-        j_oc_c = T["oc_jones"][2][oc_strip, bit, cid]
+            j_ic_a, s_ic_a = site(T["ic_jones"][0], T["ic_scale"][0])
+            j_ic_b, s_ic_b = site(T["ic_jones"][1], T["ic_scale"][1])
+            j_fc_a, s_fc_a = site(T["fc_jones"][0], T["fc_scale"][0], fc_strip)
+            j_fc_b, s_fc_b = site(T["fc_jones"][1], T["fc_scale"][1], fc_strip)
+            j_oc_a, s_oc_a = site(T["oc_jones"][0], T["oc_scale"][0], oc_strip)
+            j_oc_b, s_oc_b = site(T["oc_jones"][1], T["oc_scale"][1], oc_strip)
+            j_oc_c = T["oc_jones"][2][oc_strip, bit, cid]
 
-        gfc = grp_fc[:, None, None, None]
-        goc = grp_oc[:, None, None, None]
-        j_a = jnp.where(goc, j_oc_a, jnp.where(gfc, j_fc_a, j_ic_a))
-        j_b = jnp.where(goc, j_oc_b, jnp.where(gfc, j_fc_b, j_ic_b))
-        s_a = jnp.where(grp_oc, s_oc_a, jnp.where(grp_fc, s_fc_a, s_ic_a))
-        s_b = jnp.where(grp_oc, s_oc_b, jnp.where(grp_fc, s_fc_b, s_ic_b))
+            gfc = grp_fc[:, None, None, None]
+            goc = grp_oc[:, None, None, None]
+            j_a = jnp.where(goc, j_oc_a, jnp.where(gfc, j_fc_a, j_ic_a))
+            j_b = jnp.where(goc, j_oc_b, jnp.where(gfc, j_fc_b, j_ic_b))
+            s_a = jnp.where(grp_oc, s_oc_a, jnp.where(grp_fc, s_fc_a, s_ic_a))
+            s_b = jnp.where(grp_oc, s_oc_b, jnp.where(grp_fc, s_fc_b, s_ic_b))
 
         pol_a = trace_jnp._jones_apply(j_a, *pol)
         pol_b = trace_jnp._jones_apply(j_b, *pol)
@@ -273,7 +393,10 @@ def _build_step_fns(cfg: TraceConfig, *, n_cells_mn: int, L: int, M: int,
         hop = miss_fc2 | (miss_fc3 & in_r2) | (grp_oc & ~in_rect & (state == 4))
         miss_oc5 = grp_oc & ~in_rect & (state == 5)
         hop_dir = jnp.where(miss_fc2, DIR_IC, DIR_FC)
-        hph = T["hop2_phasor"][cid, hop_dir]
+        if fast:
+            hph = _dir_sel(hop_dir, T["hop2_phasor"][0])
+        else:
+            hph = T["hop2_phasor"][cid, hop_dir]
         hop_tmr, hop_tmi = trace_jnp._phase_mul(hph, buf["tmr"], buf["tmi"])
 
         def child(branch_pol, eff, scale_cos, dir_idx, to_state_fc, to_state_oc,
@@ -282,13 +405,20 @@ def _build_step_fns(cfg: TraceConfig, *, n_cells_mn: int, L: int, M: int,
             branch A, dead for branch B on non-interacting slots."""
             pw_c = trace_jnp._power(*branch_pol)
             inv = jax.lax.rsqrt(jnp.where(pw_c > 1e-30, pw_c, 1.0))
-            ph = T["tir_phasor"][cid, dir_idx]
+            if fast:
+                ph = _dir_sel(dir_idx, T["tir_phasor"][0])
+            else:
+                ph = T["tir_phasor"][cid, dir_idx]
             ter = branch_pol[0] * inv
             tei = branch_pol[1] * inv
             tmr, tmi = trace_jnp._phase_mul(ph, branch_pol[2] * inv,
                                             branch_pol[3] * inv)
-            gx = T["gaps"][cid, dir_idx, 0]
-            gy = T["gaps"][cid, dir_idx, 1]
+            if fast:
+                gx = _dir_sel(dir_idx, T["gaps"][0, :, 0])
+                gy = _dir_sel(dir_idx, T["gaps"][0, :, 1])
+            else:
+                gx = T["gaps"][cid, dir_idx, 0]
+                gy = T["gaps"][cid, dir_idx, 1]
             xa = x + gx
             ya = y + gy
             icin = in_ic(G, xa, ya)
@@ -473,7 +603,8 @@ def make_splitting_cells_fn(tables: CellTables, tgeom: TraceGeometry,
                             cfg: TraceConfig, capacity: int = 4096,
                             weight_threshold: float = 1e-5,
                             max_steps: int = 1024,
-                            per_cell_seeds: bool = False):
+                            per_cell_seeds: bool = False,
+                            fast: bool = True):
     """Build the per-cell-wavefront exact tracer (jitted).
 
     ``trace(cell_ids, seeds) -> (tiles, out_w, trunc, pruned, steps, peak)``
@@ -496,6 +627,24 @@ def make_splitting_cells_fn(tables: CellTables, tgeom: TraceGeometry,
     and the (C,) ``trunc`` ledger still accounts every dropped weight).
     Rebuilds the reference's dead splitting kernel + host compaction loop
     (GPU_ray_tracing_functions.py:193-417,:179-191) as a vmapped wavefront.
+
+    ``fast`` (default, VERDICT r4 #3) eliminates every per-slot
+    gather/scatter from the step — the ops XLA element-serializes on TPU,
+    which made the original form ~155 ms/cell:
+
+    - site parameters select by an exact one-hot matmul on the MXU over
+      per-(site, bit) records (:func:`_site_records_chunk`);
+    - dir-indexed constants (gaps/phasors) select by 4-way vector selects;
+    - compaction is a variadic ``lax.sort`` on an aliveness-ordered unique
+      key (the comparator network carries all SoA payloads — no
+      gather/scatter), keeping exactly the cumsum form's slots in the same
+      order;
+    - deposits accumulate by the persistent kernel's one-hot-matmul
+      histogram pattern.
+
+    Selected parameters and kept wavefronts are bitwise-identical to the
+    ``fast=False`` form; deposit bins agree up to f32 summation order
+    (asserted in tests/test_splitting.py).
     """
     T = trace_jnp._as_jnp(tables)
     Gfull = trace_jnp._geom_jnp(tgeom)
@@ -504,7 +653,7 @@ def make_splitting_cells_fn(tables: CellTables, tgeom: TraceGeometry,
     K = capacity
     split_init, split_step, deposit = _build_step_fns(
         cfg, n_cells_mn=1, L=1, M=1, N=1, num_fc=tgeom.num_fc,
-        num_oc=tgeom.num_oc, weight_threshold=weight_threshold)
+        num_oc=tgeom.num_oc, weight_threshold=weight_threshold, fast=fast)
 
     g_axes = {k: (0 if k == "eyebox_range" else None) for k in Gfull}
     buf_axes = {k: (None if k == "cid" else 0) for k in _KEYS}
@@ -530,14 +679,53 @@ def make_splitting_cells_fn(tables: CellTables, tgeom: TraceGeometry,
         dropped = jnp.sum(jnp.where(alive & ~keep, children["w"], 0.0))
         return out, dropped, jnp.sum(alive.astype(jnp.int32))
 
+    def compact_sort(children: dict, nkeys):
+        """Scatter-free compaction: variadic ``lax.sort`` on an
+        aliveness-ordered unique key (alive slots keep their index order,
+        dead slots sort after all alive ones).  The comparator network
+        carries every SoA payload, so no per-element gather/scatter remains
+        — the op the cumsum form's ``at[idx].set`` pays element-serialized
+        on TPU.  Kept slots and their order are identical to :func:`compact`
+        (first K alive in index order; the dead tail is normalized to
+        ``state = DEAD`` and never read otherwise)."""
+        n = children["state"].shape[0]
+        alive = children["state"] < DEAD
+        idx = jnp.arange(n, dtype=jnp.int32)
+        skey = jnp.where(alive, idx, n + idx)
+        ops = jax.lax.sort([skey] + [children[k] for k in nkeys], num_keys=1)
+        m = min(n, K)
+        out = {}
+        for k, v in zip(nkeys, ops[1:]):
+            vk = v[:m]
+            if k == "state":
+                vk = jnp.where(ops[0][:m] < n, vk, DEAD)
+            if m < K:
+                fill = DEAD if k == "state" else 0
+                vk = jnp.concatenate(
+                    [vk, jnp.full((K - m,), fill, vk.dtype)])
+            out[k] = vk
+        if n > K:
+            iw = 1 + nkeys.index("w")
+            dropped = jnp.sum(
+                jnp.where(ops[0][K:] < n, ops[iw][K:], 0.0))
+        else:
+            dropped = jnp.float32(0.0)
+        return out, dropped, jnp.sum(alive.astype(jnp.int32))
+
     nkeys = tuple(k for k in _KEYS if k != "cid")
-    vcompact = jax.vmap(functools.partial(compact, nkeys=nkeys))
+    vcompact = jax.vmap(functools.partial(
+        compact_sort if fast else compact, nkeys=nkeys))
 
     @jax.jit
     def trace(cell_ids: jnp.ndarray, seeds: dict):
         C = cell_ids.shape[0]
         cell_ids = cell_ids.astype(jnp.int32)
         Tc = _gather_cell_tables(T, cell_ids)
+        if fast:
+            # assembled once per chunk (outside the step loop); consumed by
+            # the one-hot site selection in split_step
+            Tc["site_records"] = _site_records_chunk(
+                Tc, tgeom.num_fc, tgeom.num_oc)
         mn = jnp.remainder(cell_ids, n_cells_mn)
         Gc = dict(Gfull, eyebox_range=Gfull["eyebox_range"][mn][:, None, :])
 

@@ -227,6 +227,34 @@ def test_cli_simulate_small(tmp_path, capsys):
     assert os.path.exists(js)
 
 
+def test_cli_simulate_tail_boost(tmp_path, capsys):
+    """--tail-boost surfaces the hybrid as a product path (VERDICT r4 #4):
+    the report explains the patched metrics' tail provenance and the JSON
+    carries the diagnostics; non-persistent engines are rejected loudly."""
+    import json as _json
+
+    from gpu_ray_tracing_for_waveguide_based_ar_display_tpu.cli import main
+
+    js = str(tmp_path / "m.json")
+    rc = main([
+        "simulate", "--fov-x", "4", "--fov-y", "3", "--rays-per-fov", "64",
+        "--num-iter", "1", "--max-bounces", "512", "--image", "",
+        "--engine", "pallas_persistent", "--json", js, "--tail-boost",
+        "--tail-max-boost", "64",
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "tail boost:" in out and "spliced" in out
+    with open(js) as f:
+        tb = _json.load(f)["tail_boost"]
+    assert tb["selected_cells"] >= 0
+    assert "tiers" in tb and "tail_rays" in tb
+
+    with pytest.raises(SystemExit, match="pallas_persistent"):
+        main(["simulate", "--fov-x", "4", "--fov-y", "3", "--rays-per-fov",
+              "8", "--num-iter", "1", "--image", "", "--tail-boost"])
+
+
 def test_simulator_auto_interpret_on_cpu():
     """Pallas engines flip to interpret mode automatically off-TPU, so the
     same CLI/API works on any backend without an --interpret flag."""
