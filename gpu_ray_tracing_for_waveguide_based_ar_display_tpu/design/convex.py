@@ -271,6 +271,72 @@ def point_in_or_on(px, py, verts: np.ndarray, tol: float = 1e-12) -> np.ndarray:
     return point_in_polygon(px, py, verts) | point_on_edge(px, py, verts, tol)
 
 
+def concave_boundary(points: np.ndarray, alpha: float = 0.1) -> np.ndarray:
+    """Alpha-shape exterior ring of a 2-D point cloud (CCW, (V, 2)).
+
+    In-repo rebuild of the reference's angular-response boundaries —
+    ``alphashape.alphashape(points, alpha).exterior``
+    (/root/reference/plot_design_fullColor.py:141-228) — without the
+    alphashape/shapely dependencies: Delaunay triangles with circumradius
+    <= 1/alpha are kept (the standard alpha complex) and the exterior is
+    the chained ring of edges used by exactly one kept triangle; when the
+    complex has several components the largest-area ring is returned (the
+    reference's ``.exterior`` presumes a single polygon).  Concave clouds
+    (the guided (theta, phi) footprints are crescent-shaped) keep their
+    notches instead of being overstated by a convex hull.  Falls back to
+    the convex hull for degenerate clouds (< 3 unique points, collinear
+    input, or an alpha too small to keep any triangle)."""
+    pts = np.unique(np.asarray(points, float), axis=0)
+    if len(pts) < 3:
+        return pts
+    d = pts - pts.mean(axis=0)
+    s = np.linalg.svd(d, compute_uv=False)
+    if s[-1] <= 1e-12 * max(s[0], 1.0):
+        # collinear cloud: the "ring" degenerates to the extreme segment
+        t = d @ (d[np.argmax(np.hypot(*d.T))] / max(s[0], 1e-300))
+        return pts[[int(np.argmin(t)), int(np.argmax(t))]]
+    from scipy.spatial import Delaunay
+
+    tri = Delaunay(pts).simplices
+    a, b, c = pts[tri[:, 0]], pts[tri[:, 1]], pts[tri[:, 2]]
+    la = np.hypot(*(b - c).T)
+    lb = np.hypot(*(a - c).T)
+    lc = np.hypot(*(a - b).T)
+    cross = (b - a)[:, 0] * (c - a)[:, 1] - (b - a)[:, 1] * (c - a)[:, 0]
+    # circumradius R = la*lb*lc / (2 |cross|); degenerate slivers -> inf
+    with np.errstate(divide="ignore", over="ignore"):
+        R = la * lb * lc / np.abs(2.0 * cross)
+    keep = tri[R <= 1.0 / alpha]
+    if not len(keep):
+        return convex_hull(pts)
+    # orient every kept triangle CCW so boundary edges chain head -> tail
+    kc = cross[R <= 1.0 / alpha]
+    keep = np.where(kc[:, None] >= 0, keep, keep[:, ::-1])
+    edges = np.concatenate([keep[:, [0, 1]], keep[:, [1, 2]], keep[:, [2, 0]]])
+    und = np.sort(edges, axis=1)
+    _, inv, counts = np.unique(und, axis=0, return_inverse=True,
+                               return_counts=True)
+    bedges = edges[counts[inv] == 1]
+    nxt = dict(bedges)          # CCW: each boundary vertex has one successor
+    rings, seen = [], set()
+    for start in nxt:
+        if start in seen:
+            continue
+        ring, v = [], start
+        while v not in seen:
+            seen.add(v)
+            ring.append(v)
+            v = nxt.get(v)
+            if v is None:
+                break
+        if v == start and len(ring) >= 3:
+            rings.append(np.asarray(ring))
+    if not rings:
+        return convex_hull(pts)
+    areas = [abs(polygon_area(pts[r])) for r in rings]
+    return pts[rings[int(np.argmax(areas))]]
+
+
 def simplify_to_max_edges(verts: np.ndarray, max_edges: int,
                           tols=(0.0, 1e-3, 2e-3, 5e-3, 1e-2, 2e-2, 5e-2, 0.1, 0.2)) -> np.ndarray:
     """Smallest-tolerance Douglas-Peucker simplification with <= max_edges vertices.

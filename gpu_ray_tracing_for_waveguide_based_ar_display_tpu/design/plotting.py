@@ -128,8 +128,18 @@ def plot_angular_response(geom: DesignGeometry, path: str) -> str:
     th_min = np.degrees(np.arcsin(d.n_air / d.n_glass))
     for ax, (name, th, phi) in zip(axes.flat, stages):
         for li, c in enumerate(colors):
-            ax.scatter(np.degrees(phi[li]).ravel(), np.degrees(th[li]).ravel(),
-                       s=2, color=c, alpha=0.4,
+            px = np.degrees(phi[li]).ravel()
+            py = np.degrees(th[li]).ravel()
+            # filled concave footprint like the reference's alpha-shapes
+            # (plot_design_fullColor.py:141-228, alpha=0.1 on degree coords);
+            # crescent-shaped guided clouds keep their notches instead of
+            # being overstated by a convex hull
+            ring = convex.concave_boundary(np.column_stack([px, py]),
+                                           alpha=0.1)
+            if len(ring) >= 3:
+                ax.fill(ring[:, 0], ring[:, 1], color=c, alpha=0.3,
+                        edgecolor=c, lw=1.0)
+            ax.scatter(px, py, s=2, color=c, alpha=0.4,
                        label=f"{d.wavelengths[li]:.0f} nm" if name == stages[0][0]
                        else None)
         if name != stages[-1][0]:

@@ -18,11 +18,11 @@ Two tail engines:
   runtime scalar (pipeline._pers_ctrl), so tier boosts of 4x..4096x the
   reference budget reuse the compiled kernel with zero recompiles and run at
   the kernel's full 3 G bounces/s.
-- :class:`ExactTailHybrid` (exact, CPU/small-grid scale): the tail rows are
-  the zero-variance branch expectation from the per-cell splitting engine.
-  Measured at 155 ms/cell on the current TPU backend (XLA element-serialized
-  gathers dominate engine/splitting.py's table lookups), it anchors tests and
-  convergence studies rather than the production path.
+- :class:`ExactTailHybrid` (exact): the tail rows are the zero-variance
+  branch expectation from the per-cell splitting engine.  With the fast
+  (one-hot/sort) splitting step this runs at ~4 ms/cell on v5e (was 155
+  ms/cell on the gather-bound form), so it is viable as a production tail
+  as well as the anchor for tests and convergence studies.
 
 Unbiasedness (both engines, tested in tests/test_hybrid.py):
 
@@ -66,6 +66,7 @@ class HybridDiagnostics:
     tau_select: float
     tau_target: float
     exact_pruned: float = 0.0    # splitting mode: sub-threshold pruned weight
+    cell_tier: Optional[np.ndarray] = None   # per-selected-cell boost tier
 
 
 def _cell_lnm(cells: np.ndarray, M: int, N: int):
@@ -239,6 +240,7 @@ class TailBoostHybrid:
         rows = np.zeros((L * len(gsel), epy, epx), np.float64)
         sums = np.zeros(L * len(gsel), np.float64)
         cell_of = np.zeros(L * len(gsel), np.int64)
+        tier_of = np.zeros(L * len(gsel), np.float64)
         tail_rays = 0
         tiers = {}
         min_exp = np.inf
@@ -254,6 +256,7 @@ class TailBoostHybrid:
             rows[pos:pos + len(cells)] = t_rows
             sums[pos:pos + len(cells)] = t_sums
             cell_of[pos:pos + len(cells)] = cells
+            tier_of[pos:pos + len(cells)] = tier
             pos += len(cells)
             tail_rays += n_rays
             # post-boost combined worst-window expectation for this tier
@@ -269,7 +272,7 @@ class TailBoostHybrid:
             pilot_seconds=pilot_s, tail_seconds=tail_s, tail_rays=tail_rays,
             min_pilot_count=min_pilot,
             min_tail_expected=(0.0 if not len(gsel) else float(min_exp)),
-            tiers=tiers))
+            tiers=tiers, cell_tier=tier_of[order]))
         return self._tail
 
     def _tail_pass(self, cells: np.ndarray, tier_rpf: int):

@@ -89,7 +89,7 @@ def _chunk_reducer(nd: int, n_cells: int, L: int, MN: int, nx: int,
 def _sweep_trace_fn(cfg: TraceConfig, num_fc: int, num_oc: int, rt: int,
                     gens: int, interpret: bool, phase_gating: bool,
                     count_spawn: bool, accum_mode: str,
-                    cells_per_block: int = 1):
+                    cells_per_block: int = 1, transit_jump: bool = False):
     """Memoized persistent-kernel builder for sweeps.
 
     ``run_design_sweep_persistent`` is called repeatedly (bench reps, CLI
@@ -109,7 +109,8 @@ def _sweep_trace_fn(cfg: TraceConfig, num_fc: int, num_oc: int, rt: int,
         interpret=interpret,
         phase_gating=phase_gating, max_iters=cfg.max_bounces,
         edge_counts=(MAX_EDGES,) * 3, count_spawn=count_spawn,
-        accum_mode=accum_mode, cells_per_block=cells_per_block)
+        accum_mode=accum_mode, cells_per_block=cells_per_block,
+        transit_jump=transit_jump, jump_phase="pow2")
 
 
 @functools.lru_cache(maxsize=16)
@@ -240,6 +241,7 @@ def run_design_sweep_persistent(
     eval_cfg=None,
     cells_per_block: int = 1,
     mesh=None,
+    transit_jump: bool = False,
 ) -> SweepResult:
     """Design sweep on the production persistent kernel (TPU speed-of-light path).
 
@@ -463,7 +465,7 @@ def run_design_sweep_persistent(
             trace = _sweep_trace_fn(
                 cfg, num_fc, num_oc, rt, gens,
                 interpret, (spawn_iters <= 0 and not count_spawn),
-                count_spawn, accum_mode, cpb)
+                count_spawn, accum_mode, cpb, transit_jump)
             if mesh is not None:
                 from ..parallel.shard import make_sharded_cell_trace_fn
 

@@ -261,3 +261,73 @@ def test_hull_prefilter_scale_invariant_slack():
             assert tuple(v) in kept, (scale, v)
         if ring_fast is not None:
             np.testing.assert_array_equal(ring_plain, ring_fast)
+
+
+def test_concave_boundary_keeps_notch():
+    """Alpha-shape ring of a U-shaped cloud excludes the notch a convex hull
+    would cover (the reference's angular-response panels use concave
+    alpha-shapes, plot_design_fullColor.py:141-228)."""
+    from matplotlib.path import Path
+
+    xs, ys = np.meshgrid(np.linspace(0, 4, 17), np.linspace(0, 4, 17))
+    mask = ~((xs > 1.2) & (xs < 2.8) & (ys > 1.2))
+    pts = np.column_stack([xs[mask], ys[mask]])
+    ring = convex.concave_boundary(pts, alpha=1.0)
+    hull = convex.convex_hull(pts)
+    assert abs(convex.polygon_area(ring)) < 0.85 * abs(convex.polygon_area(hull))
+    # ring vertices are cloud points (alpha shapes never invent vertices)
+    cloud = set(map(tuple, pts))
+    assert all(tuple(v) in cloud for v in ring)
+    p = Path(ring)
+    assert not p.contains_point((2.0, 3.0))      # inside the notch
+    assert p.contains_point((0.5, 0.5))          # inside the solid arm
+
+
+def test_concave_boundary_convex_cloud_matches_hull():
+    """On a filled convex cloud the alpha shape equals the convex hull (same
+    area) whenever 1/alpha exceeds the sampling pitch."""
+    xs, ys = np.meshgrid(np.linspace(0, 4, 17), np.linspace(0, 4, 17))
+    pts = np.column_stack([xs.ravel(), ys.ravel()])
+    ring = convex.concave_boundary(pts, alpha=0.1)
+    assert abs(abs(convex.polygon_area(ring)) - 16.0) < 1e-9
+
+
+def test_concave_boundary_degenerate():
+    """Collinear clouds degenerate to the extreme segment; tiny clouds pass
+    through; an alpha far too sharp falls back to the convex hull."""
+    seg = convex.concave_boundary(
+        np.column_stack([np.arange(5.0), 2.0 * np.arange(5.0)]), alpha=0.1)
+    assert seg.shape == (2, 2)
+    assert {tuple(v) for v in seg} == {(0.0, 0.0), (4.0, 8.0)}
+    two = convex.concave_boundary(np.array([[0.0, 0.0], [1.0, 1.0]]))
+    assert two.shape == (2, 2)
+    rng = np.random.default_rng(3)
+    cloud = rng.random((40, 2)) * 10.0
+    ring = convex.concave_boundary(cloud, alpha=1e9)  # keeps no triangle
+    np.testing.assert_array_equal(ring, convex.convex_hull(cloud))
+
+
+def test_concave_boundary_design_clouds():
+    """Golden-shape properties on the real paper-design angular clouds: the
+    per-stage rings close, use only cloud points, and never exceed the
+    convex hull's footprint (they equal it only where the cloud is convex)."""
+    from gpu_ray_tracing_for_waveguide_based_ar_display_tpu.design import (
+        generate_geometry,
+    )
+
+    g = generate_geometry(num_fov_x=16, num_fov_y=12)
+    any_concave = False
+    for th, ph in ((g.th_out_ic, g.phi_out_ic), (g.th_out_fc, g.phi_out_fc),
+                   (g.th_out_oc, g.phi_out_oc)):
+        for li in range(th.shape[0]):
+            pts = np.column_stack([np.degrees(th[li]).ravel(),
+                                   np.degrees(ph[li]).ravel()])
+            ring = convex.concave_boundary(pts, alpha=0.1)
+            assert len(ring) >= 3
+            hull_area = abs(convex.polygon_area(convex.convex_hull(pts)))
+            ring_area = abs(convex.polygon_area(ring))
+            assert ring_area <= hull_area + 1e-9
+            any_concave |= ring_area < 0.999 * hull_area
+            cloud = set(map(tuple, np.unique(pts, axis=0)))
+            assert all(tuple(v) in cloud for v in ring)
+    assert any_concave     # at least one stage is genuinely non-convex

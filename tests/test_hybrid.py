@@ -109,35 +109,61 @@ def test_boost_tail_unstarves(pers_sim):
     assert set(d.tiers) and all(v > 0 for v in d.tiers.values())
 
 
-def test_boost_tail_unbiased_means_match(pers_sim):
-    """Means-match: averaged over independent boost streams, the boosted tail
-    rows agree with a long uniform-MC reference on the selected cells within
-    standard error (the estimator replaces rows wholesale, so row-mean
-    equality is exactly estimator unbiasedness)."""
+@pytest.fixture(scope="module")
+def boosted_tail(pers_sim):
+    """One tail build + one independent long reference, shared by the
+    unbiasedness and positivity tests.  The reference budget (256x) sits in
+    a seed-tag octave above every possible tier (max_boost 128 -> top tier
+    tag log2(128 * 256); _tail_pass displaces streams by int(log2(budget))),
+    so the reference stream is independent of every tier stream — a
+    power-of-two reference equal to a tier would silently share its stream
+    and the comparison would be vacuous for those cells."""
     hy = TailBoostHybrid(pers_sim, tau_select=50.0, tau_target=25.0,
-                         max_boost=64.0)
+                         max_boost=128.0)
     hy.build_tail(cells_per_batch=64)
-    sel, rows, sums, _ = hy._tail
-    # independent long reference on the same cells: 64x budget, fresh stream
-    ref_rows, _sums, _n = hy._tail_pass(sel, 64 * CFG.rays_per_fov)
-    denom = np.maximum(ref_rows.mean(), 1e-12)
-    # total deposited mass per cell agrees within MC tolerance
-    rel = abs(rows.mean() - ref_rows.mean()) / denom
-    assert rel < 0.05, rel
+    sel, rows, sums, frag = hy._tail
+    n_ref = 256 * CFG.rays_per_fov
+    ref_rows, ref_sums, _n = hy._tail_pass(sel, n_ref)
+    return dict(hy=hy, sel=sel, rows=rows, sums=sums, frag=frag,
+                n_ref=n_ref, ref_rows=ref_rows, ref_sums=ref_sums)
 
 
-def test_boost_rows_positive_where_reference_positive(pers_sim):
+def test_boost_tail_unbiased_means_match(boosted_tail):
+    """Per-cell z-scores vs an independent long reference (VERDICT r4 #8):
+    each selected cell's boosted tile sum must agree with the fresh
+    256x-budget uniform-MC stream within Poisson standard error —
+    cell-resolved, so a compensating bias across cells cannot hide the way
+    a global mean-ratio check allowed."""
+    bt = boosted_tail
+    sums, ref_sums, n_ref = bt["sums"], bt["ref_sums"], bt["n_ref"]
+    # per-cell boost sample counts (tier x budget), recorded by build_tail
+    n_cell = (np.asarray(bt["frag"]["cell_tier"])
+              * CFG.rays_per_fov * CFG.num_iter)
+    assert n_cell.shape == sums.shape and (n_cell > 0).all()
+    # Poisson: Var[sum_per_ray] = rate / n; estimate the rate from the
+    # higher-resolution stream, floor it to keep dark cells well-defined
+    rate = np.maximum(ref_sums, 1.0 / n_ref)
+    z = (sums - ref_sums) / np.sqrt(rate / n_cell + rate / n_ref)
+    assert np.abs(z).max() < 6.0, (z.min(), z.max())
+    # no systematic sign: the mean of C standard normals is ~N(0, 1/C)
+    assert abs(z.mean()) < 4.0 / np.sqrt(len(z)), z.mean()
+
+
+def test_boost_rows_positive_where_reference_positive(boosted_tail):
     """Post-boost rows are positive in every window the long reference run
-    finds reachable (the positivity property that un-stars u_eyebox)."""
-    hy = TailBoostHybrid(pers_sim, tau_select=50.0, tau_target=25.0,
-                         max_boost=256.0)
-    hy.build_tail(cells_per_batch=64)
-    sel, rows, _sums, frag = hy._tail
-    assert frag["tail_rays"] > 0
-    # every selected cell's worst boosted window got at least some mass unless
-    # the window is plausibly dark at this boost cap
-    comb = rows.reshape(-1).min()
-    assert comb >= 0.0
+    finds substantially reachable (the positivity property that un-starves
+    u_eyebox).  'Substantial' = >= 40 reference counts at 256x budget, i.e.
+    window rate >= ~0.16 per unit budget: a max-tier (128x) boost then
+    expects >= ~20 counts, and pilot-positive tiers expect ~1.5*tau_target
+    by construction, so P[any miss] < 1e-8 x windows — a sharp assertion,
+    not the vacuous rows >= 0 this test once checked (VERDICT r4 #8)."""
+    bt = boosted_tail
+    rows, ref_rows, n_ref = bt["rows"], bt["ref_rows"], bt["n_ref"]
+    assert bt["frag"]["tail_rays"] > 0
+    substantial = ref_rows * n_ref >= 40.0
+    assert substantial.any()           # the reference does reach windows
+    assert (rows[substantial] > 0.0).all(), (
+        int((rows[substantial] == 0).sum()), "windows missed by the boost")
 
 
 def test_boost_tail_reuses_cache(pers_sim):
