@@ -236,6 +236,8 @@ class GratingOptResult:
     loss_history: np.ndarray     # (steps + 1,)
     efficiency: Tuple[float, float]      # (initial, final)
     nonuniformity: Tuple[float, float]   # (initial, final)
+    s_fc: Optional[np.ndarray] = None    # joint mode: optimized amplitudes
+    s_oc: Optional[np.ndarray] = None
 
 
 def make_grating_loss(
@@ -252,8 +254,16 @@ def make_grating_loss(
     fov_uniformity_weight: float = 1.0,
     eyebox_uniformity_weight: float = 0.25,
     pupil_bins: int = 0,
+    apodize: bool = False,
 ):
     """Build ``loss(theta) -> (scalar, aux)`` over grating design parameters.
+
+    ``apodize=True`` makes the optimization JOINT: ``theta`` additionally
+    carries pre-sigmoid per-strip amplitude knobs (``"fc"`` (S_fc,), ``"oc"``
+    (S_oc,), cf. :func:`make_apodization_loss`), applied on top of the
+    re-derived analytic tables — one loss over (grating k-vector, strip
+    apodization) together, the coupling the two single-family optimizers
+    cannot see.
 
     ``theta`` holds one unitless knob per name in ``opt_params``: periods are
     parameterized multiplicatively (``lambda = lambda0 * exp(t)``, so Adam's
@@ -291,6 +301,9 @@ def make_grating_loss(
         ana = analytic_cell_tables(p, design, M, N, tgeom.num_fc,
                                    tgeom.num_oc)
         T = apply_design_params(T0, ana)
+        if apodize:
+            T = apply_apodization(T, jax.nn.sigmoid(theta["fc"]),
+                                  jax.nn.sigmoid(theta["oc"]))
         hist, out_w, _, _, _ = trace(rays0, T)
         return _eyebox_objective(hist, L, M, N, ny, nx, n0, eff_weight,
                                  fov_uniformity_weight,
@@ -309,9 +322,15 @@ def optimize_grating(
     steps: int = 30,
     learning_rate: float = 0.01,
     seed: Optional[int] = None,
+    apodize: bool = False,
+    apod_theta0: float = 2.0,
     **loss_kw,
 ) -> GratingOptResult:
-    """Adam on grating period/orientation through the differentiable trace."""
+    """Adam on grating period/orientation through the differentiable trace.
+
+    ``apodize=True`` optimizes the per-strip FC/OC amplitudes JOINTLY with
+    the grating parameters (one Adam state over both; the apodization knobs
+    start at ``apod_theta0`` like :func:`optimize_apodization`)."""
     import optax
 
     cfg_r = dataclasses.replace(cfg, rays_per_fov=rays_per_fov,
@@ -322,10 +341,14 @@ def optimize_grating(
         batch["idx"], batch["rng"])
 
     loss, _ = make_grating_loss(tables, tgeom, cfg, rays0, geom.design,
-                                opt_params=opt_params, **loss_kw)
+                                opt_params=opt_params, apodize=apodize,
+                                **loss_kw)
     vg = jax.jit(jax.value_and_grad(loss, has_aux=True))
 
     theta = {k: jnp.zeros((), jnp.float32) for k in opt_params}
+    if apodize:
+        theta["fc"] = jnp.full((tgeom.num_fc,), apod_theta0, jnp.float32)
+        theta["oc"] = jnp.full((tgeom.num_oc,), apod_theta0, jnp.float32)
     opt = optax.adam(learning_rate)
     state = opt.init(theta)
     history = []
@@ -352,4 +375,6 @@ def optimize_grating(
         loss_history=np.asarray(history),
         efficiency=(float(aux0[0]), float(aux[0])),
         nonuniformity=(float(aux0[1]), float(aux[1])),
+        s_fc=(np.asarray(jax.nn.sigmoid(theta["fc"])) if apodize else None),
+        s_oc=(np.asarray(jax.nn.sigmoid(theta["oc"])) if apodize else None),
     )

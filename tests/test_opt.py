@@ -144,3 +144,29 @@ def test_optimizer_improves_loss(setup):
     assert res.loss_history[-1] < res.loss_history[0]
     assert ((res.s_fc > 0) & (res.s_fc < 1)).all()
     assert ((res.s_oc > 0) & (res.s_oc < 1)).all()
+
+
+def test_joint_grating_apodization_optimizer(setup):
+    """Joint (grating k-vector, per-strip apodization) optimization (VERDICT
+    r4 #6): one Adam state over both families improves the loss, moves BOTH
+    parameter groups, and reports the optimized amplitudes."""
+    from gpu_ray_tracing_for_waveguide_based_ar_display_tpu.opt.grating_opt import (
+        optimize_grating,
+    )
+
+    geom, tables, tgeom, cfg, rays = setup
+    res = optimize_grating(geom, tables, tgeom, cfg, rays_per_fov=8,
+                           steps=10, learning_rate=0.01, capacity=1024,
+                           fixed_steps=32, apodize=True)
+    assert np.isfinite(res.loss_history).all()
+    assert res.loss_history[-1] < res.loss_history[0]
+    assert res.s_fc is not None and len(res.s_fc) == tgeom.num_fc
+    assert res.s_oc is not None and len(res.s_oc) == tgeom.num_oc
+    # both families actually moved: periods in relative pitch, amplitudes
+    # off their sigmoid(2.0) start
+    assert res.params["lambda_ic"] != geom.design.lambda_ic
+    assert np.abs(res.s_fc - 0.8808).max() > 1e-4
+    # non-joint mode keeps the old contract
+    res2 = optimize_grating(geom, tables, tgeom, cfg, rays_per_fov=8,
+                            steps=2, capacity=1024, fixed_steps=32)
+    assert res2.s_fc is None and res2.s_oc is None

@@ -16,6 +16,9 @@ engine evaluates 100 x 75 x 3 = 22,500 cells exactly in bounded memory
   CONV_EXACT_CAP=8192   per-cell wavefront capacity (trunc must stay 0)
   CONV_EXACT_THRESH=1e-6  branch weight threshold (pruned = bias bound)
   CONV_POS_BATCH=2      positions traced per pass (memory/width knob)
+  CONV_CELLS_PER_BATCH=60  cells per splitting chunk (60 divides the full
+                        22,500-cell grid exactly -> one compiled chunk shape;
+                        measured frontier ~3.7 ms/cell on v5e at 60-64)
   CONV_BUDGETS=...      MC rays-per-fov budgets to compare
 
 CPU-runnable at the default small grid (a few minutes); the full grid is a
@@ -75,9 +78,11 @@ def exact_metrics(geom, luts, cfg, eval_cfg):
         cfg=cfg, geom=geom, luts=luts, engine="splitting",
         splitting_capacity=cap, splitting_threshold=thresh,
         splitting_max_steps=1024)
+    cpb = int(os.environ.get("CONV_CELLS_PER_BATCH", 60))
     t0 = time.perf_counter()
     res = sim.run(rays_per_fov=pos_batch,
                   num_iter=max(1, n_pos // pos_batch),
+                  cells_per_batch=cpb,
                   evaluate_metrics=True, eval_cfg=eval_cfg)
     wall = time.perf_counter() - t0
     m = res.metrics
