@@ -133,12 +133,17 @@ def cmd_simulate(args) -> int:
     from .utils import xla_trace
 
     diags = None
-    if args.tail_boost:
-        # MC bulk + tier-boosted starvation tail (engine/hybrid.py): the
-        # reference's u_eyebox min is zeroed by MC-starved corner windows at
-        # default budgets (AR_system_evaluation_functions.py:149-160); the
-        # hybrid re-resolves exactly that tail and splices it in unbiasedly
-        if args.engine != "pallas_persistent":
+    if args.tail_boost and args.tail_exact:
+        raise SystemExit("choose ONE of --tail-boost / --tail-exact")
+    if args.tail_boost or args.tail_exact:
+        # MC bulk + starvation tail (engine/hybrid.py): the reference's
+        # u_eyebox min is zeroed by MC-starved corner windows at default
+        # budgets (AR_system_evaluation_functions.py:149-160); the hybrid
+        # re-resolves exactly that tail and splices it in unbiasedly —
+        # tier-boosted MC (--tail-boost) or the zero-variance branch
+        # expectation from the per-cell splitting engine (--tail-exact)
+        which = "--tail-boost" if args.tail_boost else "--tail-exact"
+        if args.tail_boost and args.engine != "pallas_persistent":
             raise SystemExit(
                 "--tail-boost requires --engine pallas_persistent (the "
                 "boost tiers reuse the persistent kernel's runtime spawn "
@@ -150,13 +155,24 @@ def cmd_simulate(args) -> int:
                            (mesh, "--mesh")):
             if flag:
                 raise SystemExit(
-                    f"--tail-boost does not compose with {name} (the tail "
+                    f"{which} does not compose with {name} (the tail "
                     "splice patches the single-run perception stack)")
-        from .engine.hybrid import TailBoostHybrid
+        if args.tail_boost:
+            from .engine.hybrid import TailBoostHybrid
 
-        hy = TailBoostHybrid(sim, tau_select=args.tail_tau_select,
-                             tau_target=args.tail_tau_target,
-                             max_boost=args.tail_max_boost)
+            hy = TailBoostHybrid(sim, tau_select=args.tail_tau_select,
+                                 tau_target=args.tail_tau_target,
+                                 max_boost=args.tail_max_boost)
+        else:
+            from .engine.hybrid import ExactTailHybrid
+
+            # one launch point per pass = two (TE, TM) branch trees in the
+            # buffer at once, keeping the per-cell wavefront peak under 8192
+            # slots at the 1e-6 threshold (two trees measured 7,692 peak on
+            # the full grid — demo_metrics 'exact_fullgrid')
+            hy = ExactTailHybrid(sim, tau=args.tail_tau_select,
+                                 points_per_pass=1, capacity=8192,
+                                 max_steps=1024)
         with xla_trace(args.profile_dir or None):
             res, diags = hy.run(cells_per_batch=args.cells_per_batch,
                                 verbose=args.verbose)
@@ -174,7 +190,7 @@ def cmd_simulate(args) -> int:
                           error_groups=args.error_bars,
                           dense_metrics=bool(args.dense_eyebox))
     print(format_report(res))
-    if diags is not None:
+    if diags is not None and diags.tail_rays > 0:
         tiers = ", ".join(
             f"{int(k)}x:{v}" for k, v in sorted(diags.tiers.items()))
         print(
@@ -185,6 +201,15 @@ def cmd_simulate(args) -> int:
             f"the patched rows; one-time pilot {diags.pilot_seconds:.1f} s "
             f"+ tail {diags.tail_seconds:.1f} s, MC bulk "
             f"{diags.mc_seconds:.1f} s]")
+    elif diags is not None:
+        print(
+            f"  [exact tail: {diags.selected_cells} starvation-risk cells "
+            f"(expected worst window < {diags.tau_select:g}) replaced by "
+            f"their zero-variance branch expectation and spliced into the "
+            f"perception stack — the metrics above use the patched rows; "
+            f"pruned weight {diags.exact_pruned:.3g} bounds the threshold "
+            f"bias; one-time pilot {diags.pilot_seconds:.1f} s + tail "
+            f"{diags.tail_seconds:.1f} s, MC bulk {diags.mc_seconds:.1f} s]")
     if res.metric_stderr:
         print("MC standard errors (jackknife over num_iter groups):")
         for k, v in res.metric_stderr.items():
@@ -227,6 +252,8 @@ def cmd_simulate(args) -> int:
         }
         if diags is not None:
             out["tail_boost"] = {
+                "mode": "boost" if args.tail_boost else "exact",
+                "exact_pruned": diags.exact_pruned,
                 "selected_cells": diags.selected_cells,
                 "tail_rays": diags.tail_rays,
                 "tiers": {str(int(k)): v for k, v in diags.tiers.items()},
@@ -505,6 +532,11 @@ def main(argv=None) -> int:
                         "kernel and spliced into the perception stack, so "
                         "u_eyebox carries information at default MC budgets "
                         "(requires --engine pallas_persistent)")
+    p.add_argument("--tail-exact", action="store_true",
+                   help="like --tail-boost, but the tail rows are the EXACT "
+                        "branch expectation from the per-cell splitting "
+                        "engine (zero variance, ~4 ms/cell on v5e); works "
+                        "with any bulk engine")
     p.add_argument("--tail-tau-select", type=float, default=30.0,
                    metavar="COUNT", help="select cells whose worst pilot "
                                          "window count is below this")

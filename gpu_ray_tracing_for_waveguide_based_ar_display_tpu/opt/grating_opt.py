@@ -255,8 +255,17 @@ def make_grating_loss(
     eyebox_uniformity_weight: float = 0.25,
     pupil_bins: int = 0,
     apodize: bool = False,
+    param_box: float = 0.05,
 ):
     """Build ``loss(theta) -> (scalar, aux)`` over grating design parameters.
+
+    ``param_box`` bounds the search to a trust region around the base design
+    — periods within ``exp(+-box)`` (~+-5% pitch), orientations within
+    ``+-box`` rad — via a tanh squash.  The analytic-table surrogate holds
+    the RCWA Jones blocks and footprint polygons at the base design, so it
+    is only *valid* near it; unbounded knobs let Adam walk the k-closure
+    into evanescent regimes the surrogate cannot see (the re-generated
+    geometry there is NaN).
 
     ``apodize=True`` makes the optimization JOINT: ``theta`` additionally
     carries pre-sigmoid per-strip amplitude knobs (``"fc"`` (S_fc,), ``"oc"``
@@ -296,8 +305,9 @@ def make_grating_loss(
     def loss(theta: Dict[str, jnp.ndarray]):
         p = dict(base)
         for k in opt_params:
-            p[k] = (base[k] * jnp.exp(theta[k]) if k.startswith("lambda")
-                    else base[k] + theta[k])
+            t = param_box * jnp.tanh(theta[k])
+            p[k] = (base[k] * jnp.exp(t) if k.startswith("lambda")
+                    else base[k] + t)
         ana = analytic_cell_tables(p, design, M, N, tgeom.num_fc,
                                    tgeom.num_oc)
         T = apply_design_params(T0, ana)
@@ -324,6 +334,7 @@ def optimize_grating(
     seed: Optional[int] = None,
     apodize: bool = False,
     apod_theta0: float = 2.0,
+    param_box: float = 0.05,
     **loss_kw,
 ) -> GratingOptResult:
     """Adam on grating period/orientation through the differentiable trace.
@@ -342,7 +353,7 @@ def optimize_grating(
 
     loss, _ = make_grating_loss(tables, tgeom, cfg, rays0, geom.design,
                                 opt_params=opt_params, apodize=apodize,
-                                **loss_kw)
+                                param_box=param_box, **loss_kw)
     vg = jax.jit(jax.value_and_grad(loss, has_aux=True))
 
     theta = {k: jnp.zeros((), jnp.float32) for k in opt_params}
@@ -368,7 +379,7 @@ def optimize_grating(
     final = {}
     for k in opt_params:
         base = getattr(d, k)
-        t = float(theta[k])
+        t = param_box * float(np.tanh(float(theta[k])))
         final[k] = base * float(np.exp(t)) if k.startswith("lambda") else base + t
     return GratingOptResult(
         params=final,

@@ -76,6 +76,12 @@ _SLOW_TESTS = {
     "test_simulator_transit_jump_matches_baseline",
     # round-3: jump-mode cross-design fuzz (3 designs x 2 interpret kernels)
     "test_transit_jump_design_fuzz",
+    # round-5: exact-tail CLI path (16 splitting quadrature passes + pilot,
+    # ~several min on 1 CPU core) and the shared boosted-tail fixture's
+    # 256x/512x reference passes through the interpret persistent kernel
+    "test_cli_simulate_tail_exact",
+    "test_boost_tail_unbiased_means_match",
+    "test_boost_rows_positive_where_reference_positive",
 }
 
 

@@ -255,6 +255,34 @@ def test_cli_simulate_tail_boost(tmp_path, capsys):
               "8", "--num-iter", "1", "--image", "", "--tail-boost"])
 
 
+def test_cli_simulate_tail_exact(tmp_path, capsys):
+    """--tail-exact splices the zero-variance splitting tail under any bulk
+    engine; the report names the exact tail and the JSON carries the mode +
+    pruned-weight ledger."""
+    import json as _json
+
+    from gpu_ray_tracing_for_waveguide_based_ar_display_tpu.cli import main
+
+    js = str(tmp_path / "m.json")
+    rc = main([
+        "simulate", "--fov-x", "4", "--fov-y", "3", "--rays-per-fov", "64",
+        "--num-iter", "1", "--max-bounces", "512", "--image", "",
+        "--engine", "jnp", "--json", js, "--tail-exact",
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "exact tail:" in out and "spliced" in out
+    with open(js) as f:
+        tb = _json.load(f)["tail_boost"]
+    assert tb["mode"] == "exact" and tb["tail_rays"] == 0
+    assert tb["exact_pruned"] >= 0.0
+
+    with pytest.raises(SystemExit, match="choose ONE"):
+        main(["simulate", "--fov-x", "4", "--fov-y", "3", "--image", "",
+              "--engine", "pallas_persistent", "--tail-boost",
+              "--tail-exact"])
+
+
 def test_simulator_auto_interpret_on_cpu():
     """Pallas engines flip to interpret mode automatically off-TPU, so the
     same CLI/API works on any backend without an --interpret flag."""
