@@ -306,8 +306,20 @@ def make_grating_loss(
         p = dict(base)
         for k in opt_params:
             t = param_box * jnp.tanh(theta[k])
-            p[k] = (base[k] * jnp.exp(t) if k.startswith("lambda")
-                    else base[k] + t)
+            if k == "lambda_tied":
+                # move BOTH coupler pitches as a unit (the sweep convention):
+                # the k-closure's IC<->OC symmetry is preserved, so the
+                # optimized design re-generates to a matched system —
+                # detuning lambda_ic alone collapses exact efficiency ~3x
+                # (recorded in demo_metrics joint history)
+                p["lambda_ic"] = base["lambda_ic"] * jnp.exp(t)
+                p["lambda_oc"] = base["lambda_oc"] * jnp.exp(t)
+            elif k == "phi_tied":
+                p["phi_ic"] = base["phi_ic"] + t
+                p["phi_oc"] = base["phi_oc"] + t
+            else:
+                p[k] = (base[k] * jnp.exp(t) if k.startswith("lambda")
+                        else base[k] + t)
         ana = analytic_cell_tables(p, design, M, N, tgeom.num_fc,
                                    tgeom.num_oc)
         T = apply_design_params(T0, ana)
@@ -378,9 +390,17 @@ def optimize_grating(
     d = geom.design
     final = {}
     for k in opt_params:
-        base = getattr(d, k)
         t = param_box * float(np.tanh(float(theta[k])))
-        final[k] = base * float(np.exp(t)) if k.startswith("lambda") else base + t
+        if k == "lambda_tied":
+            final["lambda_ic"] = d.lambda_ic * float(np.exp(t))
+            final["lambda_oc"] = d.lambda_oc * float(np.exp(t))
+        elif k == "phi_tied":
+            final["phi_ic"] = d.phi_ic + t
+            final["phi_oc"] = d.phi_oc + t
+        else:
+            base = getattr(d, k)
+            final[k] = (base * float(np.exp(t)) if k.startswith("lambda")
+                        else base + t)
     return GratingOptResult(
         params=final,
         loss_history=np.asarray(history),

@@ -170,3 +170,29 @@ def test_joint_grating_apodization_optimizer(setup):
     res2 = optimize_grating(geom, tables, tgeom, cfg, rays_per_fov=8,
                             steps=2, capacity=1024, fixed_steps=32)
     assert res2.s_fc is None and res2.s_oc is None
+
+
+def test_tied_coupler_knobs(setup):
+    """'lambda_tied'/'phi_tied' move BOTH couplers as a unit (the sweep
+    convention), preserving the k-closure's IC<->OC symmetry — single-coupler
+    knobs optimized the surrogate but collapsed exact full-grid efficiency
+    ~3x on re-generation (demo_metrics joint history)."""
+    from gpu_ray_tracing_for_waveguide_based_ar_display_tpu.opt.grating_opt import (
+        optimize_grating,
+    )
+
+    geom, tables, tgeom, cfg, rays = setup
+    d = geom.design
+    res = optimize_grating(geom, tables, tgeom, cfg,
+                           opt_params=("lambda_tied", "phi_tied"),
+                           rays_per_fov=4, steps=3, learning_rate=0.02,
+                           capacity=1024, fixed_steps=32)
+    assert set(res.params) == {"lambda_ic", "lambda_oc", "phi_ic", "phi_oc"}
+    # both pitches scale by the SAME factor; both orientations shift equally
+    assert (res.params["lambda_ic"] / d.lambda_ic
+            == pytest.approx(res.params["lambda_oc"] / d.lambda_oc, abs=1e-12))
+    assert (res.params["phi_ic"] - d.phi_ic
+            == pytest.approx(res.params["phi_oc"] - d.phi_oc, abs=1e-12))
+    assert res.params["lambda_ic"] != d.lambda_ic
+    # trust region: the tanh box bounds the move
+    assert 0.94 * d.lambda_ic < res.params["lambda_ic"] < 1.06 * d.lambda_ic

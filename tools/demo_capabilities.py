@@ -166,10 +166,23 @@ if os.environ.get("DEMO_JOINT", "1") != "0":
     sim_o = Simulator(cfg=cfg_o, engine="jnp")
     t0 = time.perf_counter()
     steps = int(os.environ.get("DEMO_JOINT_STEPS", 40))
+    # eff_weight 3: the first recorded run (eff_weight 1) bought its +46%
+    # exact u_eyebox with a 3x efficiency drop — a Pareto point, but the
+    # balanced default should hold efficiency while flattening the eyebox
+    # tied knobs move both couplers as a unit, preserving the k-closure's
+    # IC<->OC symmetry: single-coupler knobs optimized the surrogate but
+    # collapsed exact full-grid efficiency ~3x on re-generation (the
+    # surrogate freezes footprints and cannot see the detuning — exactly
+    # the failure mode the exact after-eval exists to catch)
     r = optimize_grating(sim_o.geom, sim_o.tables, sim_o.tgeom, cfg_o,
+                         opt_params=("lambda_tied", "phi_tied"),
                          steps=steps, learning_rate=0.01, rays_per_fov=8,
                          capacity=16384, fixed_steps=64,
-                         weight_threshold=1e-4, apodize=True, pupil_bins=24)
+                         weight_threshold=1e-4, apodize=True, pupil_bins=24,
+                         eff_weight=float(
+                             os.environ.get("DEMO_JOINT_EFFW", 3.0)),
+                         param_box=float(
+                             os.environ.get("DEMO_JOINT_BOX", 0.03)))
     opt_s = time.perf_counter() - t0
 
     def _exact_full(design, s_fc=None, s_oc=None, png=None):
@@ -211,9 +224,7 @@ if os.environ.get("DEMO_JOINT", "1") != "0":
         }
 
     base_design = sim_o.geom.design
-    after_design = dataclasses.replace(
-        base_design, lambda_ic=r.params["lambda_ic"],
-        phi_ic=r.params["phi_ic"])
+    after_design = dataclasses.replace(base_design, **r.params)
     out["joint_design_opt"] = {
         "steps": steps,
         "opt_wall_s": round(opt_s, 1),
@@ -223,8 +234,7 @@ if os.environ.get("DEMO_JOINT", "1") != "0":
                                  round(r.efficiency[1], 6)],
         "surrogate_nonuniformity": [round(r.nonuniformity[0], 4),
                                     round(r.nonuniformity[1], 4)],
-        "params_before": {"lambda_ic": base_design.lambda_ic,
-                          "phi_ic": base_design.phi_ic},
+        "params_before": {k: getattr(base_design, k) for k in r.params},
         "params_after": {k: round(v, 4) for k, v in r.params.items()},
         "s_fc": [round(float(v), 3) for v in r.s_fc],
         "s_oc": [round(float(v), 3) for v in r.s_oc],
