@@ -174,13 +174,22 @@ if os.environ.get("DEMO_JOINT", "1") != "0":
     # collapsed exact full-grid efficiency ~3x on re-generation (the
     # surrogate freezes footprints and cannot see the detuning — exactly
     # the failure mode the exact after-eval exists to catch)
+    opt_names = tuple(p for p in os.environ.get(
+        "DEMO_JOINT_OPT_PARAMS", "lambda_tied,phi_tied").split(",") if p)
     r = optimize_grating(sim_o.geom, sim_o.tables, sim_o.tgeom, cfg_o,
-                         opt_params=("lambda_tied", "phi_tied"),
+                         opt_params=opt_names,
                          steps=steps, learning_rate=0.01, rays_per_fov=8,
                          capacity=16384, fixed_steps=64,
                          weight_threshold=1e-4, apodize=True, pupil_bins=24,
                          eff_weight=float(
                              os.environ.get("DEMO_JOINT_EFFW", 3.0)),
+                         # s0 = sigmoid(4) = 0.982: the apodization knobs
+                         # start ~at the unapodized stack (the exact_before
+                         # baseline), so Adam dims strips SELECTIVELY —
+                         # the old 0.88 start pre-dimmed every strip vs the
+                         # s=1 reference before the optimizer ever moved
+                         apod_theta0=float(
+                             os.environ.get("DEMO_JOINT_THETA0", 4.0)),
                          param_box=float(
                              os.environ.get("DEMO_JOINT_BOX", 0.03)))
     opt_s = time.perf_counter() - t0
@@ -238,11 +247,16 @@ if os.environ.get("DEMO_JOINT", "1") != "0":
         "params_after": {k: round(v, 4) for k, v in r.params.items()},
         "s_fc": [round(float(v), 3) for v in r.s_fc],
         "s_oc": [round(float(v), 3) for v in r.s_oc],
-        "exact_before": _exact_full(base_design,
-                                    png="eyebox_luminance_before.png"),
-        "exact_after": _exact_full(after_design, s_fc=r.s_fc, s_oc=r.s_oc,
-                                   png="eyebox_luminance_after.png"),
     }
+    if os.environ.get("DEMO_JOINT_NO_BEFORE", "0") != "1":
+        # the before-design eval is base-design-only (seed-deterministic):
+        # skippable when a recorded run already carries it
+        out["joint_design_opt"]["exact_before"] = _exact_full(
+            base_design, png="eyebox_luminance_before.png")
+    out["joint_design_opt"]["exact_after"] = _exact_full(
+        after_design, s_fc=r.s_fc, s_oc=r.s_oc,
+        png=os.environ.get("DEMO_JOINT_AFTER_PNG",
+                           "eyebox_luminance_after.png"))
     print(json.dumps(out), flush=True)
 
 if os.environ.get("DEMO_SWEEP", "1") != "0":
